@@ -1,0 +1,448 @@
+"""Relational operator surface: joins, windows, set ops, rollup/cube,
+pivot, top-k — the "for free from Spark" operators (SURVEY §2.5) that a
+user of the reference would gain by switching, each with a DuckDB
+oracle.
+
+Scale notes (100 TB posture):
+- dimension joins (region/nation/customer) are explicitly
+  ``F.broadcast`` — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- aggregations are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the shuffle;
+- money sums are rounded to 2 decimals on BOTH sides so the
+  order-of-summation ulp noise of distributed doubles can't flip the
+  value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue per nation (scan + 3 joins + agg + sort in one plan).
+# The reference's Q4/Q5 dashboard shape (sum-per-group, ordered) lifted to
+# the multi-table testdata; cf. /root/reference/dags/ETL.py Metabase queries
+# reconstructed in SURVEY §2.4.
+# ---------------------------------------------------------------------------
+
+
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    # fact⋈fact shuffles on the key; dims broadcast (no shuffle of lineitem
+    # for the customer/nation sides once orders is reduced).
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(nation.n_name.alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+register(
+    "flagship_revenue_by_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    doc="Flagship: lineitem⋈orders⋈customer⋈nation revenue rollup.",
+    tags=("join", "agg", "flagship"),
+)(flagship_revenue_by_nation)
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: wide multi-aggregate scan; one shuffle, partial aggs map-side.",
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "join_broadcast_region_rollup",
+    oracle="""
+        SELECT r_name AS region, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    doc="Snowflake dim chain with explicit broadcast of both dims — zero fact shuffle pre-agg.",
+    tags=("join",),
+)
+def join_broadcast_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(region.r_name.alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "join_left_semi_customers_with_orders",
+    oracle="""
+        SELECT count(*) AS n
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="EXISTS as left-semi join: never materializes the right side's payload columns.",
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_left_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="NOT EXISTS as left-anti join.",
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    doc="Left outer join preserving customers with zero orders (count of NULL key = 0).",
+    tags=("join",),
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "window_topk_orders_per_segment",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        WHERE rn <= 5
+        ORDER BY c_mktsegment, rn
+    """,
+    doc="Top-K per group via row_number window; deterministic tiebreak on the key.",
+    tags=("window",),
+)
+def window_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_running_revenue_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Running total per key — ordered window with explicit ROWS frame.",
+    tags=("window",),
+)
+def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_order_gap_days",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+        WHERE o_custkey < 50
+        ORDER BY o_custkey, o_orderkey
+    """,
+    doc="lag() across rows per key: inter-order gap in days (NULL for first order).",
+    tags=("window",),
+)
+def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), prev).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "set_ops_nation_presence",
+    oracle="""
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT 'union' AS op, count(*) AS n FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        UNION ALL
+        SELECT 'intersect' AS op, count(*) AS n FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        ORDER BY op
+    """,
+    doc="UNION / INTERSECT / EXCEPT over customer vs supplier nations.",
+    tags=("setop",),
+)
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    rows = [
+        c.union(s).distinct().agg(F.lit("union").alias("op"), F.count("*").alias("n")),
+        c.intersect(s).agg(F.lit("intersect").alias("op"), F.count("*").alias("n")),
+        c.exceptAll(s).distinct().agg(F.lit("except").alias("op"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("op")
+
+
+@register(
+    "rollup_sales_by_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    doc="ROLLUP hierarchy totals; NULL grouping slots coalesced to 'ALL' for a stable hash.",
+    tags=("agg",),
+)
+def rollup_sales_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "cube_counts_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    doc="CUBE over two dimensions.",
+    tags=("agg",),
+)
+def cube_counts_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    doc="Pivot (wide conditional aggregation); fixed pivot values so no extra pass.",
+    tags=("agg",),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "distinct_customers_per_status",
+    oracle="""
+        SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Exact distinct aggregation (expands to two-phase agg in Spark).",
+    tags=("agg",),
+)
+def distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "filter_pushdown_part_scan",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_size >= 30 AND p_type = 'ECONOMY'
+        ORDER BY p_partkey
+    """,
+    doc="Conjunctive predicate pushed to the parquet scan (PushedFilters).",
+    tags=("scan",),
+)
+def filter_pushdown_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 30) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )

@@ -1,0 +1,116 @@
+"""Sources & sinks (SURVEY §2.1).
+
+The reference's storage surface is CSV → Elasticsearch → Postgres
+(/root/reference/ingest_csv_to_elastic.py, /root/reference/dags/ETL.py).
+Spark-first, that collapses to Parquet medallion tables:
+
+- S1 CSV full scan            -> read_csv (header, explicit/permissive schema)
+- S3 ES bulk sink             -> write_parquet(mode="append"|"overwrite") Bronze
+- S4 create-index-if-absent   -> write mode "ignore" / tableExists
+- S5 truncate index           -> write mode "overwrite"
+- S6 ES incremental search    -> read_parquet + pushed-down watermark filter
+- S7 Postgres DDL             -> saveAsTable / CREATE TABLE IF NOT EXISTS
+- S8 Postgres row-append sink -> write_parquet(mode="append") Silver
+
+Every reader returns a lazy DataFrame; Catalyst pushes projections and
+predicates into the Parquet scan (check with ``df.explain`` →
+``PushedFilters`` / ``ReadSchema``). At 100 TB the Bronze/Silver tables
+are date-partitioned directories so the watermark filter becomes
+partition pruning, not a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan with pushdown — the engine's default source (S1/S6)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan (S1). Without a schema every column is a string — the same
+    no-types-at-source posture as the reference's csv.DictReader
+    (/root/reference/ingest_csv_to_elastic.py:79). ``mode`` may be
+    DROPMALFORMED to push the reference's malformed-row skip (P4) into
+    the scan itself.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register testdata tables as temp views so operators can be written
+    in either DataFrame or SQL form (Catalyst produces the same plan)."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """Parquet sink (S3/S5/S8).
+
+    - mode="overwrite"  ≙ reference truncate-then-write (S5,
+      /root/reference/ingest_csv_to_elastic.py:58-70)
+    - mode="append"     ≙ reference batched INSERTs (S8,
+      /root/reference/dags/ETL.py:131-143)
+    - mode="ignore"     ≙ create-if-absent DDL (S4,
+      /root/reference/ingest_csv_to_elastic.py:36-55)
+
+    ``partition_by`` replaces the reference's Postgres B-tree indexes
+    (/root/reference/scripts/postgres_db_scripts.sql:17-19) with
+    partition pruning — the scale-correct equivalent.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence predicate (P6) for path-based tables — the Spark analogue
+    of the reference's HTTP HEAD index check
+    (/root/reference/ingest_csv_to_elastic.py:36-39)."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
