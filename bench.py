@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once as a full action (collect for small
+results, count for wide ones) after a warm-up of the session; wall
+time includes planning + execution, which is what the driver's
+baseline measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from coviddatapipeline_spark.queries import catalog
+from coviddatapipeline_spark.session import get_spark
+
+# Headline set: one per workload family (join-agg, wide agg, window,
+# top-k+other, outer join, incremental scan). Extended as M3 operators land.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "q4_topk_other_share",
+    "window_topk_orders_per_segment",
+    "join_left_outer_order_counts",
+    "s6_p2_watermark_increment",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark(app_name="bench")
+
+    # Warm up the JVM + parquet footer caches with a trivial action so the
+    # first measured query doesn't pay session-start costs.
+    spark.range(1).count()
+
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # Full execution: pull results (headline outputs are small aggregates).
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
