@@ -1,0 +1,66 @@
+"""Gold: the five dashboard queries (SURVEY §2.4 Q1-Q6) as composable
+DataFrame builders over the Silver ``covid_cases`` table — the Metabase
+layer expressed in-engine, including the widget-side top-9+Other and
+percent-of-total post-processing (Q4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def q1_total_count(cases: DataFrame) -> DataFrame:
+    """Q1: 'Total Covid Records count' widget — SELECT count(*)."""
+    return cases.agg(F.count("*").alias("n"))
+
+
+def q2_latest_date(cases: DataFrame) -> DataFrame:
+    """Q2: 'Latest Covid Record' widget — SELECT max(date)."""
+    return cases.agg(F.max("date").alias("latest_date"))
+
+
+def q3_browse(cases: DataFrame, limit: int = 2000) -> DataFrame:
+    """Q3: 2000-row browse widget, made deterministic with an explicit
+    ORDER BY (the reference relied on Postgres storage order)."""
+    return (
+        cases.select("date", "state", "county", "new_cases", "new_deaths")
+        .orderBy("state", "county", "date")
+        .limit(limit)
+    )
+
+
+def q4_cases_by_county_topk_other(cases: DataFrame, k: int = 9) -> DataFrame:
+    """Q4: donut — total cases per county, top-k + 'Other', pct-of-total.
+
+    Both windows run over the already-aggregated per-county set (small by
+    construction), so the unpartitioned window is a deliberate single-
+    partition step on grouped data, not on the fact table.
+    """
+    per_county = cases.groupBy("county").agg(F.sum("new_cases").alias("cases"))
+    ranked = per_county.select(
+        "county",
+        "cases",
+        F.row_number().over(W.orderBy(F.col("cases").desc(), F.col("county"))).alias("rn"),
+        F.sum("cases").over(W.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("rn") <= k, F.col("county")).otherwise(F.lit("Other")).alias("county")
+        )
+        .agg(
+            F.sum("cases").alias("cases"),
+            F.round(F.sum("cases") * 100.0 / F.max("total"), 2).alias("pct"),
+        )
+        .orderBy(F.col("cases").desc())
+    )
+
+
+def q5_deaths_by_state(cases: DataFrame) -> DataFrame:
+    """Q5: bar — total deaths per state, ascending."""
+    return (
+        cases.groupBy("state")
+        .agg(F.sum("new_deaths").alias("deaths"))
+        .orderBy("deaths")
+    )

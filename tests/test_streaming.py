@@ -1,0 +1,76 @@
+"""Structured-Streaming twin tests: file-source resume semantics and
+event-time windowed aggregation with watermark (rows-only — streaming
+state is not SQL-expressible, SURVEY §7.5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import events
+from coviddatapipeline_spark.pipeline.streaming import (
+    stream_csv_to_silver,
+    stream_event_counts,
+)
+from tests.covid_fixture import make_rows, write_csv
+
+
+def test_stream_resume_exactly_once(spark, tmp_path):
+    """Drop file 1, drain; drop file 2, drain: each file processed exactly
+    once across restarts (the reference's checkpoint story, natively)."""
+    root = str(tmp_path)
+    in_dir, silver, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "silver"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    rows = make_rows(600)
+
+    write_csv(os.path.join(in_dir, "batch1.csv"), rows[:300])
+    q = stream_csv_to_silver(spark, in_dir, silver, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(silver).count()
+    assert n1 > 0
+
+    # restart with a new file present — only the new file is processed
+    write_csv(os.path.join(in_dir, "batch2.csv"), rows[300:])
+    q = stream_csv_to_silver(spark, in_dir, silver, ckpt)
+    q.awaitTermination(120)
+    n2 = spark.read.parquet(silver).count()
+    assert n2 > n1
+
+    # restart with nothing new — exactly-once means zero growth
+    q = stream_csv_to_silver(spark, in_dir, silver, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == n2
+
+
+def test_stream_event_window_agg(spark, tmp_path, parity_sf_dir):
+    """Event-time tumbling window + watermark over the events table,
+    driven to completion with availableNow + memory sink; totals must
+    reconcile with the batch equivalent."""
+    # stage events (with proper timestamp) as a parquet dir for readStream
+    staged = os.path.join(str(tmp_path), "events_parquet")
+    ev = events(spark, parity_sf_dir)
+    ev.write.parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = stream_event_counts(spark, stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT sum(n) AS total FROM ev_out").collect()[0]
+
+    # append mode emits only windows closed by the watermark; the final
+    # (unclosed) windows are withheld, so compare against batch minus tail.
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type").count().agg(F.sum("count"))
+    ).collect()[0][0]
+    assert out["total"] is not None and 0 < out["total"] <= batch
