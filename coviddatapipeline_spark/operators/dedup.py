@@ -1,1 +1,439 @@
-"""Placeholder — populated in M3 (see SURVEY.md §7.4)."""
+"""Deduplication operators over ``documents`` / ``embeddings`` —
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine. The
+training-data-pipeline core (BASELINE.json north star).
+
+Design for 100 TB:
+
+- **Exact** dedup is a hash-groupBy on a canonical fingerprint — one
+  shuffle on the fingerprint, map-side partial aggregation.
+- **MinHash+LSH** never compares all pairs: shingle → k min-hashes →
+  band keys → candidates are pairs sharing a band bucket (shuffle on
+  band key, each bucket tiny), exact Jaccard verified on candidates
+  only. Cost scales with Σ bucket², not n².
+- **SimHash** is per-row column math (32 conditional sums) + a pair
+  check on candidates; here demonstrated per-doc + all-pair Hamming at
+  test scale with the LSH-banded variant as the scale path.
+- **Embedding cosine** near-dup is brute-force at test scale; the
+  bucketed scale path is in ``operators.similarity``.
+
+All hash math is md5-based, bit-identical across Spark and DuckDB, so
+every operator here is oracle-checked — including the full MinHash-LSH
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.text import _norm, _tokens, _NORM, _TOKENS
+
+# --- shared shingling (word trigrams, distinct per doc) --------------------
+
+_TRIGRAMS_SQL = (
+    f"list_distinct(list_transform(generate_series(1, len({_TOKENS}) - 2), "
+    f"i -> array_to_string(({_TOKENS})[i:i+2], ' ')))"
+)
+
+
+def _trigrams(col) -> Column:
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct word-trigram shingles per document."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(_trigrams(F.col("text"))).alias("s"))
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest({_TRIGRAMS_SQL.format(x='text')}) AS s FROM documents
+"""
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, md5(lower({_NORM.format(x='text')})) AS fingerprint
+            FROM documents
+        )
+        SELECT count(*) AS n_docs,
+               count(DISTINCT fingerprint) AS n_distinct,
+               count(*) - count(DISTINCT fingerprint) AS n_dup_docs
+        FROM fp
+    """,
+    doc="Exact dedup summary over the canonical md5 fingerprint (hash-groupBy).",
+    tags=("dedup",),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(_norm(F.col("text"))))
+    return docs.select(fp.alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_dup_docs"),
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(({_TOKENS.format(x='text')})[1:10], ' ')) AS k
+            FROM documents
+        )
+        SELECT k AS prefix_key, min(doc_id) AS keeper, count(*) AS group_size
+        FROM fp
+        GROUP BY k
+        HAVING count(*) > 1
+        ORDER BY keeper
+    """,
+    doc=(
+        "Keep-first collapse on a 10-token-prefix key (groups the planted "
+        "near-duplicates): min(doc_id) is the canonical representative."
+    ),
+    tags=("dedup",),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 10)))
+    return (
+        docs.select("doc_id", key.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("keeper")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 12
+BAND_ROWS = 3
+N_BANDS = N_HASHES // BAND_ROWS
+JACCARD_THRESHOLD = 0.7
+
+
+def _minhash_sql() -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline."""
+    mh_cols = ", ".join(
+        f"min(md5(concat({i}, '|', s))) FILTER (WHERE TRUE) AS h{i}" for i in range(N_HASHES)
+    )
+    band_rows = ", ".join(
+        f"(SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh)"
+        for b in range(N_BANDS)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (
+            SELECT doc_id, {mh_cols}
+            FROM sh
+            GROUP BY doc_id
+        ),
+        bands AS ({bands_union}),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(DISTINCT a.band_id) AS n_shared_bands
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+                   round(count(*) * 1.0 / (x.n + y.n - count(*)), 4) AS jaccard
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+            JOIN sizes x ON x.doc_id = c.doc_a
+            JOIN sizes y ON y.doc_id = c.doc_b
+            GROUP BY c.doc_a, c.doc_b, c.n_shared_bands, x.n, y.n
+        )
+        SELECT doc_a, doc_b, n_shared_bands, jaccard
+        FROM verified
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=12, md5-seeded) → 4 bands × 3 rows → candidate pairs via
+    band-bucket join → exact Jaccard verification on candidates only.
+
+    The banded join is the scale mechanism: pairs are generated per
+    band bucket, so work is Σ bucket² instead of n². All hashing stays
+    in JVM column space (md5 + min aggregate); no UDFs.
+    """
+    sh = _shingles(spark, sf_dir)
+
+    # k min-hashes per doc as k conditional-min aggregates (deterministic,
+    # order-independent).
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("s")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    # band keys: md5 over the band's ordered minhash triple
+    bands = None
+    for b in range(N_BANDS):
+        band = mh.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{3*b + r}") for r in range(BAND_ROWS)])).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count("*").alias("common"))
+    )
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.round(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_sql(),
+    doc="Full MinHash-LSH near-dup pipeline, oracle-checked end to end.",
+    tags=("dedup", "lsh"),
+)(dedup_minhash_lsh)
+
+
+# --- n-gram Jaccard (all-pairs at test scale; LSH above is the scale path) -
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n + y.n - common) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Direct n-gram-Jaccard similarity join via shingle co-occurrence "
+        "(inverted-index style: the join explodes only shared shingles, "
+        "never materializing the full pair matrix)."
+    ),
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        sa.join(sb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4),
+        )
+        .filter(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")) >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
+                   AS simhash
+        FROM bits
+        ORDER BY doc_id
+    """,
+    doc=(
+        "32-bit SimHash per document: token hash bits weighted by "
+        "occurrence, majority vote per bit. Pure conditional-sum "
+        "aggregation — one shuffle on doc_id, no UDF."
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{b}")
+            for b in range(32)
+        ]
+    )
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
+            FROM tok GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
+                       AS simhash
+            FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "SimHash near-dup pairs (Hamming ≤ 3). All-pairs at test scale; "
+        "at 100 TB the simhash is split into 4 byte-bands and candidates "
+        "come from a band-equality join, same pattern as MinHash-LSH."
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.44
+        ORDER BY vec_a, vec_b
+    """,
+    doc=(
+        "Embedding near-dup pairs by cosine (vectors are unit-norm, so "
+        "cosine = dot). zip_with + aggregate keeps the arithmetic in JVM "
+        "column space; brute-force at test scale, IVF path in "
+        "operators.similarity."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", dot)
+        .filter(F.col("cosine_raw") >= 0.44)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,203 @@
-"""Placeholder — populated in M3 (see SURVEY.md §7.4)."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. All are pure ``pyspark.sql.functions`` column algebra
+(JVM-side, whole-stage-codegen'd — no Python in the hot path), and each
+has an exact DuckDB oracle twin.
+
+Scale posture: every operator is per-row column math + at most one
+groupBy — embarrassingly parallel, no shuffle except final small aggs.
+At 100 TB the only knob is input partition size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+
+# Tokenization contract shared by Spark and the DuckDB oracles:
+# collapse whitespace runs, trim, split on single space.
+_NORM = "trim(regexp_replace({x}, '\\s+', ' ', 'g'))"          # DuckDB
+_TOKENS = f"string_split({_NORM}, ' ')"                          # DuckDB
+
+
+def _norm(col) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _tokens(col) -> Column:
+    return F.split(_norm(col), " ")
+
+
+# A tiny English-stopword list used by both the quality score and the
+# language-ID heuristic (public-knowledge word list).
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKENS.format(x='text')}) AS n_tokens,
+               length({_NORM.format(x='text')}) AS n_chars_norm,
+               round(length(replace({_NORM.format(x='text')}, ' ', ''))
+                     * 1.0 / len({_TOKENS.format(x='text')}), 4) AS avg_token_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Per-document token count + normalized length + mean token length.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(norm).alias("n_chars_norm"),
+        F.round(
+            F.length(F.replace(norm, F.lit(" "), F.lit(""))) * 1.0 / F.size(toks), 4
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len({_TOKENS.format(x='text')}) AS n_tokens,
+                   len(list_filter({_TOKENS.format(x='text')},
+                                   w -> list_contains({_SW_SQL}, w))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+               round(least(n_tokens, 100) / 100.0
+                     * (0.5 + 0.5 * least(n_stop * 1.0 / n_tokens, 0.4) / 0.4), 4)
+                   AS quality
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Heuristic quality score: length saturation x stopword-density "
+        "(the shape of C4/Gopher-style quality filters), pure column math."
+    ),
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    ratio = n_stop * 1.0 / n_tokens
+    quality = (
+        F.least(n_tokens, F.lit(100)) / 100.0
+        * (0.5 + 0.5 * F.least(ratio, F.lit(0.4)) / 0.4)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+        WITH pred AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(list_filter({_TOKENS.format(x='text')},
+                                 w -> list_contains({_SW_SQL}, w)))
+                             * 1.0 / len({_TOKENS.format(x='text')}) >= 0.08
+                        THEN 'en_like' ELSE 'other' END AS predicted
+            FROM documents
+        )
+        SELECT lang, predicted, count(*) AS n
+        FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    doc=(
+        "Stopword-density language-ID heuristic + confusion matrix vs the "
+        "lang label. (The testdata's text is synthetic and languageless, "
+        "so the interesting output is the deterministic confusion counts.)"
+    ),
+    tags=("text",),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * 1.0 / F.size(toks)
+    predicted = F.when(ratio >= 0.08, F.lit("en_like")).otherwise(F.lit("other"))
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               md5(lower({_NORM.format(x='text')})) AS fingerprint,
+               substr(md5(lower({_NORM.format(x='text')})), 1, 8) AS bucket
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Canonical document fingerprint: md5 of the case/whitespace-"
+        "normalized text — the exact-dedup key. md5 is bit-identical "
+        "across Spark and DuckDB."
+    ),
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(_norm(F.col("text"))))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_word_trigrams_top",
+    oracle=f"""
+        SELECT trigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len({_TOKENS.format(x='text')}) - 2),
+                       i -> array_to_string(({_TOKENS.format(x='text')})[i:i+2], ' ')
+                   )) AS trigram
+            FROM documents
+        )
+        GROUP BY trigram
+        HAVING count(*) >= 3
+        ORDER BY n DESC, trigram
+    """,
+    doc=(
+        "Word-trigram shingling + global frequency (the shingle basis for "
+        "MinHash/Jaccard dedup): explode(transform(sequence)) keeps the "
+        "shingling in JVM column space."
+    ),
+    tags=("text", "dedup"),
+)
+def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    return (
+        docs.select(F.explode(trigrams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("n").desc(), "trigram")
+    )
