@@ -1,1 +1,174 @@
-"""Placeholder — populated in M3 (see SURVEY.md §7.4)."""
+"""Event-stream operators over the ``events`` table (the reference's
+"never-ending stream" role, /root/reference/README.md:81): tumbling and
+sliding event-time windows, sessionization, and an as-of join — the
+batch twins of the Structured-Streaming pipeline in
+``pipeline.streaming`` (same column algebra; in streaming it runs under
+``withWatermark`` with bounded state).
+
+All timestamps go through ``common.events`` (nanos → µs, matching the
+DuckDB oracle's truncation). Window starts are emitted as formatted
+strings so the value hash is engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import events
+from coviddatapipeline_spark.operators.joins import asof_join
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type
+    """,
+    doc="Tumbling 1-hour event-time rollup (streaming twin: F.window + watermark).",
+    tags=("events", "window"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH slid AS (
+            SELECT to_timestamp((floor(epoch(ts) / 900) - i.i) * 900) AS win_start,
+                   value
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM slid
+        GROUP BY win_start
+        ORDER BY win
+    """,
+    doc=(
+        "Sliding window (1 h size, 15 min slide) via F.window — each event "
+        "lands in 4 overlapping windows; the oracle reproduces Spark's "
+        "epoch-aligned window assignment arithmetic."
+    ),
+    tags=("events", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format(F.col("w.start"), _FMT).alias("win"), "n", "total_value")
+        .orderBy("win")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               count(DISTINCT session_id) AS n_sessions,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc=(
+        "Sessionization (30-min inactivity gap): lag + cumulative-sum "
+        "session ids — one shuffle on user_id. Streaming twin: "
+        "F.session_window under a watermark."
+    ),
+    tags=("events", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w_order)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new_session", new_sess)
+        .withColumn("session_id", F.sum("is_new_session").over(w_cum))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_asof_last_click_before_purchase",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts,
+               round(c.value, 2) AS asof_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    doc=(
+        "As-of join: each purchase enriched with the user's most recent "
+        "click at-or-before it. Spark lacks a native ASOF JOIN; implemented "
+        "as a tagged union + one ordered window pass per key "
+        "(operators.joins.asof_join) — one shuffle, no range explosion. "
+        "Oracle uses DuckDB's native ASOF JOIN."
+    ),
+    tags=("events", "join", "asof"),
+)
+def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_ts", "value"),
+        on="ts",
+        by="user_id",
+        value_cols=["click_ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_click_ts", _FMT).alias("asof_click_ts"),
+        F.round("asof_value", 2).alias("asof_click_value"),
+    ).orderBy("event_id")

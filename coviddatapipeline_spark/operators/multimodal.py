@@ -1,1 +1,199 @@
-"""Placeholder — populated in M3 (see SURVEY.md §7.4)."""
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the decode kernels are
+STUBBED (clearly marked, import-gated) behind deterministic fakes — but
+the Spark-side plumbing is real and tested: binary column construction,
+metadata schema, ``mapInPandas`` batch iteration, output schema, and
+partition-parallel execution are exactly what a real decoder would use;
+only the bytes→pixels kernel body changes.
+
+The testdata has no binary column, so ``documents.text`` is encoded to
+UTF-8 bytes as the stand-in payload — byte-exact and engine-neutral.
+
+Scale posture: decode is per-row and stateless → ``mapInPandas`` keeps
+it embarrassingly parallel with Arrow-batch amortization; heavy assets
+stay columnar-compressed until the batch that decodes them; metadata
+(extracted once at ingest) carries the filter/join load so full payload
+scans are rare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+
+# Real decoders would be imported here; absent in this container.
+try:  # pragma: no cover - the gate itself is the point
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an opaque binary payload column + typed metadata —
+    the canonical multimodal table shape: (id, blob, metadata...)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS digest,
+               'text/plain' AS mime
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Binary payload metadata extraction: byte length + sha-256 digest "
+        "computed on the binary column JVM-side (the ingest-time metadata "
+        "pass that lets later queries avoid touching payloads)."
+    ),
+    tags=("multimodal",),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+# --- mapInPandas feature extraction ----------------------------------------
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, n_space_bytes int"
+
+# NOTE: the Pandas kernels below are defined INSIDE their query functions
+# on purpose: cloudpickle serializes nested functions by value, so the
+# Python workers never need this package importable (a consumer running
+# from any cwd — e.g. the external driver — would otherwise crash with an
+# unpickling ImportError).
+
+
+@register(
+    "mm_decode_features_pandas",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               octet_length(encode(text)) - octet_length(encode(replace(text, ' ', '')))
+                   AS n_space_bytes
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "mapInPandas feature extraction over the binary payload — the "
+        "Arrow-batch decode path, oracle-checked byte-for-byte against "
+        "SQL-computed equivalents."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm_decode_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-batched feature kernel. A real image pipeline would decode
+        # ``payload`` here (PIL/libvips/ffmpeg) and emit width/height/etc.;
+        # this deterministic byte-level fake keeps the identical batch
+        # shape, schema contract, and per-partition parallelism.
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "n_space_bytes": payloads.map(lambda b: b.count(b" ")).astype("int32"),
+                }
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(extract_features, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+
+
+# --- stubbed image decode (rows-only: fake semantics, real plumbing) -------
+
+_IMAGE_SCHEMA = "doc_id long, width int, height int, channels int, decoded boolean"
+
+
+@register(
+    "mm_image_decode_stub",
+    oracle=None,  # fake decode semantics — rows-only check by design
+    doc=(
+        "Stubbed image decode via mapInPandas: real Arrow plumbing and "
+        "schema contract, deterministic fake kernel (no imaging libs in "
+        "the container). The `decoded` flag is honest about it."
+    ),
+    tags=("multimodal", "udf", "stub"),
+)
+def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    has_pil = _HAS_PIL
+
+    def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if has_pil:  # pragma: no cover
+                raise NotImplementedError(
+                    "real decode: PIL.Image.open(io.BytesIO(b)) per payload — "
+                    "container has no imaging libs; deterministic fake below"
+                )
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # Deterministic fake dimensions derived from payload size —
+                    # stable across runs/partitionings, so tests can assert them.
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "decoded": pd.Series([False] * len(pdf)),  # fake, not a real decode
+                }
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(decode_image_batch, schema=_IMAGE_SCHEMA).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_offsets",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               len(generate_series(0, octet_length(encode(text)) - 1, 32)) AS n_frames
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Frame sampling plan over a binary stream: fixed-stride chunk "
+        "offsets computed as pure column math (sequence + size) — the "
+        "planning half of video frame extraction, no UDF needed."
+    ),
+    tags=("multimodal",),
+)
+def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+    n_bytes = F.col("meta.n_bytes")
+    return p.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.size(F.sequence(F.lit(0), n_bytes - 1, F.lit(32))).alias("n_frames"),
+    ).orderBy("doc_id")

@@ -1,1 +1,177 @@
-"""Placeholder — populated in M3 (see SURVEY.md §7.4)."""
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(``array<float>`` column, unit-normalized → cosine = dot product).
+
+Two tiers, per the scale plan:
+
+- **Brute-force top-k** — every query against every candidate, ranked
+  per query with a window. Correct baseline; O(Q·N) dot products, all
+  in JVM column space (zip_with + aggregate). Fine when Q is small or
+  N fits a broadcast.
+- **IVF (inverted-file) top-k** — the scale path: candidates are
+  restricted to the query's coarse cell (here the ``label`` column
+  plays the quantizer-assignment role a k-means step would produce at
+  ingest). The probe join hits one cell instead of the full corpus:
+  cost drops N → N/cells, and the cell join is an equi-join Spark can
+  shuffle-partition cleanly.
+
+Both are oracle-checked; ranking ties are broken deterministically on
+vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _dot(va: str, vb: str) -> Column:
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_ORACLE_TOPK = """
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {nq}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id {cell_filter}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+def _topk(spark: SparkSession, sf_dir: str, same_cell_only: bool) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+    if same_cell_only:
+        # IVF probe: equi-join on the coarse cell — candidates shrink to
+        # one cell; broadcast the (tiny) query set.
+        joined = F.broadcast(q).join(
+            c,
+            (F.col("qlabel") == F.col("clabel")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+    else:
+        joined = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("cos", _dot("qv", "cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_cosine_topk_bruteforce",
+    oracle=_ORACLE_TOPK.format(nq=N_QUERIES, k=TOP_K, cell_filter=""),
+    doc="Exact cosine top-k per query vector (brute force baseline).",
+    tags=("similarity",),
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topk(spark, sf_dir, same_cell_only=False)
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=_ORACLE_TOPK.format(
+        nq=N_QUERIES, k=TOP_K, cell_filter="AND q.label = c.label"
+    ),
+    doc="IVF-style ANN: probe only the query's coarse cell (label = quantizer assignment).",
+    tags=("similarity",),
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topk(spark, sf_dir, same_cell_only=True)
+
+
+_ORACLE_RECALL = f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.label = c.label AS same_cell,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS r
+            FROM scored
+        ) WHERE r <= {TOP_K}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS r
+            FROM scored WHERE same_cell
+        ) WHERE r <= {TOP_K}
+    )
+    SELECT e.query_id,
+           round(count(i.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+"""
+
+
+@register(
+    "ann_recall_ivf_vs_exact",
+    oracle=_ORACLE_RECALL,
+    doc=(
+        "Recall@k of the IVF probe against exact brute force, per query — "
+        "the accuracy/cost dial every ANN deployment reports."
+    ),
+    tags=("similarity",),
+)
+def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _topk(spark, sf_dir, same_cell_only=False).select("query_id", "neighbor_id")
+    ivf = (
+        _topk(spark, sf_dir, same_cell_only=True)
+        .select("query_id", "neighbor_id")
+        .withColumnRenamed("neighbor_id", "ivf_neighbor_id")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == ivf.ivf_neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(F.round(F.count("ivf_neighbor_id") * 1.0 / TOP_K, 4).alias("recall_at_k"))
+        .orderBy("query_id")
+    )
