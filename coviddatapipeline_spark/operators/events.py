@@ -12,6 +12,8 @@ strings so the value hash is engine-neutral.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -172,3 +174,56 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
         F.date_format("asof_click_ts", _FMT).alias("asof_click_ts"),
         F.round("asof_value", 2).alias("asof_click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "events_user_gap_median_pandas",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_s
+            FROM events
+        )
+        SELECT user_id,
+               round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+               count(gap_s) AS n_gaps
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc=(
+        "Grouped-map Pandas UDF (applyInPandas): per-user median "
+        "inter-event gap. The custom-operator escape hatch — per-group "
+        "imperative logic in Arrow-batched pandas — oracle-checked against "
+        "a pure-SQL formulation. Scale: one shuffle on user_id; each group "
+        "processed independently on its executor."
+    ),
+    tags=("events", "udf"),
+)
+def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).select("user_id", "event_id", "ts")
+
+    # Kernel is nested so cloudpickle ships it by value (foreign-cwd
+    # consumers have no package on the worker path).
+    def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].astype("int64").diff().dropna() / 1_000_000_000.0
+        if gaps.empty:
+            return pd.DataFrame(
+                {"user_id": [], "median_gap_s": [], "n_gaps": []}
+            ).astype({"user_id": "int64", "median_gap_s": "float64", "n_gaps": "int64"})
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_gap_s": [round(float(gaps.median()), 4)],
+                "n_gaps": [len(gaps)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(median_gap, schema="user_id long, median_gap_s double, n_gaps long")
+        .orderBy("user_id")
+    )

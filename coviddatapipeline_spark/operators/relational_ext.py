@@ -1,0 +1,399 @@
+"""Relational surface, second batch: subqueries, percentiles,
+deterministic sampling, date/string function families, array
+aggregation, pagination, ranking tiers, conditional bucketing.
+
+Everything stays in built-in column functions (whole-stage codegen);
+sampling is hash-based so it is deterministic and engine-portable
+(Bernoulli sampling by md5 prefix — the scale-safe way to get a
+repeatable sample without a global sort or a seed-dependent RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+        SELECT count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal_above
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+    doc="Scalar subquery: customers above the global average balance.",
+    tags=("subquery",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal")).collect()[0][0]
+    # The scalar is evaluated once and folded into the predicate — the same
+    # two-job shape Catalyst produces for an uncorrelated scalar subquery.
+    return customer.filter(F.col("c_acctbal") > avg_bal).agg(
+        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal_above")
+    )
+
+
+@register(
+    "having_active_customers",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 5
+        ORDER BY o_custkey
+    """,
+    doc="GROUP BY ... HAVING (post-aggregation filter).",
+    tags=("agg",),
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "median_price_per_segment",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """,
+    doc=(
+        "Exact interpolated percentiles per group (Spark `percentile` = "
+        "DuckDB `quantile_cont`). At 100 TB swap to approx_percentile — "
+        "the exact form needs the full sorted group."
+    ),
+    tags=("agg",),
+)
+def median_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "deterministic_hash_sample",
+    oracle="""
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
+    """,
+    doc=(
+        "Deterministic ~6.25% Bernoulli sample by md5-prefix of the key — "
+        "repeatable across engines/runs/partitionings, unlike seed-based "
+        "TABLESAMPLE. The standard trick for reproducible data audits."
+    ),
+    tags=("scan",),
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "10"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@register(
+    "date_parts_rollup",
+    oracle="""
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY yr, mo
+    """,
+    doc="Calendar rollup via date-part extraction (year/month).",
+    tags=("agg", "function"),
+)
+def date_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "string_functions_showcase",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 5) AS name_prefix,
+               concat(p_brand, ':', p_type) AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               replace(p_name, ' ', '_') AS name_snake,
+               regexp_extract(p_brand, '[0-9]+') AS brand_num,
+               length(p_name) AS name_len
+        FROM part
+        ORDER BY p_partkey
+        LIMIT 1000
+    """,
+    doc="String-function family: upper/substr/concat/lpad/replace/regexp/length.",
+    tags=("function",),
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "array_agg_nations_per_region",
+    oracle="""
+        SELECT r_name AS region,
+               list_sort(list(n_name)) AS nations,
+               count(*) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY region
+    """,
+    doc="Array aggregation (collect + sort for a deterministic value hash).",
+    tags=("agg", "array"),
+)
+def array_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "explode_word_counts",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        GROUP BY word
+        ORDER BY n DESC, word
+    """,
+    doc="explode/unnest roundtrip: tokenize a column and re-aggregate.",
+    tags=("array",),
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+    )
+
+
+@register(
+    "pagination_offset_limit",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 100 OFFSET 500
+    """,
+    doc="Keyset-free pagination: ORDER BY + LIMIT/OFFSET (CollectLimit with skip).",
+    tags=("limit",),
+)
+def pagination_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(500)
+        .limit(100)
+    )
+
+
+@register(
+    "window_ntile_price_quartiles",
+    oracle="""
+        SELECT quartile, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders
+        )
+        GROUP BY quartile
+        ORDER BY quartile
+    """,
+    doc="ntile bucketing into quartiles + per-bucket range.",
+    tags=("window",),
+)
+def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "window_dense_rank_suppliers",
+    oracle="""
+        SELECT s_suppkey, n_name AS nation, s_acctbal,
+               dense_rank() OVER (PARTITION BY n_name
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        QUALIFY rnk <= 3
+        ORDER BY nation, rnk, s_suppkey
+    """,
+    doc="dense_rank top-3 suppliers per nation (QUALIFY shape).",
+    tags=("window",),
+)
+def window_dense_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("nation"),
+            "s_acctbal",
+            F.dense_rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nation", "rnk", "s_suppkey")
+    )
+
+
+@register(
+    "case_price_buckets",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    doc="CASE WHEN bucketing + per-bucket aggregates.",
+    tags=("function", "agg"),
+)
+def case_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "grouping_sets_status_segment",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        ORDER BY status, segment
+    """,
+    doc="Explicit GROUPING SETS (not derivable from rollup/cube alone).",
+    tags=("agg",),
+)
+def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    joined.createOrReplaceTempView("_gs_joined")
+    return joined.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+        ORDER BY status, segment
+        """
+    )
+
+
+@register(
+    "stats_moments_per_status",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               round(avg(o_totalprice), 4) AS mean_price,
+               round(stddev_samp(o_totalprice), 4) AS sd_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(corr(o_totalprice, epoch(o_orderdate)), 4) AS price_time_corr
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    doc="Statistical aggregates: mean/stddev/min/max/correlation.",
+    tags=("agg",),
+)
+def stats_moments_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            # NTZ→LTZ→long: with the session pinned to UTC this equals
+            # DuckDB's epoch() of the naive timestamp.
+            F.round(
+                F.corr(
+                    F.col("o_totalprice"),
+                    F.col("o_orderdate").cast("timestamp_ltz").cast("long"),
+                ),
+                4,
+            ).alias("price_time_corr"),
+        )
+        .orderBy("status")
+    )

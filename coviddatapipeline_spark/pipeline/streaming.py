@@ -48,6 +48,37 @@ def stream_csv_to_silver(
     )
 
 
+def stream_user_running_totals(events_stream, timeout: str = "NoTimeout"):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum) maintained across
+    micro-batches — the class of operator (user-defined state machine)
+    that windowed aggregation can't express. State is one tiny tuple per
+    user; at scale it shards with the groupBy shuffle and lives in the
+    state store.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # local import: kernel ships by value
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=f"{timeout}",
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     events_df_stream,

@@ -21,6 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Modules whose import populates the registry.
 _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.relational",
+    "coviddatapipeline_spark.operators.relational_ext",
     "coviddatapipeline_spark.operators.covid",
     "coviddatapipeline_spark.operators.dedup",
     "coviddatapipeline_spark.operators.similarity",

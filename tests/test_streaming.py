@@ -12,6 +12,7 @@ from coviddatapipeline_spark.operators.common import events
 from coviddatapipeline_spark.pipeline.streaming import (
     stream_csv_to_silver,
     stream_event_counts,
+    stream_user_running_totals,
 )
 from tests.covid_fixture import make_rows, write_csv
 
@@ -74,3 +75,39 @@ def test_stream_event_window_agg(spark, tmp_path, parity_sf_dir):
         ev.groupBy(F.window("ts", "1 hour"), "event_type").count().agg(F.sum("count"))
     ).collect()[0][0]
     assert out["total"] is not None and 0 < out["total"] <= batch
+
+
+def test_stream_stateful_running_totals(spark, tmp_path, parity_sf_dir):
+    """applyInPandasWithState: per-user running totals must converge to
+    the batch groupBy totals once the stream drains (update mode emits
+    one row per user per batch; the LAST emission per user is final)."""
+    staged = os.path.join(str(tmp_path), "events_parquet")
+    ev = events(spark, parity_sf_dir).select("user_id", "ts", "value")
+    ev.write.parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = stream_user_running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink keeps every per-batch update; running totals are
+    # monotone, so max(n_events) per user is the final state.
+    final = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(total_value) AS v "
+            "FROM running_out GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == expected
