@@ -1,0 +1,459 @@
+"""Relational surface, third batch: JSON path extraction, correlated
+subqueries, a classic TPC-H-shaped join-agg-topk, bucketed range join,
+approximate distinct, skew-salted aggregation, null-handling functions,
+date-spine gap fill, FILTER-style conditional aggregation, arg-max, and
+interval-frame moving averages.
+
+Scale notes are per-operator; the unifying theme is that every shape
+here either stays in whole-stage codegen or deliberately demonstrates a
+100 TB technique (salting, bucketed range join, approx sketches) whose
+semantics are oracle-checked against the naive formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t, events
+
+
+@register(
+    "json_props_topk",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY n DESC, k
+        LIMIT 20
+    """,
+    doc=(
+        "JSON path extraction over a string column (get_json_object) + "
+        "re-aggregation. At scale prefer from_json with an explicit schema "
+        "once the shape is known — single parse, columnar afterwards."
+    ),
+    tags=("function", "json"),
+)
+def json_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.col("n").desc(), "k")
+        .limit(20)
+    )
+
+
+@register(
+    "correlated_above_customer_avg",
+    oracle="""
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc=(
+        "Correlated scalar subquery (orders above their own customer's "
+        "average) decorrelated into a window aggregate — the rewrite "
+        "Catalyst itself performs; one shuffle on the correlation key "
+        "instead of a per-row re-scan."
+    ),
+    tags=("subquery", "window"),
+)
+def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape (shipping priority): selective dimension filter -> "
+        "fact join -> group -> top-10. The customer filter is pushed to the "
+        "parquet scan and the filtered customer side is broadcast, so the "
+        "only shuffle is the final orderkey aggregation."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               count(*) AS n_clicks,
+               round(sum(c.value), 2) AS click_value
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 15 MINUTE
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+        ORDER BY purchase_id
+    """,
+    doc=(
+        "Range (interval) join via time-bucketing: clicks within the 15 "
+        "minutes before each purchase. A naive inequality join is a "
+        "per-user cross product; bucketing both sides to 15-minute epochs "
+        "and equi-joining on (user_id, bucket) x {b-1, b} turns it into a "
+        "hash join with a residual range filter — the standard scale-out "
+        "rewrite for bounded-interval joins (cf. Spark's range-join hints)."
+    ),
+    tags=("join", "events", "range"),
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_s = 900  # = interval width, so a purchase's window spans <= 2 buckets
+    ev = events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+            (epoch / bucket_s).cast("long").alias("bucket"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            (epoch / bucket_s).cast("long").alias("p_bucket"),
+        )
+        # candidate buckets: the purchase's own bucket and the previous one
+        .withColumn("bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket"))))
+    )
+    return (
+        purchases.join(clicks, ["bucket"], "inner")
+        .filter(
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_clicks"), F.round(F.sum("c_value"), 2).alias("click_value"))
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "approx_distinct_users_by_type",
+    oracle=None,  # HLL estimates are engine-specific; bounded-error test in tests/
+    doc=(
+        "approx_count_distinct (HyperLogLog++): the 100 TB substitute for "
+        "exact COUNT(DISTINCT) — mergeable fixed-size sketch, no shuffle of "
+        "the distinct values themselves. Rows-only driver check; the test "
+        "suite asserts <5% relative error vs the exact count."
+    ),
+    tags=("agg", "approx"),
+)
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "salted_agg_event_value",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Skew-salted two-stage aggregation: low-cardinality group keys "
+        "(5 event types over billions of rows) hot-spot a single reducer; "
+        "salting to (key, hash%16) spreads the partial aggregation across "
+        "16x reducers, then a cheap final merge on the real key. Semantics "
+        "identical to the plain GROUP BY — which is exactly what the "
+        "oracle checks. (AQE skew handling covers joins; agg skew still "
+        "wants explicit salt.)"
+    ),
+    tags=("agg", "skew"),
+)
+def salted_agg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "null_handling_funcs",
+    oracle="""
+        SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               count(*) AS n,
+               round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice END), 2) AS urgent_total,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        FROM orders
+        GROUP BY 1
+        ORDER BY status_label
+    """,
+    doc=(
+        "Null-handling family: nullif / coalesce relabeling plus null-"
+        "skipping conditional sums (CASE with no ELSE -> NULL -> ignored "
+        "by SUM/COUNT) — all codegen'd column expressions."
+    ),
+    tags=("function",),
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    return (
+        orders.groupBy(
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status_label"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(urgent), 2).alias("urgent_total"),
+            F.count(urgent).alias("n_urgent"),
+        )
+        .orderBy("status_label")
+    )
+
+
+@register(
+    "gapfill_daily_order_counts",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   count(*) AS dn,
+                   round(sum(o_totalprice), 2) AS dtotal
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                          (SELECT max(d) FROM daily),
+                                          INTERVAL 1 DAY))::DATE AS d
+        )
+        SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+               coalesce(dn, 0) AS n,
+               coalesce(dtotal, 0.0) AS total
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        ORDER BY day
+    """,
+    doc=(
+        "Time-series gap fill: generate a dense date spine with "
+        "sequence()/explode and left-join the sparse daily aggregate, "
+        "zero-filling missing days. The spine is computed from a 1-row "
+        "aggregate (no driver collect); at scale the spine stays tiny "
+        "(one row per day) and broadcasts."
+    ),
+    tags=("timeseries", "array"),
+)
+def gapfill_daily_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("dn"), F.round(F.sum("o_totalprice"), 2).alias("dtotal"))
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dn", F.lit(0)).alias("n"),
+            F.coalesce("dtotal", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "filtered_conditional_agg",
+    oracle="""
+        SELECT l_linestatus AS status,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                   AS discounted_revenue,
+               round(avg(l_quantity) FILTER (WHERE l_tax > 0.04), 4) AS taxed_avg_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY status
+    """,
+    doc=(
+        "FILTER-style conditional aggregation (count_if / conditional "
+        "sum+avg): one pass over the fact table computing differently-"
+        "predicated aggregates — replaces N filtered subqueries with one "
+        "scan."
+    ),
+    tags=("agg", "function"),
+)
+def filtered_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+            ).alias("discounted_revenue"),
+            F.round(F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 4).alias(
+                "taxed_avg_qty"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "argmax_supplier_per_nation",
+    oracle="""
+        SELECT n_name AS nation,
+               (m).b AS best_acctbal,
+               (m).k AS best_suppkey,
+               (m).nm AS best_supplier
+        FROM (
+            SELECT n_name,
+                   max(struct_pack(b := s_acctbal, k := s_suppkey, nm := s_name)) AS m
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        ORDER BY nation
+    """,
+    doc=(
+        "arg-max via max-over-struct (lexicographic struct ordering, "
+        "suppkey tiebreak for determinism): richest supplier per nation "
+        "in a single partial-aggregatable pass — no window, no self-join, "
+        "so it map-side combines at 100 TB."
+    ),
+    tags=("agg", "argmax"),
+)
+def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.max(F.struct("s_acctbal", "s_suppkey", "s_name")).alias("m"))
+        .select(
+            "nation",
+            F.col("m.s_acctbal").alias("best_acctbal"),
+            F.col("m.s_suppkey").alias("best_suppkey"),
+            F.col("m.s_name").alias("best_supplier"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "window_moving_avg_7day_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               round(rev, 2) AS revenue,
+               round(avg(rev) OVER (ORDER BY d
+                                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                    AND CURRENT ROW), 2) AS ma7
+        FROM daily
+        ORDER BY day
+    """,
+    doc=(
+        "Interval-frame window (RANGE BETWEEN 6 days PRECEDING): trailing "
+        "7-day moving average of daily revenue, expressed with rangeBetween "
+        "over epoch-day ordering. The window input is the already-reduced "
+        "daily table (one row/day), so the single-partition window is over "
+        "thousands of rows regardless of fact-table size; partition by "
+        "coarser units (year) if the spine itself ever grows."
+    ),
+    tags=("window", "timeseries"),
+)
+def window_moving_avg_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = W.orderBy(day_num).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.avg("rev").over(w), 2).alias("ma7"),
+        )
+        .orderBy("day")
+    )

@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.relational",
     "coviddatapipeline_spark.operators.relational_ext",
+    "coviddatapipeline_spark.operators.advanced",
     "coviddatapipeline_spark.operators.covid",
     "coviddatapipeline_spark.operators.dedup",
     "coviddatapipeline_spark.operators.similarity",

@@ -1,0 +1,51 @@
+"""Semantic tests for operators whose guarantees are not (fully)
+expressible as a DuckDB oracle: approximate sketches and the salted-agg
+equivalence at the plan level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.queries import catalog
+from coviddatapipeline_spark.operators.common import t
+
+ALL = catalog.all_queries()
+
+
+def test_approx_distinct_error_bound(spark, parity_sf_dir):
+    """HLL++ at rsd=0.01 must land within 5% of the exact distinct count
+    for every group (generous bound: 3-sigma at 1% rsd is 3%)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ALL["approx_distinct_users_by_type"].fn(spark, parity_sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in t(spark, parity_sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_salted_agg_no_single_reducer(spark, parity_sf_dir):
+    """The salted aggregate's physical plan must contain two distinct
+    hash aggregations (partial on (key, salt), final on key) — i.e. the
+    salt survives into the plan rather than being optimized away."""
+    df = ALL["salted_agg_event_value"].fn(spark, parity_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan, plan[:2000]
+
+
+def test_range_join_is_equi_join(spark, parity_sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join,
+    not a broadcast nested-loop cartesian: the bucket key gives Catalyst
+    an equality predicate to hash on."""
+    df = ALL["range_join_clicks_before_purchase"].fn(spark, parity_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        plan[:2000]
+    )
