@@ -105,6 +105,30 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON source — the shape of the reference's ES
+    `_bulk` bodies (/root/reference/ingest_csv_to_elastic.py:104-108)
+    and of most LLM training-data drops. With an explicit ``schema`` the
+    reader skips the inference pass (one full scan saved — mandatory at
+    100 TB); without one, Spark samples to infer.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (interchange with JSON-native downstreams). Parquet
+    remains the engine-internal format; this exists for egress parity
+    with the reference's document-oriented sink."""
+    df.write.mode(mode).json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

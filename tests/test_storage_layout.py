@@ -91,3 +91,20 @@ def test_broadcast_join_in_flagship_plan(spark, parity_sf_dir):
 
     df = catalog.all_queries()["flagship_revenue_by_nation"].fn(spark, parity_sf_dir)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_jsonl_roundtrip_explicit_schema(spark, tmp_path, parity_sf_dir):
+    """NDJSON egress + re-ingest with an explicit schema (no inference
+    scan) must be lossless for the typed columns."""
+    from coviddatapipeline_spark.sources import read_jsonl, write_jsonl
+
+    out = os.path.join(str(tmp_path), "orders_jsonl")
+    orders = t(spark, parity_sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_jsonl(orders, out)
+    back = read_jsonl(spark, out, schema=orders.schema)
+    assert back.schema == orders.schema
+    a = orders.agg(F.count("*"), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)).collect()
+    b = back.agg(F.count("*"), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)).collect()
+    assert a == b

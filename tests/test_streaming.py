@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from coviddatapipeline_spark.operators.common import events
 from coviddatapipeline_spark.pipeline.streaming import (
     stream_csv_to_silver,
+    stream_dedup_within_watermark,
     stream_event_counts,
     stream_user_running_totals,
 )
@@ -111,3 +112,31 @@ def test_stream_stateful_running_totals(spark, tmp_path, parity_sf_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path, parity_sf_dir):
+    """At-least-once redelivery (the same file staged twice) must
+    collapse to exactly one row per event_id downstream."""
+    staged = os.path.join(str(tmp_path), "dup_events")
+    os.makedirs(staged)
+    ev = events(spark, parity_sf_dir).select("event_id", "ts", "user_id").limit(500)
+    # two identical deliveries of the same batch
+    ev.coalesce(1).write.parquet(os.path.join(staged, "delivery1"))
+    ev.coalesce(1).write.parquet(os.path.join(staged, "delivery2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    out = stream_dedup_within_watermark(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert got["n"] == got["d"] == 500
