@@ -457,3 +457,121 @@ def window_moving_avg_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "tpch_q10_returned_revenue_by_customer",
+    oracle="""
+        SELECT c_custkey, n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape (returned-item report): 4-way join with the "
+        "returnflag filter pushed into the fact scan, dims broadcast, one "
+        "aggregation shuffle, top-20."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q10_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "lost_revenue"
+            )
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "parttype_revenue_share",
+    oracle="""
+        WITH rev AS (
+            SELECT p_type, sum(l_extendedprice * (1 - l_discount)) AS r
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+        )
+        SELECT p_type, round(r, 2) AS revenue,
+               round(100.0 * r / sum(r) OVER (), 4) AS pct_share
+        FROM rev
+        ORDER BY p_type
+    """,
+    doc=(
+        "TPC-H Q14-style share-of-total: revenue per part type with "
+        "percent-of-total via an empty-frame window over the tiny reduced "
+        "aggregate (the window input is |distinct types| rows, never the "
+        "fact table)."
+    ),
+    tags=("join", "agg", "window"),
+)
+def parttype_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_type")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    return rev.select(
+        "p_type",
+        F.round("r", 2).alias("revenue"),
+        F.round(100.0 * F.col("r") / F.sum("r").over(W.partitionBy()), 4).alias(
+            "pct_share"
+        ),
+    ).orderBy("p_type")
+
+
+@register(
+    "hof_embedding_norms",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 200
+    """,
+    doc=(
+        "Higher-order array functions (aggregate/lambda) on the embedding "
+        "column: per-row L2 norm computed entirely JVM-side — no UDF, no "
+        "Python, vectorizes over array<float> at any scale."
+    ),
+    tags=("array", "function", "similarity"),
+)
+def hof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )

@@ -45,13 +45,43 @@ _REGISTRY: dict[str, Query] = {}
 _LOADED = False
 
 
+# Session confs every query depends on for oracle parity, applied
+# defensively at call time: the driver passes its OWN SparkSession,
+# which need not have been built by our session factory. All three are
+# runtime-settable SQL confs (verified on a vanilla session).
+_REQUIRED_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS); without this the vectorized
+    # reader rejects the file. Read as long, convert via ts DIV 1000.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; date_format must agree.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batch transfer for the Pandas-UDF escape hatches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on some future version: query may still work
+
+
 def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
         return fn
 
     return deco
