@@ -182,7 +182,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket, so work is Σ bucket² instead of n². All hashing stays
     in JVM column space (md5 + min aggregate); no UDFs.
     """
-    sh = _shingles(spark, sf_dir)
+    # The shingle set feeds the minhash agg AND the exact-verification
+    # joins below; persist so tokenization runs once. (At scale: a
+    # materialized intermediate table.)
+    sh = _shingles(spark, sf_dir).persist()
 
     # k min-hashes per doc as k conditional-min aggregates (deterministic,
     # order-independent).
@@ -192,15 +195,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     )
-    # band keys: md5 over the band's ordered minhash triple
-    bands = None
-    for b in range(N_BANDS):
-        band = mh.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{3*b + r}") for r in range(BAND_ROWS)])).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # band keys: md5 over the band's ordered minhash triple — all bands in
+    # ONE pass over mh (array + explode), not a per-band union that would
+    # recompute the minhash aggregate N_BANDS times; persisted because the
+    # candidate join consumes it twice (self-join).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"h{3*b + r}") for r in range(BAND_ROWS)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        mh.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+        .persist()
+    )
 
     a, bb = bands.alias("a"), bands.alias("b")
     cand = (
@@ -277,7 +291,10 @@ register(
     tags=("dedup",),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    # The shingle set feeds three plan branches (sizes + both join sides);
+    # persist so tokenization/explode runs once, not three times. At scale
+    # this is a materialize-once intermediate (write to a temp table).
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -412,28 +429,76 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY vec_a, vec_b
     """,
     doc=(
-        "Embedding near-dup pairs by cosine (vectors are unit-norm, so "
-        "cosine = dot). zip_with + aggregate keeps the arithmetic in JVM "
-        "column space; brute-force at test scale, IVF path in "
-        "operators.similarity."
+        "EXACT embedding near-dup pairs by cosine (vectors are unit-norm, "
+        "so cosine = dot), computed as blocked all-pairs GEMM: hash each "
+        "vector into one of B blocks, replicate it to the B block-pairs it "
+        "participates in, and compute each block-pair's full dot-product "
+        "matrix as ONE numpy matmul inside applyInPandas. Same n^2/2 dot "
+        "products as the naive cartesian, but in BLAS instead of a per-pair "
+        "JVM lambda (~10x here). Scale: B^2/2 independent tasks; choose B "
+        "so (n/B)*dim fits executor memory — the standard distributed "
+        "exact-GEMM decomposition. Approximate paths (MinHash-LSH, SimHash) "
+        "are the siblings above for when exactness can be traded away."
     ),
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    n_blocks = 8
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Replicate each vector to every unordered block-pair containing its
+    # block: (min(blk,o), max(blk,o)) for o in range(B) — B structs, each
+    # unordered pair exactly once.
+    block_pairs = F.array(
+        *[
+            F.struct(
+                F.least("blk", F.lit(o)).alias("b1"),
+                F.greatest("blk", F.lit(o)).alias("b2"),
+            )
+            for o in range(n_blocks)
+        ]
     )
+    rep = (
+        emb.withColumn("bp", F.explode(block_pairs))
+        .select("vec_id", "v", "blk", F.col("bp.b1").alias("b1"), F.col("bp.b2").alias("b2"))
+    )
+
+    # Kernel nested: ships by value for foreign-cwd consumers.
+    def block_gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        b1, b2 = key
+        left = pdf[pdf["blk"] == b1]
+        right = pdf[pdf["blk"] == b2]
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine_raw": "float64"}
+            )
+        ma = np.vstack(left["v"].to_numpy())
+        mb = np.vstack(right["v"].to_numpy())
+        sims = ma @ mb.T
+        ia, jb = np.nonzero(sims >= 0.44)
+        ids_a = left["vec_id"].to_numpy()[ia]
+        ids_b = right["vec_id"].to_numpy()[jb]
+        vals = sims[ia, jb]
+        if b1 == b2:
+            # same-block matrix contains both orders + diagonal
+            keep = ids_a < ids_b
+            ids_a, ids_b, vals = ids_a[keep], ids_b[keep], vals[keep]
+        else:
+            # cross-block: each pair appears once; normalize id order
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            ids_a, ids_b = lo, hi
+        return pd.DataFrame({"vec_a": ids_a, "vec_b": ids_b, "cosine_raw": vals})
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", dot)
-        .filter(F.col("cosine_raw") >= 0.44)
+        rep.groupBy("b1", "b2")
+        .applyInPandas(block_gemm, schema="vec_a long, vec_b long, cosine_raw double")
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
