@@ -24,8 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from coviddatapipeline_spark.queries import catalog
 from coviddatapipeline_spark.session import get_spark
 
-# Headline set: one per workload family (join-agg, wide agg, window,
-# top-k+other, outer join, incremental scan). Extended as M3 operators land.
+# Headline set: one per workload family — join-agg, wide agg, window,
+# top-k+other, outer join, incremental scan, plus the LLM-pipeline
+# extensions (LSH dedup, exact-GEMM cosine dedup, IVF ANN, text stats).
 HEADLINE = [
     "flagship_revenue_by_nation",
     "pricing_summary",
@@ -33,6 +34,10 @@ HEADLINE = [
     "window_topk_orders_per_segment",
     "join_left_outer_order_counts",
     "s6_p2_watermark_increment",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_pairs",
+    "ann_cosine_topk_ivf",
+    "text_token_stats",
 ]
 
 

@@ -21,6 +21,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`t`, but guarantees at least ``defaultParallelism``
+    partitions before CPU-heavy per-row work (shingling, hashing,
+    per-pair math). A small file arrives as ONE scan partition, which
+    would serialize the compute on a single core; the repartition is a
+    no-op shuffle of a tiny input. Guarded: a table that already spans
+    >= cores partitions (any real table at 100 TB under
+    files.maxPartitionBytes) is returned untouched — this never adds a
+    shuffle at scale.
+    """
+    df = t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a usable TimestampType column.
 

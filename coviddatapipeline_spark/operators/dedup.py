@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import t, t_fanout
 from coviddatapipeline_spark.operators.text import _norm, _tokens, _NORM, _TOKENS
 
 # --- shared shingling (word trigrams, distinct per doc) --------------------
@@ -50,7 +50,7 @@ def _trigrams(col) -> Column:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct word-trigram shingles per document."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_fanout(spark, sf_dir, "documents")
     return docs.select("doc_id", F.explode(_trigrams(F.col("text"))).alias("s"))
 
 
@@ -178,27 +178,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=12, md5-seeded) → 4 bands × 3 rows → candidate pairs via
     band-bucket join → exact Jaccard verification on candidates only.
 
-    The banded join is the scale mechanism: pairs are generated per
-    band bucket, so work is Σ bucket² instead of n². All hashing stays
-    in JVM column space (md5 + min aggregate); no UDFs.
+    Shuffle-minimal formulation: min-hashes are computed ARRAY-NATIVELY
+    per document (array_min over a transform of the distinct shingle
+    array) — zero shuffles, versus the naive explode + 12-way min
+    groupBy. Verification reuses the shingle arrays via array_intersect
+    on the (tiny, broadcast) candidate set instead of re-exploding every
+    document. The only data-sized shuffle left is the band-bucket
+    self-join, which is the LSH point: work is Σ bucket², not n².
+    A doc with <3 tokens has an empty shingle array → null min-hashes →
+    null band keys, which never equi-join: same exclusion the explode
+    formulation produced.
     """
-    # The shingle set feeds the minhash agg AND the exact-verification
-    # joins below; persist so tokenization runs once. (At scale: a
-    # materialized intermediate table.)
-    sh = _shingles(spark, sf_dir).persist()
-
-    # k min-hashes per doc as k conditional-min aggregates (deterministic,
-    # order-independent).
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("s")))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .select("doc_id", _trigrams(F.col("text")).alias("arr"))
+        .persist()  # feeds band derivation AND candidate verification
     )
-    # band keys: md5 over the band's ordered minhash triple — all bands in
-    # ONE pass over mh (array + explode), not a per-band union that would
-    # recompute the minhash aggregate N_BANDS times; persisted because the
-    # candidate join consumes it twice (self-join).
+    def _minhash(i: int):
+        # closure keeps the lambda UNARY: a 2-arg lambda would make
+        # F.transform pass the array index as the second argument
+        seed = f"{i}|"
+        return F.array_min(
+            F.transform("arr", lambda s: F.md5(F.concat(F.lit(seed), s)))
+        ).alias(f"h{i}")
+
+    mh = docs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+    # all band keys in one pass (array + explode of N_BANDS structs)
     band_structs = F.array(
         *[
             F.struct(
@@ -213,7 +218,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         mh.select("doc_id", F.explode(band_structs).alias("bk"))
         .select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
-        .persist()
+        .persist()  # consumed twice by the self-join
     )
 
     a, bb = bands.alias("a"), bands.alias("b")
@@ -228,30 +233,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b", "n_shared_bands")
-        .agg(F.count("*").alias("common"))
+    # exact verification: candidates are few — broadcast them against the
+    # shingle arrays and intersect in JVM column space.
+    pairs = (
+        F.broadcast(cand)
+        .join(docs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")), "doc_b")
     )
-    verified = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select(
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    union_n = F.size("arr_a") + F.size("arr_b") - common
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
             "n_shared_bands",
-            F.round(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4).alias(
-                "jaccard"
-            ),
+            F.round(common * 1.0 / union_n, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
-    return verified
 
 
 register(
