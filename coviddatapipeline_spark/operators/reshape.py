@@ -1,0 +1,214 @@
+"""Reshaping + analytics batch four: unpivot (wide→long), distribution
+windows (percent_rank/cume_dist), typed JSON parsing, map construction/
+lookup, and an ordered event funnel.
+
+All built-in column functions; the funnel is the one genuinely
+"analytics-engine" shape here — conditional-min timestamps turn an
+ordered-sequence match into one aggregation pass (no self-joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.common import t, events
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+        SELECT o_orderstatus AS status, metric, round(sum(val), 2) AS total
+        FROM (
+            SELECT o_orderstatus, 'totalprice' AS metric, o_totalprice AS val FROM orders
+            UNION ALL
+            SELECT o_orderstatus, 'orders', 1.0 FROM orders
+        )
+        GROUP BY 1, 2
+        ORDER BY status, metric
+    """,
+    doc=(
+        "Unpivot / melt (wide→long) via stack(): per-status totals of two "
+        "metrics in long form — the inverse of the pivot operator. stack "
+        "is a generator expression, no shuffle beyond the final groupBy."
+    ),
+    tags=("reshape", "agg"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    long = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr("stack(2, 'totalprice', o_totalprice, 'orders', 1.0D) AS (metric, val)"),
+    )
+    return (
+        long.groupBy("status", "metric")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("status", "metric")
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+        SELECT bucket,
+               count(*) AS n,
+               round(min(pr), 4) AS min_pr,
+               round(max(cd), 4) AS max_cd
+        FROM (
+            SELECT least(CAST(floor(percent_rank() OVER w * 10) AS INTEGER) + 1, 10)
+                       AS bucket,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc=(
+        "Distribution windows: percent_rank + cume_dist over the price "
+        "ordering, decile-bucketed. Global-order window over the fact "
+        "table — at 100 TB replace with approx_percentile cutpoints; this "
+        "is the exact reference form."
+    ),
+    tags=("window",),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    pr = F.percent_rank().over(w)
+    # decile bucket 1..10 with pr==1.0 clamped into bucket 10
+    bucket = F.least(F.floor(pr * 10).cast("int") + 1, F.lit(10))
+    return (
+        orders.select(
+            bucket.alias("bucket"),
+            pr.alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("pr"), 4).alias("min_pr"),
+            F.round(F.max("cd"), 4).alias("max_cd"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "from_json_typed_props",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               count(*) AS n,
+               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+        FROM events
+        GROUP BY 1
+        ORDER BY k_mod
+    """,
+    doc=(
+        "Typed JSON parsing with an explicit schema (from_json -> struct), "
+        "vs the schemaless get_json_object sibling: one parse into a "
+        "columnar struct, fields then free to access. The 100 TB form — "
+        "parse once, never re-scan the string."
+    ),
+    tags=("function", "json"),
+)
+def from_json_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.select(F.from_json("props", schema).alias("p"))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"), F.col("p.k").alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "map_priority_rates",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice * (map(
+                   ['1-URGENT', '2-HIGH'], [1.1, 1.05]
+               )[o_orderpriority][1])), 2) AS weighted_total
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1
+        ORDER BY priority
+    """,
+    doc=(
+        "Map construction + lookup (create_map / element_at): a literal "
+        "rate table applied as a column expression — the broadcast-free "
+        "way to join a tiny constant mapping."
+    ),
+    tags=("function", "map"),
+)
+def map_priority_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rates = F.create_map(
+        F.lit("1-URGENT"), F.lit(1.1), F.lit("2-HIGH"), F.lit(1.05)
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice") * F.element_at(rates, F.col("o_orderpriority"))),
+                2,
+            ).alias("weighted_total"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+               count(*) FILTER (WHERE t_signup < t_click) AS n_signup_click,
+               count(*) FILTER (WHERE t_signup < t_click AND t_click < t_purchase)
+                   AS n_full_funnel
+        FROM per_user
+    """,
+    doc=(
+        "Ordered event funnel (signup -> click -> purchase): conditional-"
+        "min first-occurrence timestamps per user collapse the sequence "
+        "match into ONE aggregation pass — no self-joins, no window sort; "
+        "the standard scale-out funnel formulation (one shuffle on "
+        "user_id, map-side partial mins)."
+    ),
+    tags=("events", "agg"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.count_if(F.col("t_signup") < F.col("t_click")).alias("n_signup_click"),
+        F.count_if(
+            (F.col("t_signup") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("n_full_funnel"),
+    )

@@ -23,6 +23,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.relational",
     "coviddatapipeline_spark.operators.relational_ext",
     "coviddatapipeline_spark.operators.advanced",
+    "coviddatapipeline_spark.operators.reshape",
     "coviddatapipeline_spark.operators.covid",
     "coviddatapipeline_spark.operators.dedup",
     "coviddatapipeline_spark.operators.similarity",
