@@ -48,6 +48,32 @@ def stream_csv_to_silver(
     )
 
 
+def stream_session_windows(events_stream, gap: str = "30 minutes", watermark: str = "1 hour"):
+    """Event-time sessionization on an unbounded stream: per-user
+    sessions close after ``gap`` of inactivity (F.session_window — the
+    dynamic-width window), emitted once the watermark passes the
+    session end. The streaming twin of the batch
+    ``events_sessionization`` operator; state per (user, open session)
+    only, merged and evicted by the state store — sessionization at
+    stream scale without a global sort.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_dedup_within_watermark(events_stream, watermark: str = "30 minutes"):
     """Streaming exact dedup: drop re-deliveries of the same ``event_id``
     arriving within the watermark horizon (at-least-once upstream ->

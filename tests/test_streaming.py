@@ -140,3 +140,40 @@ def test_stream_dedup_within_watermark(spark, tmp_path, parity_sf_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
     assert got["n"] == got["d"] == 500
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path, parity_sf_dir):
+    """Streaming session_window totals (closed sessions only, append
+    mode) must be a subset of — and mostly equal to — the batch
+    session_window aggregation over the same data."""
+    from coviddatapipeline_spark.pipeline.streaming import stream_session_windows
+
+    staged = os.path.join(str(tmp_path), "sess_events")
+    ev = events(spark, parity_sf_dir).select("user_id", "ts", "value")
+    ev.write.parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = stream_session_windows(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"]): (
+            r["n"], round(r["v"], 2)
+        )
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    # append mode withholds sessions not yet closed by the watermark;
+    # everything emitted must match the batch result exactly.
+    assert got and all(batch.get(k) == v for k, v in got.items())
