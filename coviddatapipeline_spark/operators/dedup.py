@@ -502,3 +502,79 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- near-dup clustering (connected components) ----------------------------
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE transitive closure over the LSH pair graph: a node's
+    component is the min doc_id it can reach."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_sql().replace(';', '')}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS v FROM edges),
+        reach(src, dst) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_near_dup_components",
+    oracle=_cc_oracle(),
+    doc=(
+        "Connected components over the MinHash-LSH near-dup pair graph "
+        "(min-label propagation to fixpoint): collapses transitive "
+        "near-duplicate chains into clusters, the step that turns pair "
+        "detection into actual dedup groups. Iterative DataFrame algorithm "
+        "— per round one join + one min-aggregate, both on the (tiny "
+        "relative to the corpus) edge set; converges in <= diameter "
+        "rounds, each a Catalyst-planned job with AQE. Oracle: DuckDB "
+        "recursive-CTE transitive closure."
+    ),
+    tags=("dedup", "iterative"),
+)
+def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    # Min-label propagation: lbl(v) <- min(lbl(v), min over neighbors).
+    # The edge graph is the candidate-pair set — orders of magnitude
+    # smaller than the corpus — so a driver-controlled convergence loop
+    # of small Spark jobs is the right shape (same structure GraphX /
+    # GraphFrames uses). Localized checkpointing via persist per round
+    # keeps lineage bounded.
+    for _ in range(20):  # >= graph diameter in practice; loop exits early
+        msgs = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
