@@ -98,8 +98,8 @@ def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     doc=(
         "TPC-H Q3 shape (shipping priority): selective dimension filter -> "
         "fact join -> group -> top-10. The customer filter is pushed to the "
-        "parquet scan and the filtered customer side is broadcast, so the "
-        "only shuffle is the final orderkey aggregation."
+        "parquet scan; AQE broadcasts the filtered side when it fits, else "
+        "shuffles — customer scales with SF, so it is not hard-broadcast."
     ),
     tags=("join", "agg", "tpch"),
 )
@@ -111,9 +111,12 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # Broadcast ONLY the true dimension (filtered customer); orders and
+    # lineitem are fact tables — their join shuffles on orderkey (AQE
+    # upgrades it to broadcast at small SF where the filtered side fits).
     return (
         lineitem.join(
-            F.broadcast(orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)),
+            orders.join(customer, orders.o_custkey == customer.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -485,10 +488,12 @@ def tpch_q10_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> D
     nation = t(spark, sf_dir, "nation")
     orders = t(spark, sf_dir, "orders")
     lineitem = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # lineitem ⋈ orders is fact-fact: shuffle on orderkey (never broadcast
+    # a fact side — at 100 TB it cannot fit); customer/nation are dims.
     return (
-        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
                       F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", F.col("n_name").alias("nation"))
@@ -527,7 +532,7 @@ def parttype_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     rev = (
-        lineitem.join(F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem.join(part.select("p_partkey", "p_type"),
                       F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))

@@ -248,7 +248,7 @@ def q4_topk_other_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     per_nation = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(nation.n_name.alias("nation"))
         .agg(F.sum("o_totalprice").alias("sales"))
@@ -287,7 +287,7 @@ def q5_sum_group_order_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_sales"))
         .orderBy("total_sales")

@@ -81,7 +81,7 @@ def median_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
@@ -346,7 +346,7 @@ def case_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     joined.createOrReplaceTempView("_gs_joined")
     return joined.sparkSession.sql(
         """
