@@ -201,3 +201,79 @@ def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .orderBy(F.col("n").desc(), "trigram")
     )
+
+
+@register(
+    "docpipe_clean_corpus_stats",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   len({_TOKENS.format(x='text')}) AS n_tokens,
+                   round(least(len({_TOKENS.format(x='text')}), 100) / 100.0
+                         * (0.5 + 0.5 * least(
+                               len(list_filter({_TOKENS.format(x='text')},
+                                               w -> list_contains({_SW_SQL}, w))) * 1.0
+                               / len({_TOKENS.format(x='text')}), 0.4) / 0.4), 4)
+                       AS quality,
+                   md5(lower({_NORM.format(x='text')})) AS fp
+            FROM documents
+        ),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        dedup AS (
+            SELECT * FROM kept
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        )
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               CAST(floor(avg(quality) * 10000 + 0.5) AS BIGINT) AS avg_quality_e4
+        FROM dedup
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc=(
+        "End-to-end training-corpus cleaning pipeline in ONE Catalyst "
+        "plan: quality-score -> threshold filter -> exact dedup "
+        "(keep-first per fingerprint) -> per-(lang, source) corpus stats. "
+        "Demonstrates that the text/dedup operators COMPOSE: the whole "
+        "chain is two shuffles (fingerprint window + final group), "
+        "column math stays codegen'd, and nothing materializes between "
+        "stages — the medallion composition story at query granularity."
+    ),
+    tags=("text", "dedup", "pipeline"),
+)
+def docpipe_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ratio = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * 1.0 / n_tokens
+    quality = F.round(
+        F.least(n_tokens, F.lit(100)) / 100.0
+        * (0.5 + 0.5 * F.least(ratio, F.lit(0.4)) / 0.4),
+        4,
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        F.md5(F.lower(_norm(F.col("text")))).alias("fp"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = W.partitionBy("fp").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        dedup.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # explicit HALF_UP via floor: quality sits on a 0.00005 grid,
+            # so round() ties differ between engines; floor(x*1e4+0.5) is
+            # deterministic on the same double in both.
+            F.floor(F.avg("quality") * 10000 + 0.5).cast("long").alias("avg_quality_e4"),
+        )
+        .orderBy("lang", "source")
+    )
