@@ -212,3 +212,72 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("t_click") < F.col("t_purchase"))
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "decimal_money_totals",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1
+        ORDER BY status
+    """,
+    doc=(
+        "Exact decimal money arithmetic: cast-at-ingest to DECIMAL(18,2) "
+        "and sum without floating drift. At 100 TB a double sum of "
+        "billions of prices accumulates ulp error and depends on "
+        "partial-sum order; decimal aggregation is associative-exact, so "
+        "results are reproducible across partitionings — the correctness "
+        "reason warehouses keep money in decimal."
+    ),
+    tags=("agg", "decimal"),
+)
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("total_exact"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "setops_multiset_variants",
+    oracle="""
+        SELECT 'except_all' AS op, count(*) AS n FROM (
+            SELECT o_custkey FROM orders
+            EXCEPT ALL
+            SELECT c_custkey FROM customer
+        )
+        UNION ALL
+        SELECT 'intersect_all', count(*) FROM (
+            SELECT o_custkey FROM orders
+            INTERSECT ALL
+            SELECT c_custkey FROM customer
+        )
+        ORDER BY op
+    """,
+    doc=(
+        "Multiset (bag) set operations — INTERSECT ALL keeps min "
+        "multiplicity, EXCEPT ALL subtracts multiplicities — the ALL "
+        "variants the DISTINCT-based sibling (set_ops_nation_presence) "
+        "can't express. Spark plans both as aggregations on the value, "
+        "not joins: one shuffle each."
+    ),
+    tags=("setop",),
+)
+def setops_multiset_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_k = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust_k = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ex = orders_k.exceptAll(cust_k).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    inter = orders_k.intersectAll(cust_k).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionByName(inter).orderBy("op")

@@ -48,6 +48,56 @@ def stream_csv_to_silver(
     )
 
 
+def stream_refresh_gold(
+    spark: SparkSession,
+    input_dir: str,
+    silver_path: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The reference's end-to-end story as ONE streaming pipeline: CSV
+    drops -> Silver append -> Gold dashboard refresh per micro-batch
+    (the per-run Metabase refresh of SURVEY Q6, natively). foreachBatch
+    is the escape hatch for multi-sink batches: each trigger appends the
+    new Silver rows, then recomputes the Gold aggregates from the full
+    Silver table and atomically overwrites them. Gold recompute reads
+    the (partition-prunable) Silver parquet — at 100 TB you'd
+    incrementalize hot aggregates with stateful streaming; full
+    recompute is the correct-by-construction baseline the reference
+    itself uses (re-issued dashboard queries).
+    """
+    import os
+
+    from coviddatapipeline_spark.pipeline import gold as G
+
+    raw = (
+        spark.readStream.schema(COVID_RAW_SCHEMA)
+        .option("header", "true")
+        .csv(input_dir)
+    )
+    clean = transform_covid(raw)
+
+    def refresh(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(silver_path)
+        cases = batch_df.sparkSession.read.parquet(silver_path)
+        for name, builder in (
+            ("q1_total_count", G.q1_total_count),
+            ("q2_latest_date", G.q2_latest_date),
+            ("q4_cases_by_county", G.q4_cases_by_county_topk_other),
+            ("q5_deaths_by_state", G.q5_deaths_by_state),
+        ):
+            builder(cases).write.mode("overwrite").parquet(
+                os.path.join(gold_dir, name)
+            )
+
+    return (
+        clean.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_session_windows(events_stream, gap: str = "30 minutes", watermark: str = "1 hour"):
     """Event-time sessionization on an unbounded stream: per-user
     sessions close after ``gap`` of inactivity (F.session_window — the

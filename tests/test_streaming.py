@@ -177,3 +177,45 @@ def test_stream_session_windows_match_batch(spark, tmp_path, parity_sf_dir):
     # append mode withholds sessions not yet closed by the watermark;
     # everything emitted must match the batch result exactly.
     assert got and all(batch.get(k) == v for k, v in got.items())
+
+
+def test_stream_refresh_gold_tracks_ingestion(spark, tmp_path):
+    """Q6 (count-per-run tracking): gold tables must refresh after each
+    streaming drain and reflect the cumulative silver state."""
+    from coviddatapipeline_spark.pipeline.streaming import stream_refresh_gold
+
+    root = str(tmp_path)
+    in_dir = os.path.join(root, "in")
+    silver, gold, ckpt = (
+        os.path.join(root, "silver"),
+        os.path.join(root, "gold"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    rows = make_rows(400)
+
+    write_csv(os.path.join(in_dir, "b1.csv"), rows[:200])
+    q = stream_refresh_gold(spark, in_dir, silver, gold, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(os.path.join(gold, "q1_total_count")).collect()[0][0]
+    assert n1 == spark.read.parquet(silver).count() > 0
+
+    # second drop: gold refreshes to the new cumulative count (Q6 story)
+    write_csv(os.path.join(in_dir, "b2.csv"), rows[200:])
+    q = stream_refresh_gold(spark, in_dir, silver, gold, ckpt)
+    q.awaitTermination(120)
+    n2 = spark.read.parquet(os.path.join(gold, "q1_total_count")).collect()[0][0]
+    assert n2 == spark.read.parquet(silver).count() > n1
+    # q5 must agree with a direct aggregation of silver
+    got = {
+        r["state"]: r["deaths"]
+        for r in spark.read.parquet(os.path.join(gold, "q5_deaths_by_state")).collect()
+    }
+    want = {
+        r["state"]: r["deaths"]
+        for r in spark.read.parquet(silver)
+        .groupBy("state")
+        .agg(F.sum("new_deaths").alias("deaths"))
+        .collect()
+    }
+    assert got == want
