@@ -281,3 +281,115 @@ def setops_multiset_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "n"
     )
     return ex.unionByName(inter).orderBy("op")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   datediff('week', f.cohort_week, date_trunc('week', e.ts))
+                       AS week_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+               week_offset,
+               count(*) AS active_users
+        FROM activity
+        GROUP BY 1, 2
+        ORDER BY cohort, week_offset
+    """,
+    doc=(
+        "Weekly cohort retention matrix: users cohorted by first-activity "
+        "week, counted per (cohort, week-offset). Two shuffles (first-seen "
+        "agg on user_id, final cohort group); the user->cohort map joins "
+        "back on the same user_id partitioning, so no third shuffle."
+    ),
+    tags=("events", "agg", "analytics"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"), "week_offset"
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   sum(o_totalprice) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY frequency, o_custkey) AS f,
+                   ntile(4) OVER (ORDER BY monetary, o_custkey) AS m,
+                   monetary
+            FROM rfm
+        )
+        SELECT concat(r, f, m) AS segment,
+               count(*) AS n_customers,
+               CAST(floor(avg(monetary) * 100 + 0.5) AS BIGINT) AS avg_monetary_cents
+        FROM scored
+        GROUP BY 1
+        ORDER BY segment
+    """,
+    doc=(
+        "RFM (recency/frequency/monetary) quartile segmentation — the "
+        "classic customer-analytics composite: per-customer aggregate, "
+        "three ntile windows (deterministic custkey tiebreak), segment "
+        "rollup. Windows run over the already-reduced per-customer table, "
+        "not the fact table."
+    ),
+    tags=("window", "agg", "analytics"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+        "monetary",
+    )
+    return (
+        scored.groupBy(F.concat("r", "f", "m").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            # fixed-point HALF_UP: avg of 2dp sums ties at .xx5 where
+            # Spark/DuckDB round() disagree; floor(x*100+0.5) is stable
+            F.floor(F.avg("monetary") * 100 + 0.5).cast("long").alias("avg_monetary_cents"),
+        )
+        .orderBy("segment")
+    )
