@@ -62,6 +62,16 @@ def main() -> None:
                     pass
     else:
         spark.range(1).count()
+    # Warm the OS page cache + parquet footers for the measured SF's
+    # tables so run-to-run variance reflects query execution, not disk
+    # state (standard steady-state methodology; the tables are a few MB).
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(p).count()
+        except Exception:
+            pass
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     for name in names:

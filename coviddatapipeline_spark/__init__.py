@@ -20,3 +20,8 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from coviddatapipeline_spark.session import get_spark  # noqa: E402,F401
+from coviddatapipeline_spark.queries import catalog  # noqa: E402,F401
+
+__all__ = ["get_spark", "catalog", "__version__"]
