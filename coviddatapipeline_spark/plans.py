@@ -1,0 +1,68 @@
+"""Physical-plan introspection — the engine's "is this the plan I
+wanted?" API.
+
+At 100 TB a correct answer with the wrong plan is a failed query:
+a missed broadcast is an hours-long shuffle, a missed pushdown reads
+the whole table. These helpers turn the executed-plan string into
+checkable facts so plan shape can be asserted in tests
+(tests/test_storage_layout.py) and inspected interactively:
+
+    >>> from coviddatapipeline_spark.plans import audit
+    >>> audit(df)["n_exchanges"], audit(df)["broadcast_joins"]
+
+The reference has no notion of plans at all (row-at-a-time Python,
+/root/reference/dags/ETL.py:91-107); this module exists because Spark
+does, and the difference is the whole point of the engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical (executed) plan as a string — post-AQE wrapper,
+    pre-execution."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(df: DataFrame) -> dict:
+    """Summarize scale-relevant plan facts for a DataFrame."""
+    plan = executed_plan(df)
+    return {
+        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        "sort_merge_joins": len(re.findall(r"\bSortMergeJoin\b", plan)),
+        "nested_loop_joins": len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan)),
+        "cartesian_products": len(re.findall(r"\bCartesianProduct\b", plan)),
+        "pushed_filters": _section(plan, "PushedFilters"),
+        "partition_filters": _section(plan, "PartitionFilters"),
+        "read_schema": _section(plan, "ReadSchema"),
+        "has_aqe": "AdaptiveSparkPlan" in plan,
+        "plan": plan,
+    }
+
+
+def _section(plan: str, key: str) -> str:
+    """Payload following ``key:`` in the plan string (to end of line —
+    covers both bracketed lists and ReadSchema's struct<...> form)."""
+    m = re.search(re.escape(key) + r":\s*([^\n]*)", plan)
+    return m.group(1) if m else ""
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Raise if the plan contains any Exchange — used to prove bucketed
+    / co-partitioned paths stay shuffle-free."""
+    a = audit(df)
+    if a["n_exchanges"]:
+        raise AssertionError(f"expected shuffle-free plan, found {a['n_exchanges']} Exchange(s):\n{a['plan'][:3000]}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """Raise if the plan degenerated into a nested-loop/cartesian join —
+    the failure mode of an inequality join missing its equi-key."""
+    a = audit(df)
+    if a["nested_loop_joins"] or a["cartesian_products"]:
+        raise AssertionError(f"plan contains a cartesian/nested-loop join:\n{a['plan'][:3000]}")

@@ -35,17 +35,17 @@ def test_salted_agg_no_single_reducer(spark, parity_sf_dir):
     """The salted aggregate's physical plan must contain two distinct
     hash aggregations (partial on (key, salt), final on key) — i.e. the
     salt survives into the plan rather than being optimized away."""
+    from coviddatapipeline_spark.plans import executed_plan
+
     df = ALL["salted_agg_event_value"].fn(spark, parity_sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "salt" in plan, plan[:2000]
+    assert "salt" in executed_plan(df)
 
 
 def test_range_join_is_equi_join(spark, parity_sf_dir):
     """The bucketed range join must plan as a hash/sort-merge equi-join,
     not a broadcast nested-loop cartesian: the bucket key gives Catalyst
     an equality predicate to hash on."""
+    from coviddatapipeline_spark.plans import assert_no_cartesian
+
     df = ALL["range_join_clicks_before_purchase"].fn(spark, parity_sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
-        plan[:2000]
-    )
+    assert_no_cartesian(df)

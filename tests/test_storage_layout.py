@@ -10,11 +10,12 @@ import os
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.plans import assert_no_shuffle, audit, executed_plan
 from coviddatapipeline_spark.sources import write_bucketed_table, write_parquet
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(df)
 
 
 def test_partitioned_write_prunes_partitions(spark, tmp_path, parity_sf_dir):
@@ -59,8 +60,7 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path, parity_sf_dir):
             spark.table("customer_b"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        plan = _plan(joined)
-        assert "Exchange" not in plan, plan[:3000]
+        assert_no_shuffle(joined)
         # same rows as the unbucketed join
         expected = orders.join(
             customer, orders.o_custkey == customer.c_custkey
@@ -78,10 +78,9 @@ def test_filter_and_projection_reach_parquet_scan(spark, parity_sf_dir):
     columns (ReadSchema), regardless of the table's width."""
     li = t(spark, parity_sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
-    plan = _plan(q)
-    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
-    read_schema = plan.split("ReadSchema")[1][:200]
-    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+    a = audit(q)
+    assert "l_quantity" in a["pushed_filters"], a["pushed_filters"]
+    assert "l_orderkey" in a["read_schema"] and "l_extendedprice" not in a["read_schema"]
 
 
 def test_broadcast_join_in_flagship_plan(spark, parity_sf_dir):
@@ -90,7 +89,7 @@ def test_broadcast_join_in_flagship_plan(spark, parity_sf_dir):
     from coviddatapipeline_spark.queries import catalog
 
     df = catalog.all_queries()["flagship_revenue_by_nation"].fn(spark, parity_sf_dir)
-    assert "BroadcastHashJoin" in _plan(df)
+    assert audit(df)["broadcast_joins"] >= 1
 
 
 def test_jsonl_roundtrip_explicit_schema(spark, tmp_path, parity_sf_dir):
