@@ -393,3 +393,50 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_totalprice' AS col,
+               count(o_totalprice) AS n_nonnull,
+               round(avg(o_totalprice), 4) AS mean,
+               round(stddev_samp(o_totalprice), 4) AS sd,
+               round(min(o_totalprice), 2) AS min_v,
+               round(max(o_totalprice), 2) AS max_v,
+               count(DISTINCT o_orderstatus) AS n_status
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               count(o_custkey),
+               round(avg(o_custkey), 4),
+               round(stddev_samp(o_custkey), 4),
+               round(min(o_custkey), 2),
+               round(max(o_custkey), 2),
+               count(DISTINCT o_orderstatus)
+        FROM orders
+        ORDER BY col
+    """,
+    doc=(
+        "Data profiling (the df.summary() shape as a deterministic "
+        "query): per-column nonnull count / mean / stddev / min / max in "
+        "one scan — all algebraic aggregates, map-side combinable; the "
+        "first thing a pipeline runs on a new 100 TB drop."
+    ),
+    tags=("agg", "profiling"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("n_nonnull"),
+            F.round(F.avg(col), 4).alias("mean"),
+            F.round(F.stddev_samp(col), 4).alias("sd"),
+            F.round(F.min(col).cast("double"), 2).alias("min_v"),
+            F.round(F.max(col).cast("double"), 2).alias("max_v"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_custkey")).orderBy("col")

@@ -107,3 +107,57 @@ def test_jsonl_roundtrip_explicit_schema(spark, tmp_path, parity_sf_dir):
     a = orders.agg(F.count("*"), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)).collect()
     b = back.agg(F.count("*"), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)).collect()
     assert a == b
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path, parity_sf_dir):
+    """A table whose later partitions gained a column must read with
+    mergeSchema: old rows surface NULL for the new column, new rows keep
+    their values — the additive-evolution contract of a parquet lake."""
+    out = os.path.join(str(tmp_path), "evolving")
+    v1 = t(spark, parity_sf_dir, "orders").select("o_orderkey", "o_totalprice").limit(100)
+    v1.write.parquet(os.path.join(out, "batch=1"))
+    v2 = (
+        t(spark, parity_sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("o_channel", F.lit("web"))
+        .offset(100)
+        .limit(50)
+    )
+    v2.write.parquet(os.path.join(out, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    assert "o_channel" in merged.columns
+    counts = merged.groupBy(F.col("o_channel").isNull().alias("is_old")).count().collect()
+    got = {r["is_old"]: r["count"] for r in counts}
+    assert got == {True: 100, False: 50}
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE CSV scan with a corrupt-record column: good rows parse,
+    bad rows are captured (not dropped, not fatal) — the quarantine-split
+    pattern for dirty 100 TB ingest."""
+    p = os.path.join(str(tmp_path), "dirty.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\nBADLY\"QUOTED,z,extra,cols\n3,z\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3 and bad.count() == 1
+    assert sorted(r["a"] for r in good.collect()) == [1, 2, 3]
