@@ -197,3 +197,59 @@ def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         F.size(F.sequence(F.lit(0), n_bytes - 1, F.lit(32))).alias("n_frames"),
     ).orderBy("doc_id")
+
+
+_RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
+
+
+@register(
+    "mm_resize_plan_pandas",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   (octet_length(encode(text)) % 640 + 1) AS w,
+                   (octet_length(encode(text)) % 480 + 1) AS h
+            FROM documents
+        )
+        SELECT doc_id, w AS width, h AS height,
+               CASE WHEN greatest(w, h) <= 224 THEN w
+                    ELSE CAST(floor(w * 224.0 / greatest(w, h)) AS INTEGER) END AS out_w,
+               CASE WHEN greatest(w, h) <= 224 THEN h
+                    ELSE CAST(floor(h * 224.0 / greatest(w, h)) AS INTEGER) END AS out_h
+        FROM dims
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Aspect-preserving resize planning (max side 224) as an Arrow-"
+        "batched mapInPandas kernel over the stub-decoded dimensions — "
+        "the resize half of an image pipeline with the same batch shape "
+        "a real PIL/libvips kernel would use. Because the stub dims are "
+        "a deterministic function of payload bytes, even this UDF path "
+        "is oracle-checked."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm_resize_plan_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A real kernel would `img.thumbnail((224, 224))`; the planning
+        # math below is exactly what that performs internally.
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            scale_needed = m > 224
+            out_w = w.where(~scale_needed, (w * 224 // m)).astype("int32")
+            out_h = h.where(~scale_needed, (h * 224 // m)).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(resize_plan, schema=_RESIZE_SCHEMA).orderBy("doc_id")
