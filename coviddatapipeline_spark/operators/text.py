@@ -277,3 +277,138 @@ def docpipe_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# GPT-style piece pattern: letter runs, single digits, single punctuation.
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all({_NORM.format(x='text')},
+                                      '{_BPE_PAT}')) AS n_pieces,
+               len({_TOKENS.format(x='text')}) AS n_words,
+               round(length({_NORM.format(x='text')}) * 1.0
+                     / len(regexp_extract_all({_NORM.format(x='text')},
+                                              '{_BPE_PAT}')), 4)
+                   AS chars_per_piece
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-ish token estimation: a subword piece count from a GPT-style "
+        "regex (letter runs / single digits / punctuation) next to the "
+        "whitespace word count — the cheap chars-per-token estimator used "
+        "to budget LLM training tokens, all in regexp_extract_all column "
+        "space."
+    ),
+    tags=("text",),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    pieces = F.regexp_extract_all(norm, F.lit(_BPE_PAT), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(_tokens(F.col("text"))).alias("n_words"),
+        F.round(F.length(norm) * 1.0 / F.size(pieces), 4).alias("chars_per_piece"),
+    ).orderBy("doc_id")
+
+
+# Winnowing parameters: k-gram size and window width (Schleimer et al.,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   CASE WHEN length(lower({_NORM.format(x='text')})) >= {_WINNOW_K}
+                        THEN list_transform(
+                                 generate_series(1, length(lower({_NORM.format(x='text')})) - {_WINNOW_K - 1}),
+                                 i -> md5(substr(lower({_NORM.format(x='text')}), i, {_WINNOW_K})))
+                        ELSE [] END AS hs
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {_WINNOW_W}
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, len(hs) - {_WINNOW_W - 1}),
+                                 j -> list_min(hs[j:j+{_WINNOW_W - 1}])))
+                        ELSE list_distinct(CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
+                   END AS fps
+            FROM grams
+        )
+        SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp
+        FROM win
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Winnowing document fingerprint (rolling min-hash over char "
+        "k-gram windows, Schleimer et al. SIGMOD'03): the locality-"
+        "sensitive sketch used for plagiarism/near-dup detection. "
+        "Implementation note: the per-window minimum is a SLIDING-WINDOW "
+        "FUNCTION over posexploded gram hashes, not array slicing — an "
+        "array-lambda `slice(hs, j, w)` re-inlines (and recomputes) the "
+        "whole k-gram hash expression per window, turning O(m·w) into "
+        "O(m²) md5 calls per document. posexplode evaluates the gram "
+        "array once, then min-over-ROWS-frame is linear. One shuffle on "
+        "doc_id; same shape at 100 TB."
+    ),
+    tags=("text", "dedup"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    s = F.lower(_norm(F.col("text")))
+    n = F.length(s)
+    # char k-gram hashes; Column.substr takes column positions, so the
+    # gram walk is one JVM transform over a sequence (evaluated once per
+    # row by the posexplode generator below)
+    hs = F.when(
+        n >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_WINNOW_K - 1)),
+            lambda i: F.md5(s.substr(i, F.lit(_WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    grams = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
+    wdoc = W.partitionBy("doc_id")
+    wslide = wdoc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    stepped = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.count("*").over(wdoc).alias("m"),
+        F.min("h").over(wslide).alias("win_min"),
+    )
+    # full windows only; short docs (0 < m < w) fall back to one
+    # whole-document fingerprint, mirroring the oracle's CASE
+    per_doc = stepped.groupBy("doc_id").agg(
+        F.max("m").alias("m"),
+        F.min("h").alias("min_h"),
+        F.countDistinct(
+            F.when(F.col("pos") <= F.col("m") - _WINNOW_W, F.col("win_min"))
+        ).alias("n_winnow"),
+        F.min(
+            F.when(F.col("pos") <= F.col("m") - _WINNOW_W, F.col("win_min"))
+        ).alias("min_winnow"),
+    )
+    short = F.col("m") < _WINNOW_W
+    fp = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.when(short, F.lit(1)).otherwise(F.col("n_winnow")), F.lit(0)
+        ).alias("n_fingerprints"),
+        F.when(short, F.col("min_h")).otherwise(F.col("min_winnow")).alias("min_fp"),
+    )
+    return fp.orderBy("doc_id")
