@@ -580,3 +580,87 @@ def hof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(200)
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape (forecasting revenue change): pure scan-filter-"
+        "aggregate with every predicate pushed to the parquet scan "
+        "(range + between + less-than all appear in PushedFilters) — the "
+        "canonical test that the fast path IS the scan."
+    ),
+    tags=("scan", "agg", "tpch"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "events_multigrain_rollup",
+    oracle="""
+        SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+               coalesce(strftime(date_trunc('month', ts), '%Y-%m'), 'ALL') AS month,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('month', ts), event_type),
+            (date_trunc('month', ts), event_type),
+            (event_type)
+        )
+        ORDER BY day, month, event_type
+    """,
+    doc=(
+        "Multi-granularity time rollup (the continuous-aggregate / "
+        "hypertable-rollup shape): day, month, and grand totals per event "
+        "type in ONE pass via GROUPING SETS over date_trunc buckets — "
+        "Spark computes the shared partial aggregates once and expands, "
+        "instead of three scans."
+    ),
+    tags=("events", "agg", "timeseries"),
+)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("mo"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("_mg_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT coalesce(date_format(d, 'yyyy-MM-dd'), 'ALL') AS day,
+               coalesce(date_format(mo, 'yyyy-MM'), 'ALL') AS month,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM _mg_events
+        GROUP BY GROUPING SETS ((d, mo, event_type), (mo, event_type), (event_type))
+        ORDER BY day, month, event_type
+        """
+    )
