@@ -1,10 +1,12 @@
 """The end-to-end incremental ETL job (SURVEY §3.2 Spark equivalent).
 
-The reference's hourly Airflow DAG — load_checkpoint → extract (ES) →
-transform → load (Postgres), each stage a separate Celery process with
-XCom round-trips — becomes ONE lazy DataFrame chain executed as a
-single Spark job; only the final write and the watermark file touch
-external state. Scheduling stays external (cron / Trigger.AvailableNow).
+The reference's hourly Airflow DAG (/root/reference/dags/ETL.py:37-44,
+wiring at :148-152) — load_checkpoint → extract (ES, :64-89) →
+transform (:91-107) → load (Postgres, :109-146), each stage a separate
+Celery process with XCom round-trips — becomes ONE lazy DataFrame chain
+executed as a single Spark job; only the final write and the watermark
+file touch external state. Scheduling stays external (cron /
+Trigger.AvailableNow).
 """
 
 from __future__ import annotations

@@ -2,6 +2,13 @@
 DataFrame builders over the Silver ``covid_cases`` table — the Metabase
 layer expressed in-engine, including the widget-side top-9+Other and
 percent-of-total post-processing (Q4).
+
+Reference evidence (the queries live in Metabase's internal DB, not the
+repo): /root/reference/README.md:84-99 and the rendered widgets in
+/root/reference/plots/metabase-final-dashboard.png (17,800 records /
+114,193 cases / "Apr 29, 2022" / Martin 26.39% donut / deaths-by-state
+bar), with per-run growth in plots/metabase-after batch 30.png and
+batch 90.png (Q6).
 """
 
 from __future__ import annotations
