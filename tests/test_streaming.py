@@ -219,3 +219,63 @@ def test_stream_refresh_gold_tracks_ingestion(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: after the watermark has advanced past a
+    window, a row arriving with an event time inside that window is
+    DROPPED from append-mode output (not double-counted, not crashed) —
+    the principled replacement for the reference's silent same-date
+    loss (SURVEY §4.3.1)."""
+    import datetime as dt
+
+    staged = os.path.join(str(tmp_path), "late_events")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out_dir = os.path.join(str(tmp_path), "out")
+    os.makedirs(staged)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(staged, name)
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(staged)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two rows in hour-0, plus a row far ahead that pushes the
+    # watermark (max ts - 10min) way past hour-0's end.
+    write_batch("b1", [
+        (base + dt.timedelta(minutes=1), 1, "click", 1.0),
+        (base + dt.timedelta(minutes=2), 2, "click", 1.0),
+        (base + dt.timedelta(hours=6), 3, "click", 1.0),
+    ])
+    drain()
+    # batch 2 (separate run, watermark restored from checkpoint): a LATE
+    # row for hour-0 — must be ignored.
+    write_batch("b2", [(base + dt.timedelta(minutes=30), 4, "click", 1.0)])
+    drain()
+    # hour-0 window was finalized with exactly 2 rows; the late row in
+    # batch 2 must not create a duplicate/updated hour-0 window.
+    res = spark.read.parquet(out_dir)
+    hour0 = res.filter(F.col("window.start") == base).collect()
+    assert len(hour0) == 1 and hour0[0]["count"] == 2
