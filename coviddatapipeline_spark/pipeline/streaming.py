@@ -124,6 +124,46 @@ def stream_session_windows(events_stream, gap: str = "30 minutes", watermark: st
     )
 
 
+def stream_click_purchase_join(
+    clicks_stream,
+    purchases_stream,
+    max_lag: str = "15 minutes",
+    watermark: str = "30 minutes",
+):
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks within the preceding ``max_lag``. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can size the join state and evict rows older than the
+    watermark + interval — the bounded-state form of the batch
+    ``range_join_clicks_before_purchase`` operator. Without the time
+    bound the state would grow forever; with it, state is
+    O(rate x (watermark + lag)) per side regardless of stream length.
+    """
+    clicks = (
+        clicks_stream.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    purchases = (
+        purchases_stream.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND c_ts >= p_ts - INTERVAL {max_lag} AND c_ts < p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "c_ts", F.round("c_value", 2).alias("click_value"))
+
+
 def stream_dedup_within_watermark(events_stream, watermark: str = "30 minutes"):
     """Streaming exact dedup: drop re-deliveries of the same ``event_id``
     arriving within the watermark horizon (at-least-once upstream ->

@@ -279,3 +279,39 @@ def test_stream_watermark_drops_late_data(spark, tmp_path):
     res = spark.read.parquet(out_dir)
     hour0 = res.filter(F.col("window.start") == base).collect()
     assert len(hour0) == 1 and hour0[0]["count"] == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, parity_sf_dir):
+    """Stream-stream interval join must produce exactly the pairs the
+    batch range-join produces (availableNow drains everything, inner
+    join emits every match)."""
+    from coviddatapipeline_spark.pipeline.streaming import stream_click_purchase_join
+    from coviddatapipeline_spark.queries import catalog
+
+    ev = events(spark, parity_sf_dir)
+    clicks_dir = os.path.join(str(tmp_path), "clicks")
+    purch_dir = os.path.join(str(tmp_path), "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    clicks = spark.readStream.schema(ev.schema).parquet(clicks_dir)
+    purchases = spark.readStream.schema(ev.schema).parquet(purch_dir)
+    joined = stream_click_purchase_join(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT purchase_id, count(*) AS n_clicks, round(sum(click_value), 2) AS v "
+        "FROM ssj_out GROUP BY purchase_id"
+    ).collect()
+    got_map = {r["purchase_id"]: (r["n_clicks"], r["v"]) for r in got}
+    batch = catalog.all_queries()["range_join_clicks_before_purchase"].fn(
+        spark, parity_sf_dir
+    ).collect()
+    batch_map = {r["purchase_id"]: (r["n_clicks"], r["click_value"]) for r in batch}
+    assert got_map == batch_map and got_map
