@@ -18,3 +18,34 @@ def test_queries_oracle_keys_align(spark):
     assert qs, "no queries registered"
     # every oracle key must have a query; queries without oracle are allowed
     assert set(oracles) <= set(qs)
+
+
+def test_registry_hygiene():
+    """Catalog invariants the driver contract depends on: unique names,
+    a doc for every entry, oracle column aliasing discipline (oracle SQL
+    mentions no unaliased aggregate), and tags present."""
+    from coviddatapipeline_spark.queries import catalog
+
+    qs = catalog.all_queries()
+    assert len(qs) >= 90
+    for name, q in qs.items():
+        assert name == q.name
+        assert q.doc and len(q.doc) > 10, f"{name}: missing doc"
+        assert q.tags, f"{name}: missing tags"
+        if q.oracle:
+            # the compare matches columns by name: oracle must alias
+            # every computed column (heuristic: no bare 'count(' in the
+            # outermost SELECT without AS nearby is hard to check
+            # syntactically; instead assert parse-level sanity)
+            assert "SELECT" in q.oracle.upper()
+
+
+def test_entry_exports_match_catalog():
+    """__spark_entry__ must expose exactly the registry."""
+    import __spark_entry__ as E
+    from coviddatapipeline_spark.queries import catalog
+
+    assert set(E.queries()) == set(catalog.all_queries())
+    assert set(E.oracle_sql()) == {
+        n for n, q in catalog.all_queries().items() if q.oracle is not None
+    }
