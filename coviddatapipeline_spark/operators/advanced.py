@@ -664,3 +664,104 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day, month, event_type
         """
     )
+
+
+@register(
+    "tpch_q13_customer_order_histogram",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders
+    """,
+    doc=(
+        "TPC-H Q13 shape (customer distribution): left outer join keeps "
+        "zero-order customers, then a double aggregation folds the "
+        "per-customer counts into a histogram — two shuffles, the second "
+        "over |distinct counts| rows."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "n_orders")
+    )
+
+
+@register(
+    "tpch_q7_nation_trade_volume",
+    oracle="""
+        SELECT cn.n_name AS cust_nation,
+               sn.n_name AS supp_nation,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
+                   AS volume,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name < sn.n_name
+        GROUP BY cn.n_name, sn.n_name
+        ORDER BY volume DESC, cust_nation, supp_nation
+        LIMIT 25
+    """,
+    doc=(
+        "TPC-H Q7 shape (trade volume between nation pairs): a role-"
+        "playing dimension — nation joined TWICE under different roles "
+        "(customer's vs supplier's), both broadcast; the fact-fact "
+        "lineitem-orders join is the only real shuffle."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # decimal sum: associative-exact, so the total is identical
+            # across engines/partitionings — a rounded double sum can
+            # straddle the rounding boundary by one ulp of ordering
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
+        .limit(25)
+    )
