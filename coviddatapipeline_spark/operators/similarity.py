@@ -175,3 +175,100 @@ def ann_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("ivf_neighbor_id") * 1.0 / TOP_K, 4).alias("recall_at_k"))
         .orderBy("query_id")
     )
+
+
+_ORACLE_MULTIPROBE = f"""
+    WITH pe AS (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS x,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    cent AS (SELECT label, pos, avg(x) AS cx FROM pe GROUP BY 1, 2),
+    centroids AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               list_dot_product(q.embedding::DOUBLE[], c.centroid) AS cdot
+        FROM q, centroids c
+    ),
+    probes AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cdot DESC, label) AS r
+            FROM qc
+        ) WHERE r <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q2.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        FROM probes p
+        JOIN embeddings e ON e.label = p.label
+        JOIN q q2 ON q2.vec_id = p.query_id
+        WHERE e.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_cosine_topk_multiprobe",
+    oracle=_ORACLE_MULTIPROBE,
+    doc=(
+        "Multi-probe IVF ANN: derive per-cell centroids (element-wise "
+        "mean via posexplode + regroup), rank cells by query-to-centroid "
+        "dot product, probe the TOP-2 cells instead of one — the standard "
+        "recall/cost dial between single-probe IVF and brute force. "
+        "Centroids are |cells| tiny rows (broadcast); candidates grow to "
+        "2/nlist of the corpus, still an equi-join on the cell key."
+    ),
+    tags=("similarity",),
+)
+def ann_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # element-wise centroid per cell: posexplode -> per-(label,pos) mean
+    # -> regroup in pos order
+    pe = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = pe.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    centroids = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("s"))
+        .select("label", F.transform("s", lambda st: st["cx"]).alias("centroid"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(centroids)).withColumn(
+        "cdot", _dot("qv", "centroid")
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.col("cdot").desc(), F.col("label"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wprobe))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "qv", "label")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(c, probes.label == c.clabel)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot("qv", "cv"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -98,6 +98,50 @@ def stream_refresh_gold(
     )
 
 
+def stream_incremental_gold_q5(
+    spark: SparkSession,
+    input_dir: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """INCREMENTAL gold (NEXT.md #1): Q5 (deaths per state) maintained
+    as a streaming update-mode aggregation. Each micro-batch emits only
+    the states whose totals CHANGED; the sink rewrites exactly those
+    partitions via dynamic partition overwrite. Contrast with
+    ``stream_refresh_gold``'s full recompute: work per trigger is
+    O(changed keys), not O(all silver) — the crossover that matters
+    when silver is 100 TB and a trigger touches a handful of states.
+    """
+    raw = (
+        spark.readStream.schema(COVID_RAW_SCHEMA)
+        .option("header", "true")
+        .csv(input_dir)
+    )
+    totals = (
+        transform_covid(raw)
+        .groupBy("state")
+        .agg(F.sum("new_deaths").alias("deaths"))
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        # update-mode batch = only rows whose aggregate changed
+        ss = batch_df.sparkSession
+        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.write.mode("overwrite").partitionBy("state").parquet(gold_path)
+        finally:
+            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_session_windows(events_stream, gap: str = "30 minutes", watermark: str = "1 hour"):
     """Event-time sessionization on an unbounded stream: per-user
     sessions close after ``gap`` of inactivity (F.session_window — the

@@ -49,3 +49,26 @@ def test_range_join_is_equi_join(spark, parity_sf_dir):
 
     df = ALL["range_join_clicks_before_purchase"].fn(spark, parity_sf_dir)
     assert_no_cartesian(df)
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, parity_sf_dir):
+    """Probing 2 cells must recover at least as many of the exact top-k
+    neighbors as probing 1 cell (the recall/cost dial moving the right
+    way)."""
+    def topk_sets(name):
+        out = {}
+        for r in ALL[name].fn(spark, parity_sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets("ann_cosine_topk_bruteforce")
+    single = topk_sets("ann_cosine_topk_ivf")
+    multi = topk_sets("ann_cosine_topk_multiprobe")
+
+    def recall(probed):
+        hits = sum(len(exact[q] & probed.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r1, r2 = recall(single), recall(multi)
+    assert r2 >= r1, (r1, r2)
