@@ -578,3 +578,47 @@ def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_anti_join",
+    oracle=f"""
+        WITH existing AS (
+            SELECT DISTINCT md5(lower({_NORM.format(x='text')})) AS fp
+            FROM documents WHERE doc_id < 2500
+        ),
+        incoming AS (
+            SELECT doc_id, md5(lower({_NORM.format(x='text')})) AS fp
+            FROM documents WHERE doc_id >= 2500
+        )
+        SELECT count(*) AS n_incoming,
+               count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+                   AS n_new,
+               count(*) FILTER (WHERE fp IN (SELECT fp FROM existing))
+                   AS n_already_seen
+        FROM incoming
+    """,
+    doc=(
+        "Incremental ingest dedup: an incoming batch anti-joined against "
+        "the existing corpus's fingerprint set — only never-seen "
+        "documents pass. THE production shape for continuous corpus "
+        "growth: the existing side reduces to distinct fingerprints "
+        "(one narrow column, not the documents), and the anti join is "
+        "a hash join on the digest."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(_norm(F.col("text"))))
+    existing = (
+        docs.filter(F.col("doc_id") < 2500).select(fp.alias("fp")).distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= 2500).select("doc_id", fp.alias("fp"))
+    new_docs = incoming.join(existing, "fp", "left_anti")
+    seen = incoming.join(existing, "fp", "left_semi")
+    return (
+        incoming.agg(F.count("*").alias("n_incoming"))
+        .crossJoin(new_docs.agg(F.count("*").alias("n_new")))
+        .crossJoin(seen.agg(F.count("*").alias("n_already_seen")))
+    )

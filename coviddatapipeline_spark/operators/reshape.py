@@ -440,3 +440,42 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("o_totalprice").unionByName(prof("o_custkey")).orderBy("col")
+
+
+@register(
+    "union_by_name_evolved_schemas",
+    oracle="""
+        SELECT o_orderstatus AS status, count(*) AS n,
+               count(o_channel) AS n_with_channel
+        FROM (
+            SELECT o_orderkey, o_orderstatus, NULL AS o_channel
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL BY NAME
+            SELECT o_orderkey, 'web' AS o_channel, o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        GROUP BY 1
+        ORDER BY status
+    """,
+    doc=(
+        "Schema-evolution-tolerant union: two batches whose schemas "
+        "drifted (column added, order changed) unioned BY NAME with "
+        "missing columns null-filled — the append path for an evolving "
+        "lake table; positional UNION would silently mis-bind columns."
+    ),
+    tags=("setop", "reshape"),
+)
+def union_by_name_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_batch = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.lit("web").alias("o_channel"), "o_orderstatus"
+    )
+    merged = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return (
+        merged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"), F.count("o_channel").alias("n_with_channel"))
+        .orderBy("status")
+    )
