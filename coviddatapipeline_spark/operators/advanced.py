@@ -537,13 +537,18 @@ def parttype_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
     )
-    return rev.select(
-        "p_type",
-        F.round("r", 2).alias("revenue"),
-        F.round(100.0 * F.col("r") / F.sum("r").over(W.partitionBy()), 4).alias(
-            "pct_share"
-        ),
-    ).orderBy("p_type")
+    total = rev.agg(F.sum("r").alias("tot"))
+    # share-of-total via broadcast 1-row cross-join (not an empty-frame
+    # window, which would single-partition the group set)
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            F.round("r", 2).alias("revenue"),
+            F.round(100.0 * F.col("r") / F.col("tot"), 4).alias("pct_share"),
+        )
+        .orderBy("p_type")
+    )
 
 
 @register(

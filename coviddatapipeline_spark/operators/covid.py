@@ -253,12 +253,17 @@ def q4_topk_other_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(nation.n_name.alias("nation"))
         .agg(F.sum("o_totalprice").alias("sales"))
     )
-    # Both windows are over the (tiny) aggregated set — cheap single partition.
-    ranked = per_nation.select(
+    # grand total via broadcast scalar cross-join, NOT an unpartitioned
+    # window: sum() OVER () funnels every group through one WindowExec
+    # partition, while a 1-row aggregate broadcast keeps the group set
+    # fully parallel however many groups exist at scale. The row_number
+    # window over the reduced set is the top-k semantics itself.
+    total = per_nation.agg(F.sum("sales").alias("grand_total"))
+    ranked = per_nation.crossJoin(F.broadcast(total)).select(
         "nation",
         "sales",
         F.row_number().over(W.orderBy(F.col("sales").desc(), F.col("nation"))).alias("rn"),
-        F.sum("sales").over(W.partitionBy()).alias("grand_total"),
+        "grand_total",
     )
     return (
         ranked.groupBy(
