@@ -41,16 +41,18 @@ def q3_browse(cases: DataFrame, limit: int = 2000) -> DataFrame:
 def q4_cases_by_county_topk_other(cases: DataFrame, k: int = 9) -> DataFrame:
     """Q4: donut — total cases per county, top-k + 'Other', pct-of-total.
 
-    Both windows run over the already-aggregated per-county set (small by
-    construction), so the unpartitioned window is a deliberate single-
-    partition step on grouped data, not on the fact table.
+    Grand total via broadcast 1-row cross-join (an empty-frame window
+    would funnel the whole per-county set through one WindowExec
+    partition); the row_number window over the reduced set IS the
+    top-k semantics.
     """
     per_county = cases.groupBy("county").agg(F.sum("new_cases").alias("cases"))
-    ranked = per_county.select(
+    total = per_county.agg(F.sum("cases").alias("total"))
+    ranked = per_county.crossJoin(F.broadcast(total)).select(
         "county",
         "cases",
         F.row_number().over(W.orderBy(F.col("cases").desc(), F.col("county"))).alias("rn"),
-        F.sum("cases").over(W.partitionBy()).alias("total"),
+        "total",
     )
     return (
         ranked.groupBy(
