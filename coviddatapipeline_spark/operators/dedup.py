@@ -127,10 +127,22 @@ N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.7
 
 
+# One strong base hash per shingle + k affine mixes (a*h + b) mod p —
+# the standard k-minhash derivation (Broder '97 family): one md5 per
+# shingle instead of k, with identical LSH statistics. Constants are
+# arbitrary-but-fixed; p fits 64-bit products (base < p, a < 2^20).
+_MH_P = 1_000_000_007
+_MH_A = [2 * i + 3 for i in range(N_HASHES)]
+_MH_B = [i * 524_287 + 11 for i in range(N_HASHES)]
+# base hash: top 15 hex chars of md5 (60 bits, always positive) mod p
+_BASE_SQL = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MH_P})"
+
+
 def _minhash_sql() -> str:
     """DuckDB twin of the full MinHash-LSH pipeline."""
     mh_cols = ", ".join(
-        f"min(md5(concat({i}, '|', s))) FILTER (WHERE TRUE) AS h{i}" for i in range(N_HASHES)
+        f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
     )
     band_rows = ", ".join(
         f"(SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh)"
@@ -189,17 +201,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     null band keys, which never equi-join: same exclusion the explode
     formulation produced.
     """
+    # one md5 per shingle (not per shingle x per hash): base hashes are
+    # computed INSIDE the persisted projection so they materialize once
+    # in the cache — a derived select would be projection-collapsed and
+    # re-inline the md5 pass into every one of the k minhash columns
+    arr = _trigrams(F.col("text"))
     docs = (
         t_fanout(spark, sf_dir, "documents")
-        .select("doc_id", _trigrams(F.col("text")).alias("arr"))
-        .persist()  # feeds band derivation AND candidate verification
+        .select(
+            "doc_id",
+            arr.alias("arr"),
+            F.transform(
+                arr,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % _MH_P,
+            ).alias("bases"),
+        )
+        .persist()  # feeds minhash derivation AND candidate verification
     )
+
     def _minhash(i: int):
-        # closure keeps the lambda UNARY: a 2-arg lambda would make
-        # F.transform pass the array index as the second argument
-        seed = f"{i}|"
+        a, b = _MH_A[i], _MH_B[i]
         return F.array_min(
-            F.transform("arr", lambda s: F.md5(F.concat(F.lit(seed), s)))
+            F.transform("bases", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P)
         ).alias(f"h{i}")
 
     mh = docs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
