@@ -161,3 +161,16 @@ def test_csv_corrupt_record_quarantine(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 3 and bad.count() == 1
     assert sorted(r["a"] for r in good.collect()) == [1, 2, 3]
+
+
+def test_fanout_widens_narrow_scans_only(spark, parity_sf_dir):
+    """t_fanout must lift a single-partition small-file scan to >= core
+    count (so per-row compute parallelizes) and leave already-wide scans
+    untouched (never adds a shuffle at scale)."""
+    from coviddatapipeline_spark.operators.common import t_fanout
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = t(spark, parity_sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < cores  # precondition: small file
+    widened = t_fanout(spark, parity_sf_dir, "documents")
+    assert widened.rdd.getNumPartitions() >= cores
