@@ -227,3 +227,39 @@ def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         .applyInPandas(median_gap, schema="user_id long, median_gap_s double, n_gaps long")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle="""
+        WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        spine AS (SELECT DISTINCT d FROM daily)
+        SELECT strftime(s.d, '%Y-%m-%d') AS day,
+               count(DISTINCT u.user_id) AS wau
+        FROM spine s JOIN daily u ON u.d BETWEEN s.d - 6 AND s.d
+        GROUP BY s.d
+        ORDER BY day
+    """,
+    doc=(
+        "Rolling 7-day distinct active users (WAU): DISTINCT over a "
+        "sliding window isn't expressible as a window function, so the "
+        "scale pattern is a day-spine range join against the deduped "
+        "(day, user) table — candidate volume is 7x the daily-actives "
+        "table (already tiny vs the event stream), and the range join is "
+        "bounded by construction."
+    ),
+    tags=("events", "timeseries", "analytics"),
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    spine = daily.select("d").distinct().select(F.col("d").alias("sd"))
+    return (
+        spine.join(
+            daily,
+            (F.col("d") >= F.date_sub(F.col("sd"), 6)) & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy(F.date_format("sd", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )

@@ -412,3 +412,48 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(short, F.col("min_h")).otherwise(F.col("min_winnow")).alias("min_fp"),
     )
     return fp.orderBy("doc_id")
+
+
+# PII-ish patterns (digit runs >= 4 as account/phone-like, email-like).
+_PII_NUM = "[0-9]{4,}"
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9]+\\.[A-Za-z]+"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH scrubbed AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_NUM}', '<NUM>', 'g') AS clean
+            FROM documents
+        )
+        SELECT s.doc_id,
+               length(d.text) - length(s.clean) AS chars_removed,
+               len(regexp_extract_all(s.clean, '<NUM>')) AS n_num_masked,
+               len(regexp_extract_all(s.clean, '<EMAIL>')) AS n_email_masked
+        FROM scrubbed s JOIN documents d ON s.doc_id = d.doc_id
+        ORDER BY s.doc_id
+    """,
+    doc=(
+        "PII scrubbing pass (training-data redaction): mask email-like "
+        "and long-digit-run tokens via chained regexp_replace, report "
+        "per-document mask counts. Pure JVM regex column ops — the "
+        "pattern set is where a production scrubber plugs in."
+    ),
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(clean)).alias("chars_removed"),
+        F.size(F.regexp_extract_all(clean, F.lit("<NUM>"), 0)).alias("n_num_masked"),
+        F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), 0)).alias("n_email_masked"),
+    ).orderBy("doc_id")
