@@ -105,6 +105,38 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV scan split into (good_rows, quarantined_rows).
+
+    The engine's P4 surface for dirty ingest at scale: rows that fail
+    the schema land in a corrupt-record column instead of aborting the
+    job or silently vanishing (the reference's try/except skip,
+    /root/reference/dags/ETL.py:95-105, drops them without a trace).
+    Quarantined rows keep their raw text for replay after a schema fix.
+    The parsed frame is cached: both splits share one scan, and Spark
+    requires it — filtering on only `_corrupt_record` directly over a
+    raw CSV scan is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    """
+    fields = list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    df = (
+        spark.read.schema(T.StructType(fields))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -143,24 +143,15 @@ def test_csv_corrupt_record_quarantine(spark, tmp_path):
         f.write("a,b\n1,x\n2,y\nBADLY\"QUOTED,z,extra,cols\n3,z\n")
     from pyspark.sql import types as T
 
+    from coviddatapipeline_spark.sources import read_csv_with_quarantine
+
     schema = T.StructType(
-        [
-            T.StructField("a", T.IntegerType()),
-            T.StructField("b", T.StringType()),
-            T.StructField("_corrupt_record", T.StringType()),
-        ]
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
     )
-    df = (
-        spark.read.schema(schema)
-        .option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(p)
-    ).cache()
-    good = df.filter(F.col("_corrupt_record").isNull())
-    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    good, bad = read_csv_with_quarantine(spark, p, schema)
     assert good.count() == 3 and bad.count() == 1
     assert sorted(r["a"] for r in good.collect()) == [1, 2, 3]
+    assert "BADLY" in bad.collect()[0]["_corrupt_record"]
 
 
 def test_fanout_widens_narrow_scans_only(spark, parity_sf_dir):
