@@ -770,3 +770,100 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
         .limit(25)
     )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-volume customers): a HAVING-filtered "
+        "aggregate reused as a semi-join filter on the fact table — the "
+        "filter side reduces to qualifying orderkeys (small) and "
+        "broadcast-semi-joins back, so the fact table is scanned twice "
+        "but shuffled once."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    doc=(
+        "TPC-H Q17 shape (small-quantity-order revenue): correlated "
+        "per-part average decorrelated into a pre-aggregated join — the "
+        "per-group scalar subquery becomes one small aggregate joined "
+        "back, evaluated once per part instead of once per row."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey")),
+                      lineitem.l_partkey == F.col("p_partkey"))
+        .join(part_avg, lineitem.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
