@@ -168,6 +168,17 @@ def stream_session_windows(events_stream, gap: str = "30 minutes", watermark: st
     )
 
 
+def stream_enrich_with_static(events_stream, static_df, key: str):
+    """Stream-static join: each micro-batch hash-joins against a batch
+    DataFrame (dimension/lookup table). No watermark or state needed —
+    the static side is re-resolved per batch, so a dimension refresh is
+    picked up at the next trigger; Spark broadcasts it when it fits.
+    The third member of the streaming join matrix alongside
+    stream-stream (``stream_click_purchase_join``) and stateful
+    aggregation."""
+    return events_stream.join(static_df, key, "left")
+
+
 def stream_click_purchase_join(
     clicks_stream,
     purchases_stream,

@@ -361,3 +361,41 @@ def test_stream_incremental_gold_q5(spark, tmp_path):
     assert got2 == batch_expected()
     # totals grew (new data actually processed, not replayed)
     assert sum(got2.values()) > sum(got1.values())
+
+
+def test_stream_static_enrichment(spark, tmp_path, parity_sf_dir):
+    """Stream-static join: streamed events enriched with a static
+    per-type weight table must match the batch join exactly."""
+    from coviddatapipeline_spark.pipeline.streaming import stream_enrich_with_static
+
+    staged = os.path.join(str(tmp_path), "ss_events")
+    ev = events(spark, parity_sf_dir).select("event_id", "event_type", "value")
+    ev.write.parquet(staged)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("signup", 3.0)],
+        "event_type string, weight double",
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = stream_enrich_with_static(stream, weights, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, round(sum(value * coalesce(weight, 0)), 2) AS wsum "
+        "FROM ss_out"
+    ).collect()[0]
+    want = (
+        ev.join(weights, "event_type", "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.coalesce("weight", F.lit(0))), 2).alias("wsum"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["wsum"]) == (want["n"], want["wsum"])
