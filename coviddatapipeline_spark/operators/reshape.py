@@ -479,3 +479,80 @@ def union_by_name_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n"), F.count("o_channel").alias("n_with_channel"))
         .orderBy("status")
     )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+        WITH yearly AS (
+            SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT yr,
+               round(rev, 2) AS revenue,
+               round(100.0 * (rev - lag(rev) OVER (ORDER BY yr))
+                     / lag(rev) OVER (ORDER BY yr), 4) AS yoy_pct
+        FROM yearly
+        ORDER BY yr
+    """,
+    doc=(
+        "Year-over-year growth: lag window over the yearly aggregate "
+        "(|years| rows — the window input is always the reduced series, "
+        "never the fact table). The canonical BI self-comparison shape."
+    ),
+    tags=("window", "timeseries", "analytics"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = W.orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "yr",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+    ).orderBy("yr")
+
+
+@register(
+    "supplier_balance_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT s_nationkey,
+                   avg(s_acctbal) AS mu,
+                   stddev_samp(s_acctbal) AS sd
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT s_suppkey,
+               s_nationkey AS nation_key,
+               round((s_acctbal - mu) / sd, 4) AS balance_z
+        FROM supplier JOIN stats USING (s_nationkey)
+        ORDER BY s_suppkey
+    """,
+    doc=(
+        "Per-group z-score standardization (feature normalization): "
+        "group stats joined back and applied as column math. Expressed "
+        "as agg + broadcast join rather than two windows, so the stats "
+        "partial-aggregate map-side and rows never sort — the "
+        "feature-engineering normalization pass of an ML data pipeline."
+    ),
+    tags=("agg", "analytics", "function"),
+)
+def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    stats = supplier.groupBy("s_nationkey").agg(
+        F.avg("s_acctbal").alias("mu"), F.stddev_samp("s_acctbal").alias("sd")
+    )
+    return (
+        supplier.join(F.broadcast(stats), "s_nationkey")
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").alias("nation_key"),
+            F.round((F.col("s_acctbal") - F.col("mu")) / F.col("sd"), 4).alias(
+                "balance_z"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
