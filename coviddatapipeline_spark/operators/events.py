@@ -263,3 +263,41 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_error_rate_hourly",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               round(count(*) FILTER (WHERE event_type = 'error') * 100.0
+                     / count(*), 4) AS error_pct
+        FROM events
+        GROUP BY 1
+        HAVING round(count(*) FILTER (WHERE event_type = 'error') * 100.0
+               / count(*), 4) > 15.0
+        ORDER BY hour
+    """,
+    doc=(
+        "Operational monitoring shape: hourly error rate with an "
+        "alert-threshold HAVING filter — conditional aggregation over "
+        "time buckets, the query a pipeline-health dashboard runs on "
+        "the event stream."
+    ),
+    tags=("events", "agg", "timeseries"),
+)
+def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    n_err = F.count_if(F.col("event_type") == "error")
+    pct = F.round(n_err * 100.0 / F.count("*"), 4)
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            n_err.alias("n_errors"),
+            pct.alias("error_pct"),
+        )
+        .filter(F.col("error_pct") > 15.0)
+        .orderBy("hour")
+    )

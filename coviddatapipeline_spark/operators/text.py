@@ -457,3 +457,42 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(clean, F.lit("<NUM>"), 0)).alias("n_num_masked"),
         F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), 0)).alias("n_email_masked"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_dedup_rate_by_source",
+    oracle=f"""
+        WITH fp AS (
+            SELECT source, md5(lower({_NORM.format(x='text')})) AS f
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT f) AS n_distinct,
+               round(1.0 - count(DISTINCT f) * 1.0 / count(*), 4) AS dup_rate
+        FROM fp
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Duplication rate per source: the corpus-health metric that "
+        "decides which feeds need dedup attention — fingerprint + "
+        "count-distinct per group, one shuffle."
+    ),
+    tags=("text", "dedup", "analytics"),
+)
+def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = F.md5(F.lower(_norm(F.col("text"))))
+    return (
+        docs.select("source", f.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("f").alias("n_distinct"),
+            F.round(1.0 - F.countDistinct("f") * 1.0 / F.count("*"), 4).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
