@@ -556,3 +556,69 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "part_price_histogram",
+    oracle="""
+        SELECT least(CAST(floor((p_retailprice - 900.0) / 10.0) AS INTEGER), 19)
+                   AS bin,
+               count(*) AS n,
+               round(min(p_retailprice), 2) AS lo,
+               round(max(p_retailprice), 2) AS hi
+        FROM part
+        GROUP BY 1
+        ORDER BY bin
+    """,
+    doc=(
+        "Fixed-width numeric histogram (floor-binning with a clamped "
+        "overflow bin): the one-pass distribution profile — bins are "
+        "computed as pure column math so the histogram is a plain "
+        "groupBy, map-side combinable at any scale."
+    ),
+    tags=("agg", "analytics"),
+)
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    bin_col = F.least(
+        F.floor((F.col("p_retailprice") - 900.0) / 10.0).cast("int"), F.lit(19)
+    )
+    return (
+        part.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+        SELECT dayofweek(o_orderdate) AS dow,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY dow
+    """,
+    doc=(
+        "Calendar seasonality: order volume and value by day-of-week "
+        "(DuckDB dayofweek = Sunday 0; Spark dayofweek = Sunday 1, "
+        "aligned by subtracting 1) — the periodicity profile behind "
+        "demand forecasting."
+    ),
+    tags=("agg", "timeseries", "function"),
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy((F.dayofweek("o_orderdate") - 1).alias("dow"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("dow")
+    )
