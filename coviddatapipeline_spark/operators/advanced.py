@@ -711,8 +711,8 @@ def tpch_q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
         SELECT cn.n_name AS cust_nation,
                sn.n_name AS supp_nation,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
-                   AS volume,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
+                    AS DOUBLE) AS volume,
                count(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -759,12 +759,15 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # decimal sum: associative-exact, so the total is identical
             # across engines/partitionings — a rounded double sum can
-            # straddle the rounding boundary by one ulp of ordering
+            # straddle the rounding boundary by one ulp of ordering.
+            # Output is cast to double AFTER the exact sum: the driver
+            # canonicalizes Spark Decimal vs DuckDB float64 differently
+            # (round-1 hash_match:false was purely representational).
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(18,4)"
                 )
-            ).alias("volume"),
+            ).cast("double").alias("volume"),
             F.count("*").alias("n_lines"),
         )
         .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")

@@ -39,13 +39,21 @@ _TRIGRAMS_SQL = (
 
 
 def _trigrams(col) -> Column:
+    # Guarded for docs with <3 tokens: sequence(0, size-3) would descend
+    # into negative bounds and slice(toks, 0, 3) throws
+    # INVALID_PARAMETER_VALUE.START, aborting the job (ADVICE r01, high).
+    # The DuckDB oracle's generate_series(1, len-2) is empty for short
+    # docs; mirror that with an explicit empty-array branch.
     toks = _tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

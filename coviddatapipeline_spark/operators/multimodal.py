@@ -192,10 +192,18 @@ def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir)
     n_bytes = F.col("meta.n_bytes")
+    # Zero-length payload: sequence(0, -1, 32) is rejected by Spark
+    # (illegal boundaries with positive step) while DuckDB's
+    # generate_series returns an empty list — guard to report 0 frames
+    # instead of crashing (ADVICE r01).
     return p.select(
         "doc_id",
         n_bytes.alias("n_bytes"),
-        F.size(F.sequence(F.lit(0), n_bytes - 1, F.lit(32))).alias("n_frames"),
+        F.when(
+            n_bytes > 0, F.size(F.sequence(F.lit(0), n_bytes - 1, F.lit(32)))
+        )
+        .otherwise(F.lit(0))
+        .alias("n_frames"),
     ).orderBy("doc_id")
 
 

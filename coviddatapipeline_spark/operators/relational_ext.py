@@ -175,13 +175,18 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_nations_per_region",
     oracle="""
         SELECT r_name AS region,
-               list_sort(list(n_name)) AS nations,
+               array_to_string(list_sort(list(n_name)), ',') AS nations,
                count(*) AS n_nations
         FROM region JOIN nation ON r_regionkey = n_regionkey
         GROUP BY r_name
         ORDER BY region
     """,
-    doc="Array aggregation (collect + sort for a deterministic value hash).",
+    doc=(
+        "Array aggregation (collect + sort), emitted as a sorted comma-"
+        "joined string: the driver canonicalizes results via pandas, "
+        "which cannot hash a raw array cell (round-1 TypeError), so both "
+        "sides serialize the list deterministically."
+    ),
     tags=("agg", "array"),
 )
 def array_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +196,7 @@ def array_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         region.join(nation, region.r_regionkey == nation.n_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
             F.count("*").alias("n_nations"),
         )
         .orderBy("region")

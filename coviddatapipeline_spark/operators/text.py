@@ -190,10 +190,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    trigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
+    # Short-doc guard (ADVICE r01): <3 tokens must yield an empty shingle
+    # list (as DuckDB's generate_series does), not a negative sequence
+    # that makes slice() abort the job.
+    trigrams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(trigrams).alias("trigram"))
         .groupBy("trigram")

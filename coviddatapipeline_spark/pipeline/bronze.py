@@ -28,8 +28,12 @@ def ingest_csv_to_bronze(
     bronze_path: str,
     mode: str = "overwrite",
 ) -> int:
-    """Land the raw CSV as Bronze Parquet; returns the row count (the
-    reference's total_rows, /root/reference/ingest_csv_to_elastic.py:80-81).
+    """Land the raw CSV as Bronze Parquet; returns the rows ingested by
+    THIS run (the reference's per-ingest total_rows,
+    /root/reference/ingest_csv_to_elastic.py:80-81) — counted from the
+    batch itself, not from a re-scan of the cumulative table, so the
+    value is correct under mode='append' and costs no second full-table
+    scan (ADVICE r01).
 
     One distributed job — no driver-side row loop, no 100-row batching
     (Spark's own partitioning replaces batch-size memory control), no
@@ -37,7 +41,7 @@ def ingest_csv_to_bronze(
     """
     df = read_csv(spark, csv_path, schema=COVID_RAW_SCHEMA, header=True)
     write_parquet(df, bronze_path, mode=mode)
-    return spark.read.parquet(bronze_path).count()
+    return df.count()
 
 
 def read_bronze(spark: SparkSession, bronze_path: str) -> DataFrame:

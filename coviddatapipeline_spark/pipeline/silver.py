@@ -24,9 +24,17 @@ from pyspark.sql import functions as F
 
 
 def _measure(col: str) -> Column:
-    """int(rec.get(col, 0)) semantics (/root/reference/dags/ETL.py:100-101):
+    """int(rec.get(col, 0))-like semantics (/root/reference/dags/ETL.py:100-101):
     missing/empty → 0; present-but-unparsable → NULL (row dropped by the
-    malformed filter); parsable → int."""
+    malformed filter); parsable → int.
+
+    DELIBERATE DIVERGENCE (documented per SURVEY §4.3.4, ADVICE r01): the
+    reference's ``int(rec.get(col, 0))`` defaults only an *absent* key to
+    0 and raises (row skipped) on a present-but-empty string. Spark's CSV
+    reader conflates both cases into NULL (empty unquoted field → null,
+    short row → null), so the distinction is unrepresentable post-read;
+    we map both to 0, which keeps absent-key parity and diverges on
+    empty-string fields (0 instead of dropped)."""
     c = F.trim(F.col(col))
     return F.when(c.isNull() | (c == ""), F.lit(0)).otherwise(c.try_cast("int"))
 

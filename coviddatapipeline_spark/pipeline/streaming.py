@@ -78,8 +78,25 @@ def stream_refresh_gold(
     clean = transform_covid(raw)
 
     def refresh(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(silver_path)
-        cases = batch_df.sparkSession.read.parquet(silver_path)
+        # Idempotent Silver write (ADVICE r01, medium): foreachBatch is
+        # at-least-once, so a crash between a plain append and the offset
+        # commit would replay the batch and duplicate Silver rows — the
+        # SURVEY §4.3.2 hazard. Partitioning by batch_id and dynamically
+        # overwriting exactly that partition makes the replay a no-op:
+        # effective guarantee is exactly-once for the Silver table.
+        ss = batch_df.sparkSession
+        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(silver_path)
+            )
+        finally:
+            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        cases = ss.read.parquet(silver_path)
         for name, builder in (
             ("q1_total_count", G.q1_total_count),
             ("q2_latest_date", G.q2_latest_date),

@@ -45,6 +45,88 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 _LOADED = False
 
+# The driver's correctness gate covers the FIRST 50 entries of queries()
+# iteration order. Registration order is module-import order, which put
+# the generic relational operators first in round 1 and left every
+# SURVEY §2 covid-parity entry and the dedup/ANN/text/events/multimodal
+# core outside the checked window (VERDICT.md round 1, fix #1). This
+# explicit priority list pins the brief-defining queries — plus the two
+# entries whose round-1 driver rows were red and are fixed this round —
+# into the window; everything else follows in registration order.
+# Names not (yet) registered are skipped harmlessly.
+_PRIORITY: tuple[str, ...] = (
+    "flagship_revenue_by_nation",
+    # SURVEY §2 covid-parity rows (operators/covid.py)
+    "s1_scan_count_orders",
+    "s6_p2_watermark_increment",
+    "p1_projection_rename",
+    "f1_f2_trim_initcap_clean",
+    "f3_f4_cast_with_default",
+    "p4_malformed_drop",
+    "q2_a2_latest_date",
+    "q3_browse_limit",
+    "q4_topk_other_share",
+    "q5_sum_group_order_asc",
+    "f5_string_date_compare",
+    # Text analysis (operators/text.py)
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_word_trigrams_top",
+    "docpipe_clean_corpus_stats",
+    "text_bpe_token_estimate",
+    "text_winnow_fingerprint",
+    "text_pii_scrub",
+    "text_dedup_rate_by_source",
+    # Deduplication (operators/dedup.py)
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "dedup_simhash_banded_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_near_dup_components",
+    "dedup_incremental_anti_join",
+    # Similarity search (operators/similarity.py)
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_multiprobe",
+    "ann_recall_ivf_vs_exact",
+    # Event streams (operators/events.py)
+    "events_hourly_rollup",
+    "events_sliding_window",
+    "events_sessionization",
+    "events_asof_last_click_before_purchase",
+    "events_user_gap_median_pandas",
+    "events_rolling_7d_active_users",
+    "events_error_rate_hourly",
+    # Multimodal plumbing (operators/multimodal.py)
+    "mm_binary_metadata",
+    "mm_decode_features_pandas",
+    "mm_image_decode_stub",
+    "mm_frame_offsets",
+    "mm_resize_plan_pandas",
+    # Round-1 red driver rows, fixed this round — re-verify in-window.
+    "tpch_q7_nation_trade_volume",
+    "array_agg_nations_per_region",
+)
+
+
+def _ordered() -> dict[str, Query]:
+    """Registry with _PRIORITY names first, then registration order."""
+    _load()
+    out: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            out[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out
+
 
 # Session confs every query depends on for oracle parity, applied
 # defensively at call time: the driver passes its OWN SparkSession,
@@ -98,8 +180,7 @@ def _load() -> None:
 
 
 def all_queries() -> dict[str, Query]:
-    _load()
-    return dict(_REGISTRY)
+    return _ordered()
 
 
 def get(name: str) -> Query:
@@ -109,11 +190,9 @@ def get(name: str) -> Query:
 
 def queries() -> dict[str, QueryFn]:
     """Driver contract: name -> (spark, sf_dir) -> DataFrame."""
-    _load()
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Driver contract: name -> DuckDB SQL (omitted for rows-only ops)."""
-    _load()
-    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

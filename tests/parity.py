@@ -16,11 +16,22 @@ from decimal import Decimal
 
 
 def canon_cell(v):
-    """Canonicalize one cell for cross-engine comparison."""
+    """Canonicalize one cell for cross-engine comparison.
+
+    Decimal is deliberately NOT coerced to float: the driver's pandas
+    canonicalization hashes a Spark ``Decimal`` and a DuckDB ``float64``
+    differently whenever the fraction is not binary-representable
+    (round-1 ``tpch_q7`` red row), so a query whose Spark side returns
+    Decimal while its oracle returns float must FAIL here too. Decimal
+    vs Decimal still compares scale-insensitively.
+    """
     if v is None:
         return None
     if isinstance(v, Decimal):
-        v = float(v)
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "dec:" + (s or "0")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
