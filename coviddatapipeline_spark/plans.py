@@ -37,6 +37,7 @@ def audit(df: DataFrame) -> dict:
         "sort_merge_joins": len(re.findall(r"\bSortMergeJoin\b", plan)),
         "nested_loop_joins": len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan)),
         "cartesian_products": len(re.findall(r"\bCartesianProduct\b", plan)),
+        "single_partition_exchanges": len(re.findall(r"Exchange SinglePartition", plan)),
         "pushed_filters": _section(plan, "PushedFilters"),
         "partition_filters": _section(plan, "PartitionFilters"),
         "read_schema": _section(plan, "ReadSchema"),
@@ -58,6 +59,18 @@ def assert_no_shuffle(df: DataFrame) -> None:
     a = audit(df)
     if a["n_exchanges"]:
         raise AssertionError(f"expected shuffle-free plan, found {a['n_exchanges']} Exchange(s):\n{a['plan'][:3000]}")
+
+
+def assert_no_single_partition(df: DataFrame) -> None:
+    """Raise if the plan funnels data through ONE partition (``Exchange
+    SinglePartition``) — the compiled form of an unpartitioned window or
+    global sort-aggregate, which serializes the whole input on one task
+    (the round-1 ``WindowExec: No Partition Defined`` scale-killer)."""
+    a = audit(df)
+    if a["single_partition_exchanges"]:
+        raise AssertionError(
+            f"plan funnels through Exchange SinglePartition:\n{a['plan'][:3000]}"
+        )
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

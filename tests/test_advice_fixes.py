@@ -125,3 +125,35 @@ def test_stream_refresh_gold_replay_is_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     n2 = spark.read.parquet(silver).count()
     assert n2 == n1, f"replay duplicated silver rows: {n1} -> {n2}"
+
+
+# --- hot-shingle cap (VERDICT r01 fix #6) ----------------------------------
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path, monkeypatch):
+    """With a tiny cap, boilerplate shared by many docs stops generating
+    candidate pairs (every shingle of the clones exceeds the df cap),
+    while genuine near-dups with rare shingles still pair up."""
+    import coviddatapipeline_spark.operators.dedup as D
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en", "spam", len(boiler)) for i in range(100, 120)]
+    rows += [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 40),
+        (2, "alpha beta gamma delta epsilon zeta eta iota", "en", "web", 40),
+    ]
+    root = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+
+    monkeypatch.setattr(D, "MAX_SHINGLE_DF", 10)
+    pairs = {(r.doc_a, r.doc_b) for r in D.dedup_ngram_jaccard_pairs(spark, root).collect()}
+    # 20 boilerplate clones (df=20 > 10): all their shingles capped away ->
+    # zero of the 190 clone pairs; the rare-shingle near-dup pair survives.
+    assert (1, 2) in pairs
+    assert not any(a >= 100 for a, _ in pairs)
+
+    monkeypatch.setattr(D, "MAX_SHINGLE_DF", 1000)
+    pairs = {(r.doc_a, r.doc_b) for r in D.dedup_ngram_jaccard_pairs(spark, root).collect()}
+    assert (1, 2) in pairs and any(a >= 100 for a, _ in pairs)
