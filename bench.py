@@ -91,9 +91,81 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Strategy demos (NEXT.md #3-4): not part of the headline
+                # total, so the baseline comparison stays apples-to-apples.
+                "extra": _strategy_demos(spark, sf_dir),
             }
         )
     )
+
+
+def _strategy_demos(spark, sf_dir: str) -> dict:
+    """Salt-vs-plain on a deliberately skewed join key, and bucketed
+    (shuffle-free) vs plain shuffle join — wall times in seconds."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.operators.tpch_more import skew_salted_join_agg
+    from coviddatapipeline_spark.sources import write_bucketed_table
+
+    out: dict[str, float] = {}
+
+    def timed(key, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[key] = round(time.perf_counter() - t0, 3)
+
+    # --- skew: ~75% of lineitem on one key, joined to a 100-row dim ----
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+        .otherwise(F.col("l_partkey") % 100)
+        .cast("long")
+        .alias("sk"),
+        "l_quantity",
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("sk"), (1.0 + (F.col("id") % 7) * 0.5).alias("weight")
+    )
+    # plain shuffle join (broadcast disabled so the skewed shuffle is real)
+    plain = (
+        fact.join(dim.hint("shuffle_hash"), "sk")
+        .groupBy("sk")
+        .agg(F.sum(F.col("l_quantity") * F.col("weight")).alias("w"))
+    )
+    timed("skew_plain_shuffle_join", lambda: plain.collect())
+    timed("skew_salted_join", lambda: skew_salted_join_agg(spark, sf_dir).collect())
+
+    # --- bucketed co-located join vs plain shuffle join ----------------
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    join_agg = lambda o, c: (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("rev"))
+    )
+    # disable auto-broadcast so both paths exercise the co-location story
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tmp = tempfile.mkdtemp(prefix="bench_buckets_")
+    try:
+        timed("join_shuffle", lambda: join_agg(orders, customer).collect())
+        for name, df, key in (
+            ("b_orders", orders, "o_custkey"),
+            ("b_customer", customer, "c_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            write_bucketed_table(df, name, os.path.join(tmp, name), (key,), 16)
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        timed("join_bucketed", lambda: join_agg(bo, bc).collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("b_orders", "b_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

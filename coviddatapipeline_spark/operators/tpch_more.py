@@ -1,0 +1,211 @@
+"""Round-2 join topologies (VERDICT r01 fix #8 / NEXT.md #2-3).
+
+``tpch_q2_min_cost_supplier`` — the TPC-H Q2 shape: an argmin JOIN-BACK
+topology (aggregate a min per group, then equi-join the detail rows on
+(group, min) to recover the winning row) over a partsupp relation the
+testdata lacks, derived deterministically dbgen-style (4 suppliers per
+part) so Spark and DuckDB build bit-identical inputs from the same
+tables.
+
+``skew_salted_join_agg`` — a deliberately skewed fact key (~75% of
+lineitem collapses onto one key) joined to a tiny dim and aggregated,
+implemented with explicit JOIN SALTING: the dim side is replicated per
+salt value, the fact side picks a deterministic salt, so the hot key's
+rows spread across SALT_BUCKETS shuffle partitions instead of one. The
+oracle is the unsalted SQL — salting must be semantically invisible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.queries.catalog import register
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: each part gets 4 suppliers spread across
+    the supplier key space, (p_partkey + i*(M div 4)) mod M for i in
+    0..3 (the dbgen assignment shape), with an integer supply cost in
+    cents that is a pure function of (partkey, suppkey). No cartesian:
+    the 4-way fan-out is an explode over a literal sequence, the
+    supplier count M arrives as a broadcast 1-row aggregate."""
+    part = t(spark, sf_dir, "part")
+    supplier = t(spark, sf_dir, "supplier")
+    m = supplier.agg(F.count("*").cast("long").alias("m"))
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.expr("transform(sequence(0, 3), i -> (p_partkey + i * (m div 4)) % m)")
+            ).alias("s_suppkey"),
+        )
+        .withColumn(
+            "cost_cents",
+            (F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 9000 + 1000,
+        )
+    )
+
+
+_PARTSUPP_SQL = """
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM supplier),
+        ps AS (
+            SELECT p_partkey,
+                   ((p_partkey + i * (m // 4)) % m) AS s_suppkey,
+                   ((p_partkey * 31 + ((p_partkey + i * (m // 4)) % m) * 17) % 9000
+                    + 1000) AS cost_cents
+            FROM part, m, unnest(generate_series(0, 3)) AS u(i)
+        )
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        eps AS (
+            SELECT ps.p_partkey, ps.cost_cents, eu.s_name, eu.s_acctbal, eu.n_name
+            FROM ps JOIN eu USING (s_suppkey)
+            WHERE ps.p_partkey % 5 = 0
+        ),
+        mc AS (SELECT p_partkey, min(cost_cents) AS min_cents
+               FROM eps GROUP BY p_partkey)
+        SELECT e.p_partkey, e.s_name AS supplier, e.n_name AS nation,
+               round(e.s_acctbal, 2) AS acctbal,
+               round(e.cost_cents / 100.0, 2) AS cost
+        FROM eps e
+        JOIN mc ON e.p_partkey = mc.p_partkey AND e.cost_cents = mc.min_cents
+        ORDER BY acctbal DESC, e.p_partkey
+        LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q2 shape: cheapest EUROPE supplier per (filtered) part — "
+        "the argmin JOIN-BACK topology: per-part min over the region-"
+        "restricted partsupp, equi-joined back on (p_partkey, cost) to "
+        "recover the winning supplier row. Constant dims (nation, "
+        "region) broadcast; the min aggregate is map-side combinable; "
+        "the join-back is an equi-join on the already-reduced key set. "
+        "Cost is integer cents, so the min and the join-back equality "
+        "are exact on both engines (no float argmin hazard)."
+    ),
+    tags=("join", "agg", "argmax", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    eu = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = (
+        _partsupp(spark, sf_dir)
+        .filter(F.col("p_partkey") % 5 == 0)
+        .join(eu, "s_suppkey")
+        .select("p_partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    mc = (
+        eps.groupBy("p_partkey")
+        .agg(F.min("cost_cents").alias("min_cents"))
+        .select(F.col("p_partkey").alias("mc_partkey"), "min_cents")
+    )
+    return (
+        eps.join(
+            mc,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            "p_partkey",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.col("cost_cents") / 100.0, 2).alias("cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+# Salt fan-out for the skewed join: the hot key's rows spread over this
+# many shuffle buckets. Sized to the test box's parallelism; at cluster
+# scale set ≈ 2-4× the executor-core count handling the hot key.
+SALT_BUCKETS = 8
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+                        ELSE l_partkey % 100 END AS sk,
+                   l_quantity
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT i AS sk, 1.0 + (i % 7) * 0.5 AS weight
+            FROM unnest(generate_series(0, 99)) AS u(i)
+        )
+        SELECT f.sk, count(*) AS n,
+               round(sum(f.l_quantity * d.weight), 2) AS weighted_qty
+        FROM fact f JOIN dim d USING (sk)
+        GROUP BY f.sk
+        ORDER BY f.sk
+    """,
+    doc=(
+        "Skewed-key join + aggregate with EXPLICIT SALTING: ~75% of the "
+        "fact lands on key 0 (a worst-case hot key); the dim side is "
+        "replicated once per salt bucket and the fact side derives a "
+        "deterministic salt, so the hot key occupies SALT_BUCKETS "
+        "shuffle partitions instead of one straggler task. The oracle "
+        "is the plain unsalted join — salting must not change a single "
+        "output value. (AQE skew-join handles the sort-merge case "
+        "adaptively; explicit salt is the strategy that also covers "
+        "aggregation skew and pre-AQE engines.)"
+    ),
+    tags=("join", "agg", "skew"),
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+        .otherwise(F.col("l_partkey") % 100)
+        .cast("long")
+        .alias("sk"),
+        "l_quantity",
+        # deterministic, uniformly spread salt (not rand(): replays and
+        # retries must route a row to the same bucket)
+        (F.xxhash64("l_orderkey", "l_linenumber") % SALT_BUCKETS + SALT_BUCKETS)
+        .cast("int")
+        .alias("salt_raw"),
+    ).withColumn("salt", F.col("salt_raw") % SALT_BUCKETS)
+    # dim × salt replication as ONE range (no nested-loop cross join in
+    # the plan, even a tiny one): row id encodes (sk, salt).
+    dim = spark.range(100 * SALT_BUCKETS).select(
+        F.expr(f"id div {SALT_BUCKETS}").alias("sk"),
+        (F.col("id") % SALT_BUCKETS).cast("int").alias("salt"),
+        (1.0 + (F.expr(f"id div {SALT_BUCKETS}") % 7) * 0.5).alias("weight"),
+    )
+    return (
+        fact.join(dim, ["sk", "salt"])
+        .groupBy("sk")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("weight")), 2).alias(
+                "weighted_qty"
+            ),
+        )
+        .orderBy("sk")
+    )

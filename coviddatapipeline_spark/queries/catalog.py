@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.text",
     "coviddatapipeline_spark.operators.events",
     "coviddatapipeline_spark.operators.multimodal",
+    "coviddatapipeline_spark.operators.tpch_more",
 )
 
 

@@ -82,3 +82,29 @@ def test_simhash_banded_pairs_no_cartesian(spark, parity_sf_dir):
 
     for name in ("dedup_simhash_near_pairs", "dedup_simhash_banded_pairs"):
         assert_no_cartesian(ALL[name].fn(spark, parity_sf_dir))
+
+
+def test_tpch_q2_plan_shape(spark, parity_sf_dir):
+    """Q2 argmin join-back: no data-sized cartesian (the partsupp
+    fan-out is an explode, not a cross join; the single allowed
+    nested-loop is the 1-row supplier-count scalar broadcast — the
+    repo's standard scalar-subquery shape) and the constant dims
+    broadcast."""
+    from coviddatapipeline_spark.plans import audit
+
+    a = audit(ALL["tpch_q2_min_cost_supplier"].fn(spark, parity_sf_dir))
+    assert a["cartesian_products"] == 0
+    # the 1-row count broadcast appears once per plan branch (eps feeds
+    # both the min-agg and the join-back); each is O(1) rows
+    assert a["nested_loop_joins"] <= 2
+    assert a["broadcast_joins"] >= 2  # nation + region at minimum
+
+
+def test_skew_salted_join_salt_in_plan(spark, parity_sf_dir):
+    """The salt must survive into the physical join keys (not be
+    optimized away) and the plan must stay cartesian-free."""
+    from coviddatapipeline_spark.plans import assert_no_cartesian, executed_plan
+
+    df = ALL["skew_salted_join_agg"].fn(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    assert "salt" in executed_plan(df)
