@@ -1,0 +1,300 @@
+"""Training-data pipeline operators (round 2 widening).
+
+The ops a 100 TB LLM-pretraining data pipeline runs between raw corpus
+and training shards, beyond dedup/quality (operators/dedup.py, text.py):
+
+- deterministic stratified train/val/test split (hash-bucketed, so any
+  worker — or a re-run — routes a document identically, no RNG state),
+- benchmark-contamination detection (shingle overlap against a held-out
+  evaluation set — the decontamination join every eval-honest pipeline
+  runs before training),
+- sequential sequence packing ("concat-and-chop" into fixed context
+  windows, the packing strategy LLM dataloaders actually use),
+- per-class balanced downsampling (hash-ordered keep-first cap),
+- int8 quantization planning for embedding shards (absmax scales).
+
+Everything is JVM column algebra or partitioned windows — no Python in
+any hot path, every shuffle keyed on a grouping the data already needs.
+All cross-engine hashing uses md5 (the one hash Spark and DuckDB
+share), never xxhash/crc32 (engine-specific seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.text import _TOKENS, _tokens
+from coviddatapipeline_spark.queries.catalog import register
+
+# md5-derived uniform bucket in [0, 100): the cross-engine deterministic
+# "random" — first 8 hex chars of md5(doc_id) as an integer.
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _bucket(col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT source,
+                   CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                        WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT source, split, count(*) AS n
+        FROM tagged
+        GROUP BY source, split
+        ORDER BY source, split
+    """,
+    doc=(
+        "Deterministic stratified train/val/test split (80/10/10): the "
+        "split is a pure function of md5(doc_id), so assignment is "
+        "reproducible across runs, engines, and partitionings — no RNG "
+        "seed to ship, no shuffle to randomize. Per-source counts audit "
+        "stratification. At 100 TB this is a map-only tag + one "
+        "map-side-combinable count."
+    ),
+    tags=("datapipe", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len({_TOKENS.format(x='text')}) - 2),
+                       i -> array_to_string(({_TOKENS.format(x='text')})[i:i+2], ' '))))
+                       AS s
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        hits AS (
+            SELECT sh.doc_id, sh.source, count(*) AS shared
+            FROM sh JOIN bench USING (s)
+            WHERE sh.source <> 'src0'
+            GROUP BY sh.doc_id, sh.source
+        )
+        SELECT source,
+               count(*) AS n_contaminated,
+               sum(CASE WHEN shared >= 10 THEN 1 ELSE 0 END) AS n_heavy,
+               max(shared) AS max_shared
+        FROM hits
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Benchmark-contamination check: corpus documents sharing word-"
+        "trigram shingles with a held-out evaluation source (src0 plays "
+        "the benchmark). The overlap is an inverted-index equi-join on "
+        "the shingle — never doc×doc — and the benchmark shingle set is "
+        "the small side (broadcastable at real scale). Same join shape "
+        "as dedup_ngram_jaccard_pairs, whose MAX_SHINGLE_DF cap applies "
+        "verbatim when boilerplate shingles appear."
+    ),
+    tags=("datapipe", "dedup", "text"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.dedup import _trigrams
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(_trigrams(F.col("text"))).alias("s")
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    hits = (
+        sh.filter(F.col("source") != "src0")
+        .join(bench, "s")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum(F.when(F.col("shared") >= 10, 1).otherwise(0)).alias("n_heavy"),
+            F.max("shared").alias("max_shared"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTEXT_TOKENS = 2048  # packing window (tokens per training sequence)
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len({_TOKENS.format(x='text')}) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, n_tok,
+                   (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok)
+                       // {CONTEXT_TOKENS} AS bin
+            FROM toks
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_tok) AS total_tokens,
+               count(DISTINCT bin) AS n_bins,
+               round(sum(n_tok) * 1.0
+                     / (count(DISTINCT bin) * {CONTEXT_TOKENS}), 4) AS fill_ratio
+        FROM packed
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Sequential sequence packing ('concat-and-chop'): per source, "
+        "documents in doc_id order accumulate into fixed "
+        f"{CONTEXT_TOKENS}-token context windows; a doc's bin is its "
+        "cumulative start offset div window — exactly what an LLM "
+        "dataloader's packed-shard builder computes. The running sum is "
+        "a window PARTITIONED by source (parallel across sources); at "
+        "100 TB you sub-shard hot sources the same way the ranking "
+        "helper buckets keys."
+    ),
+    tags=("datapipe", "window", "text"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+    cum = F.sum("n_tok").over(
+        W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin", F.floor((cum - F.col("n_tok")) / CONTEXT_TOKENS).cast("long")
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.countDistinct("bin").alias("n_bins"),
+            F.round(
+                F.sum("n_tok") * 1.0 / (F.countDistinct("bin") * CONTEXT_TOKENS), 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+KEEP_PER_LANG = 20
+
+
+@register(
+    "sample_balanced_per_lang",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_BUCKET_SQL}, doc_id) AS rk
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_kept,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM ordered
+        WHERE rk <= {KEEP_PER_LANG}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc=(
+        "Class-balanced downsampling: cap each language at "
+        f"{KEEP_PER_LANG} documents, chosen by md5-hash order (an "
+        "unbiased, reproducible 'random' sample needing no RNG state) — "
+        "the per-class rebalancing step before mixing training sources. "
+        "The window is PARTITIONED by lang; per-class top-K never "
+        "funnels the corpus through one task."
+    ),
+    tags=("datapipe", "sampling", "window"),
+)
+def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(_bucket(F.col("doc_id")), F.col("doc_id"))
+    )
+    return (
+        docs.select("lang", "n_chars", rk.alias("rk"))
+        .filter(F.col("rk") <= KEEP_PER_LANG)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "emb_int8_quant_stats",
+    oracle="""
+        WITH per_vec AS (
+            SELECT label,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                       AS scale,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                       AS l2
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n,
+               round(avg(scale), 6) AS avg_absmax_scale,
+               round(avg(l2), 4) AS avg_l2
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
+    doc=(
+        "Int8 quantization planning for embedding shards: per-vector "
+        "absmax scale (the factor an int8 ANN index stores alongside "
+        "each vector) and L2 norm, rolled up per label. Pure JVM "
+        "higher-order array functions (transform/aggregate/array_max) — "
+        "a map-only pass plus one tiny aggregate at any scale."
+    ),
+    tags=("datapipe", "similarity", "array"),
+)
+def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+    l2 = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.select("label", scale.alias("scale"), l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("scale"), 6).alias("avg_absmax_scale"),
+            F.round(F.avg("l2"), 4).alias("avg_l2"),
+        )
+        .orderBy("label")
+    )

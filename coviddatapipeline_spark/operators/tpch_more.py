@@ -209,3 +209,94 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sk")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE r_name = 'ASIA'
+              AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT yr,
+               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                              ELSE 0 END) / sum(volume), 6) AS mkt_share,
+               round(sum(volume), 2) AS total_volume
+        FROM flat
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    doc=(
+        "TPC-H Q8 shape (national market share): the widest join "
+        "topology in the catalog — lineitem fanning out to orders→"
+        "customer→nation→region (demand side), supplier→nation (supply "
+        "side), and part (product filter), then a conditional-share "
+        "aggregate per year. Constant dims (nation, region) broadcast; "
+        "part/customer/supplier are SF-scaled and left to AQE; the "
+        "selective p_type + date predicates push into the scans, "
+        "shrinking the fact before any shuffle."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+        )
+        .orderBy("yr")
+    )
