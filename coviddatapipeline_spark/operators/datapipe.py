@@ -298,3 +298,198 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "pack_sequences_ffd",
+    oracle=None,  # FFD is inherently sequential per group — not SQL-expressible
+    doc=(
+        "First-fit-decreasing sequence packing per source: docs sorted "
+        "by token count descending, each placed into the first bin with "
+        f"room (capacity {CONTEXT_TOKENS} tokens) — the tighter packing "
+        "an offline shard builder uses when doc order need not be "
+        "preserved. Exact FFD is sequential per group, so it runs as an "
+        "Arrow-batched grouped-map applyInPandas kernel (one group per "
+        "source, parallel across sources). Rows-only driver check; unit "
+        "tests pin the invariants: no bin over capacity (oversized "
+        "single docs excepted), fill ratio >= the sequential chop of "
+        "pack_sequences_greedy, deterministic output."
+    ),
+    tags=("datapipe", "udf", "text"),
+)
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+
+    cap = CONTEXT_TOKENS
+
+    # Kernel nested so cloudpickle ships it by value (driver imports the
+    # entry file from a foreign cwd; workers have no package path).
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        bins = []  # remaining capacity per bin
+        fills = []
+        for n in pdf["n_tok"]:
+            for i, rem in enumerate(bins):
+                if n <= rem:
+                    bins[i] -= n
+                    break
+            else:
+                bins.append(max(cap - n, 0))
+            fills.append(n)
+        total = int(pdf["n_tok"].sum())
+        n_bins = len(bins)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_tokens": [total],
+                "n_bins": [n_bins],
+                "fill_ratio": [round(total / (n_bins * cap), 4) if n_bins else 0.0],
+            }
+        )
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            ffd,
+            schema="source string, n_docs long, total_tokens long, "
+            "n_bins long, fill_ratio double",
+        )
+        .orderBy("source")
+    )
+
+
+KMEANS_K = 8
+
+
+@register(
+    "ivf_kmeans_one_step",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+            FROM embeddings WHERE vec_id < {KMEANS_K}
+        ),
+        assigned AS (
+            SELECT e.vec_id,
+                   (SELECT s.cid FROM seeds s
+                    ORDER BY list_dot_product(e.embedding::DOUBLE[], s.c) DESC,
+                             s.cid ASC
+                    LIMIT 1) AS cluster
+            FROM embeddings e
+        )
+        SELECT cluster, count(*) AS n
+        FROM assigned
+        GROUP BY cluster
+        ORDER BY cluster
+    """,
+    doc=(
+        "One Lloyd assignment step for IVF quantizer training: the "
+        f"first {KMEANS_K} vectors seed the centroids (deterministic "
+        "init), every vector assigns to its max-dot-product seed "
+        "(unit-norm vectors: max dot = min L2), per-cluster sizes out. "
+        "The k seeds broadcast as literals; assignment is a map-only "
+        "argmax over k dot products in JVM column space — the shape "
+        "each subsequent Lloyd iteration repeats (driver loops over "
+        "tiny k x dim collected centroids, data never moves). The "
+        "oracle runs the same argmax per vector in SQL."
+    ),
+    tags=("datapipe", "similarity"),
+)
+def ivf_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # k x dim floats — a metadata-sized collect (the quantizer itself)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dots = []
+    for row in sorted(seeds, key=lambda r: r["vec_id"]):
+        c = F.array(*[F.lit(float(x)) for x in row["embedding"]])
+        dots.append(
+            F.struct(
+                F.zip_with(v, c, lambda a, b: a * b).alias("prod"),
+                F.lit(row["vec_id"]).alias("cid"),
+            )
+        )
+    # argmax over k dot products: struct ordering on (dot, -cid) via
+    # max_by-style reduce
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(d["prod"], F.lit(0.0), lambda acc, x: acc + x).alias("dot"),
+                (-d["cid"]).alias("neg_cid"),
+            )
+            for d in dots
+        ]
+    )
+    best = F.array_max(scored)  # lexicographic: max dot, then max -cid (min cid)
+    return (
+        emb.select((-best["neg_cid"]).cast("long").alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
+
+
+FRAME_STRIDE = 32
+
+
+@register(
+    "mm_frame_hashes",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   md5(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_STRIDE})) AS fh
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(greatest(ceil(len(text) * 1.0 / {FRAME_STRIDE}) - 1, 0)
+                          AS BIGINT))) AS u(i)
+            WHERE len(text) > 0
+        )
+        SELECT doc_id,
+               count(*) AS n_frames,
+               count(DISTINCT fh) AS n_distinct_frames,
+               min(fh) AS min_frame_hash
+        FROM frames
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Chunked payload fingerprinting: the payload (text stand-in per "
+        "the multimodal module's convention) split into fixed "
+        f"{FRAME_STRIDE}-byte frames, one md5 per frame — the per-frame "
+        "content hashing a video dedup/integrity pass runs. posexplode "
+        "over a computed offset sequence keeps it JVM-side; per-doc "
+        "rollup counts repeated frames (n_distinct < n_frames reveals "
+        "intra-payload repetition)."
+    ),
+    tags=("multimodal", "dedup"),
+)
+def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_frames = F.ceil(F.length("text") / F.lit(FRAME_STRIDE)).cast("long")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("i") * FRAME_STRIDE + 1, FRAME_STRIDE)).alias("fh"),
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("fh").alias("n_distinct_frames"),
+            F.min("fh").alias("min_frame_hash"),
+        )
+        .orderBy("doc_id")
+    )

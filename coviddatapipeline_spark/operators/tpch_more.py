@@ -300,3 +300,214 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
+                       AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = suppkey
+        WHERE total = (SELECT max(total) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape (revenue view + scalar max + join-back): the "
+        "quarter's per-supplier revenue aggregated once, its max folded "
+        "back as a broadcast 1-row cross-join predicate — Catalyst's "
+        "decorrelated form of `WHERE total = (SELECT max(...))`. Revenue "
+        "is summed as DECIMAL so the max-equality is exact on both "
+        "engines (a double sum could tie-break differently per "
+        "partial-sum order); output cast to double for the driver hash."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total")
+        )
+    )
+    mx = rev.agg(F.max("total").alias("max_total"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("max_total"))
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        avail AS (
+            SELECT p_partkey, s_suppkey,
+                   ((p_partkey * 7 + s_suppkey * 11) % 1000 + 1) AS availqty
+            FROM ps
+        ),
+        shipped AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        excess AS (
+            SELECT DISTINCT a.s_suppkey
+            FROM avail a JOIN shipped sh
+              ON a.p_partkey = sh.l_partkey AND a.s_suppkey = sh.l_suppkey
+            WHERE a.availqty > 0.5 * sh.qty
+        )
+        SELECT s_suppkey, s_name, n_name AS nation
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT s_suppkey FROM excess)
+        ORDER BY s_suppkey
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q20 shape (nested semi-join chain): suppliers holding "
+        "excess stock — availqty above half the year's shipped quantity "
+        "for some part they supply. The correlated `availqty > 0.5 * "
+        "(SELECT sum(...))` decorrelates into a pre-aggregated shipped "
+        "table equi-joined to partsupp, collapsed to a distinct supplier "
+        "set, then a LEFT SEMI join filters supplier — no per-row "
+        "re-scan, every step partial-aggregatable."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    avail = _partsupp(spark, sf_dir).select(
+        "p_partkey",
+        "s_suppkey",
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 11) % 1000 + 1).alias(
+            "availqty"
+        ),
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        avail.join(
+            shipped,
+            (avail.p_partkey == shipped.l_partkey)
+            & (avail.s_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("availqty") > 0.5 * F.col("qty"))
+        .select("s_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH flat AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+            FROM flat GROUP BY l_orderkey
+        ),
+        waiting AS (
+            SELECT f.l_suppkey
+            FROM flat f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+            WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins on the fact): "
+        "suppliers who alone held up multi-supplier finalized orders "
+        "(lateness := shipped >90 days after order date — the testdata "
+        "carries no commit/receipt dates). The two correlated EXISTS "
+        "subqueries decorrelate into ONE per-order aggregate (distinct "
+        "supplier count, distinct late-supplier count) joined back — "
+        "two passes over the fact instead of four correlated re-scans."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = t(spark, sf_dir, "supplier")
+    flat = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
+        )
+    )
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiting = (
+        flat.filter(F.col("late") == 1)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+              "l_orderkey")
+        .select("l_suppkey")
+    )
+    return (
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

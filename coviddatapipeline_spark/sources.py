@@ -195,3 +195,26 @@ def table_exists(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the second columnar format large warehouses hold
+    (Hive-lineage lakes are ORC-first). Spark's native vectorized ORC
+    reader supports the same predicate pushdown / column pruning
+    contract as parquet, so every operator in the catalog runs on ORC
+    tables unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """ORC sink with the same mode/partitioning contract as
+    :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -108,3 +108,20 @@ def test_skew_salted_join_salt_in_plan(spark, parity_sf_dir):
     df = ALL["skew_salted_join_agg"].fn(spark, parity_sf_dir)
     assert_no_cartesian(df)
     assert "salt" in executed_plan(df)
+
+
+def test_ffd_packing_invariants(spark, parity_sf_dir):
+    """FFD fill must beat (or tie) sequential chop on every source, be
+    deterministic, and conserve docs/tokens."""
+    greedy = {
+        r.source: r for r in ALL["pack_sequences_greedy"].fn(spark, parity_sf_dir).collect()
+    }
+    ffd1 = {r.source: r for r in ALL["pack_sequences_ffd"].fn(spark, parity_sf_dir).collect()}
+    ffd2 = {r.source: r for r in ALL["pack_sequences_ffd"].fn(spark, parity_sf_dir).collect()}
+    assert ffd1.keys() == greedy.keys()
+    for src, g in greedy.items():
+        f = ffd1[src]
+        assert f.n_docs == g.n_docs and f.total_tokens == g.total_tokens
+        assert f.n_bins <= g.n_bins, f"{src}: FFD used more bins than chop"
+        assert f.fill_ratio >= g.fill_ratio - 1e-9
+        assert ffd2[src] == f  # deterministic

@@ -165,3 +165,20 @@ def test_fanout_widens_narrow_scans_only(spark, parity_sf_dir):
     assert narrow.rdd.getNumPartitions() < cores  # precondition: small file
     widened = t_fanout(spark, parity_sf_dir, "documents")
     assert widened.rdd.getNumPartitions() >= cores
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, parity_sf_dir):
+    """ORC source/sink: values survive the roundtrip and the vectorized
+    ORC reader receives the filter pushdown + pruned read schema, same
+    contract as the parquet scans."""
+    from coviddatapipeline_spark.sources import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{parity_sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders.select("o_orderkey", "o_custkey", "o_totalprice"), path)
+
+    back = read_orc(spark, path)
+    q = back.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    plan = executed_plan(q)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    assert q.count() == orders.filter("o_totalprice > 100000").count()
