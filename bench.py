@@ -138,6 +138,38 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
     timed("skew_plain_shuffle_join", lambda: plain.collect())
     timed("skew_salted_join", lambda: skew_salted_join_agg(spark, sf_dir).collect())
 
+    # --- incremental (update-mode) gold vs full recompute --------------
+    # NEXT.md #2: second micro-batch cost — full gold recompute scans all
+    # of silver every trigger; the update-mode aggregation touches only
+    # changed keys. Timed on the SECOND drain, where the difference is
+    # the story.
+    try:
+        from coviddatapipeline_spark.pipeline.streaming import (
+            stream_incremental_gold_q5,
+            stream_refresh_gold,
+        )
+        from tests.covid_fixture import make_rows, write_csv
+
+        rows = make_rows(20_000)
+        for label, starter in (
+            ("gold_full_refresh_batch2", lambda d: stream_refresh_gold(
+                spark, d["in"], d["silver"], d["gold"], d["ckpt"])),
+            ("gold_incremental_batch2", lambda d: stream_incremental_gold_q5(
+                spark, d["in"], d["gold"], d["ckpt"])),
+        ):
+            root = tempfile.mkdtemp(prefix="bench_gold_")
+            d = {k: os.path.join(root, k) for k in ("in", "silver", "gold", "ckpt")}
+            os.makedirs(d["in"])
+            try:
+                write_csv(os.path.join(d["in"], "b1.csv"), rows[:10_000])
+                starter(d).awaitTermination(120)
+                write_csv(os.path.join(d["in"], "b2.csv"), rows[10_000:])
+                timed(label, lambda: starter(d).awaitTermination(120))
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    except Exception as e:  # bench extras must never sink the headline run
+        print(f"# gold-refresh demo skipped: {e}", file=sys.stderr)
+
     # --- bucketed co-located join vs plain shuffle join ----------------
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
