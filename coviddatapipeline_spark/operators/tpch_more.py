@@ -511,3 +511,163 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        val AS (
+            SELECT p_partkey,
+                   sum(cost_cents * ((p_partkey * 7 + s_suppkey * 11) % 1000 + 1))
+                       AS part_value
+            FROM ps
+            GROUP BY p_partkey
+        ),
+        tot AS (SELECT sum(part_value) AS total_value FROM val)
+        SELECT p_partkey, part_value
+        FROM val, tot
+        WHERE part_value > 0.0005 * total_value
+        ORDER BY part_value DESC, p_partkey
+        LIMIT 50
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock: HAVING against a scalar "
+        "fraction of the global total): per-part inventory value over "
+        "the derived partsupp, filtered by a threshold that is itself "
+        "an aggregate of the same relation — the grand total folds back "
+        "as a broadcast 1-row cross-join, the repo's uniform scalar-"
+        "subquery shape. Integer cents arithmetic end-to-end: the "
+        "threshold comparison is exact on both engines."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir).withColumn(
+        "availqty", (F.col("p_partkey") * 7 + F.col("s_suppkey") * 11) % 1000 + 1
+    )
+    val = ps.groupBy("p_partkey").agg(
+        F.sum(F.col("cost_cents") * F.col("availqty")).alias("part_value")
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.0005 * F.col("total_value"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q16_supplier_count_by_part",
+    oracle="""
+        WITH complaints AS (
+            SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0
+        ),
+        ok_supp AS (
+            SELECT s_suppkey FROM supplier
+            WHERE s_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+        ),
+        ps AS (
+            SELECT DISTINCT l_partkey AS p_key, l_suppkey AS s_key
+            FROM lineitem
+        )
+        SELECT p_brand, p_size,
+               count(DISTINCT s_key) AS supplier_cnt
+        FROM ps
+        JOIN part ON p_key = p_partkey
+        JOIN ok_supp ON s_key = s_suppkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25, 30)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape (NOT IN exclusion + COUNT DISTINCT rollup): "
+        "supplier variety per (brand, size), excluding a complaints "
+        "blacklist. The NOT IN decorrelates to a LEFT ANTI join (the "
+        "blacklist is tiny — broadcast); the observed part-supplier "
+        "relation comes from DISTINCT over lineitem (partial-"
+        "aggregatable); COUNT DISTINCT shuffles once on the group key."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supplier = t(spark, sf_dir, "supplier")
+    complaints = supplier.filter(F.col("s_suppkey") % 13 == 0).select("s_suppkey")
+    ok_supp = supplier.select("s_suppkey").join(
+        F.broadcast(complaints), "s_suppkey", "left_anti"
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
+    ).distinct()
+    return (
+        ps.join(
+            part.filter(
+                (F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+            ).select("p_partkey", "p_brand", "p_size"),
+            ps.p_key == F.col("p_partkey"),
+        )
+        .join(ok_supp, ps.s_key == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("s_key").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+        ),
+        rich_idle AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        )
+        SELECT c_nationkey % 5 AS cntry_group,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM rich_idle
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc=(
+        "TPC-H Q22 shape (anti-join + conditional-average scalar): "
+        "above-average-balance customers with NO orders — the positive-"
+        "balance average folds back as a broadcast scalar, the NOT IN "
+        "over orders decorrelates to a LEFT ANTI join against the "
+        "distinct buyer set (reduced before the join, never row-by-row "
+        "EXISTS probing)."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    rich_idle = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(buyers, "c_custkey", "left_anti")
+    )
+    return (
+        rich_idle.select(
+            (F.col("c_nationkey") % 5).cast("long").alias("cntry_group"),
+            "c_acctbal",
+        )
+        .groupBy("cntry_group")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry_group")
+    )

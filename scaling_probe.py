@@ -70,11 +70,32 @@ def main() -> None:
         )
         t_agg = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # round-2 ranking shape: exact global quartiles without a
+        # single-partition window (operators/ranking.py)
+        from coviddatapipeline_spark.operators.ranking import (
+            ntile_from_rn,
+            with_global_row_number,
+        )
+
+        ranked, n = with_global_row_number(
+            od.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"]
+        )
+        (
+            ranked.select(ntile_from_rn(F.col("rn"), n, 4).alias("q"), "o_totalprice")
+            .groupBy("q")
+            .agg(F.count("*"), F.min("o_totalprice"), F.max("o_totalprice"))
+            .collect()
+        )
+        t_rank = time.perf_counter() - t0
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
+        orows = 150_000 * mult
         print(
             f"mult={mult:2d}  rows~{rows:>8,}  join+agg={t_join:6.2f}s "
             f"({rows/t_join/1e6:5.2f}M rows/s)  wide-agg={t_agg:6.2f}s "
-            f"({rows/t_agg/1e6:5.2f}M rows/s)"
+            f"({rows/t_agg/1e6:5.2f}M rows/s)  global-rank={t_rank:6.2f}s "
+            f"({orows/t_rank/1e6:5.2f}M rows/s)"
         )
 
 

@@ -104,3 +104,45 @@ def test_transform_matches_reference_model(spark, rows):
         for r in transform_covid(df).collect()
     )
     assert got == expected
+
+
+# --- distributed exact global ranking vs the reference window -------------
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.sampled_from([0.0, 1.0, 1.0, -0.0, 42.5]),  # force heavy ties
+        ),
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=_rank_rows)
+def test_global_row_number_property(spark, vals):
+    """For arbitrary (ties-heavy) doubles, the distributed global row
+    number equals row_number() OVER (ORDER BY v, k) exactly — including
+    duplicate values straddling cutpoint boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    rows = [(float(v[0]), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, k long") if rows else (
+        spark.range(0).select(F.col("id").cast("double").alias("v"),
+                              F.col("id").alias("k"))
+    )
+    ranked, n = with_global_row_number(df, ["v", "k"], num_buckets=4)
+    assert n == len(rows)
+    if not rows:
+        return
+    ref = df.select(
+        "k", F.row_number().over(W.orderBy("v", "k")).alias("rn_ref")
+    )
+    diff = ranked.join(ref, "k").filter(F.col("rn") != F.col("rn_ref")).count()
+    assert diff == 0
