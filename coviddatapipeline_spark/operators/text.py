@@ -502,3 +502,138 @@ def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+        WITH tri AS (
+            SELECT doc_id, source,
+                   len(list_transform(
+                       generate_series(1, greatest(len({_TOKENS.format(x='text')}) - 2, 0)),
+                       i -> array_to_string(({_TOKENS.format(x='text')})[i:i+2], ' ')))
+                       AS n_tri,
+                   len(list_distinct(list_transform(
+                       generate_series(1, greatest(len({_TOKENS.format(x='text')}) - 2, 0)),
+                       i -> array_to_string(({_TOKENS.format(x='text')})[i:i+2], ' '))))
+                       AS n_uniq
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(CASE WHEN n_tri > 0
+                              THEN 1.0 - n_uniq * 1.0 / n_tri ELSE 0 END), 4)
+                   AS avg_repetition,
+               sum(CASE WHEN n_tri > 0 AND 1.0 - n_uniq * 1.0 / n_tri > 0.2
+                        THEN 1 ELSE 0 END) AS n_repetitive
+        FROM tri
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Intra-document repetition ratio (1 - distinct/total word "
+        "trigrams) — the Gopher/C4-style signal that catches boilerplate "
+        "and keyword-stuffed pages; docs above 0.2 flagged per source. "
+        "Same guarded JVM shingling as the dedup family, zero Python."
+    ),
+    tags=("text", "dedup", "analytics"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    tri_all = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "source",
+        F.size(tri_all).alias("n_tri"),
+        F.size(F.array_distinct(tri_all)).alias("n_uniq"),
+    )
+    rep = F.when(
+        F.col("n_tri") > 0, 1.0 - F.col("n_uniq") * 1.0 / F.col("n_tri")
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("source", rep.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH feats AS (
+            SELECT source,
+                   len({_TOKENS.format(x='text')}) AS n_words,
+                   CASE WHEN len({_TOKENS.format(x='text')}) > 0
+                        THEN list_sum(list_transform({_TOKENS.format(x='text')},
+                                                     w -> len(w))) * 1.0
+                             / len({_TOKENS.format(x='text')})
+                        ELSE 0 END AS mean_wlen,
+                   len(list_filter({_TOKENS.format(x='text')},
+                                   w -> list_contains({_SW_SQL}, w))) AS n_stop
+            FROM documents
+        ),
+        flagged AS (
+            SELECT source,
+                   CASE WHEN n_words >= 5 AND n_words <= 100000
+                             AND mean_wlen >= 2 AND mean_wlen <= 12
+                             AND n_stop >= 1
+                        THEN 1 ELSE 0 END AS pass
+            FROM feats
+        )
+        SELECT source, count(*) AS n_docs, sum(pass) AS n_pass,
+               round(avg(pass), 4) AS pass_rate
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Gopher-style rule filter (Rae et al. 2021, public): word count "
+        "bounds, mean word length bounds, minimum stopword presence — "
+        "the cheap rule bundle pretraining pipelines apply before any "
+        "model-based scoring (thresholds adapted to the synthetic "
+        "corpus). Pure column algebra; per-source pass rates audit "
+        "whole sources at a glance."
+    ),
+    tags=("text", "analytics"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    passed = (
+        F.when(
+            (n_words >= 5)
+            & (n_words <= 100_000)
+            & (mean_wlen >= 2)
+            & (mean_wlen <= 12)
+            & (n_stop >= 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        docs.select("source", passed.alias("pass"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pass").alias("n_pass"),
+            F.round(F.avg("pass"), 4).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
