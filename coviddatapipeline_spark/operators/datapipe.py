@@ -122,9 +122,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coviddatapipeline_spark.operators.dedup import _trigrams
 
     docs = t(spark, sf_dir, "documents")
+    # persist: the shingle explode feeds both the benchmark side and the
+    # corpus side — tokenize once, not twice (same rationale as
+    # dedup_ngram_jaccard_pairs' persisted shingle frame)
     sh = docs.select(
         "doc_id", "source", F.explode(_trigrams(F.col("text"))).alias("s")
-    )
+    ).persist()
     bench = sh.filter(F.col("source") == "src0").select("s").distinct()
     hits = (
         sh.filter(F.col("source") != "src0")
@@ -311,9 +314,11 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "preserved. Exact FFD is sequential per group, so it runs as an "
         "Arrow-batched grouped-map applyInPandas kernel (one group per "
         "source, parallel across sources). Rows-only driver check; unit "
-        "tests pin the invariants: no bin over capacity (oversized "
-        "single docs excepted), fill ratio >= the sequential chop of "
-        "pack_sequences_greedy, deterministic output."
+        "tests pin the invariants: doc/token conservation vs the chop "
+        "packer, capacity-derived bin bounds, deterministic output. "
+        "(FFD bins respect capacity, so its bin COUNT is not comparable "
+        "to the chop packer's, whose boundary-straddling bins may "
+        "overflow — fill ratios measure different things.)"
     ),
     tags=("datapipe", "udf", "text"),
 )
@@ -334,7 +339,6 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
         bins = []  # remaining capacity per bin
-        fills = []
         for n in pdf["n_tok"]:
             for i, rem in enumerate(bins):
                 if n <= rem:
@@ -342,7 +346,6 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
             else:
                 bins.append(max(cap - n, 0))
-            fills.append(n)
         total = int(pdf["n_tok"].sum())
         n_bins = len(bins)
         return pd.DataFrame(

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import t, t_fanout
-from coviddatapipeline_spark.operators.text import _norm, _tokens, _NORM, _TOKENS
+from coviddatapipeline_spark.operators.text import (
+    _NORM,
+    _TOKENS,
+    _norm,
+    _tokens,
+    _trigrams_all,
+)
 
 # --- shared shingling (word trigrams, distinct per doc) --------------------
 
@@ -39,21 +45,10 @@ _TRIGRAMS_SQL = (
 
 
 def _trigrams(col) -> Column:
-    # Guarded for docs with <3 tokens: sequence(0, size-3) would descend
-    # into negative bounds and slice(toks, 0, 3) throws
-    # INVALID_PARAMETER_VALUE.START, aborting the job (ADVICE r01, high).
-    # The DuckDB oracle's generate_series(1, len-2) is empty for short
-    # docs; mirror that with an explicit empty-array branch.
-    toks = _tokens(col)
-    return F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """DISTINCT word-trigram shingles per doc — the guarded shared
+    shingler (text._trigrams_all, ADVICE r01 short-doc fix) plus
+    per-document dedup."""
+    return F.array_distinct(_trigrams_all(col))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,11 +374,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-        WITH tok AS (
+# The tok→bits→sh CTE chain (per-token 32-bit hash, per-bit majority
+# vote, bit reassembly) is shared VERBATIM by all three simhash oracles
+# below — one definition so a change to the hash or the tie rule
+# (`b > 0`) can never diverge between them (code-review r2).
+_SIMHASH_CTES = f"""
+        tok AS (
             SELECT doc_id,
                    CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
                         AS BIGINT) AS h
@@ -393,11 +389,22 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
             FROM tok GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
+                       AS simhash
+            FROM bits
         )
-        SELECT doc_id,
-               {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
-                   AS simhash
-        FROM bits
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_SIMHASH_CTES}
+        SELECT doc_id, simhash
+        FROM sh
         ORDER BY doc_id
     """,
     doc=(
@@ -431,23 +438,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_near_pairs",
     oracle=f"""
-        WITH tok AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
-                        AS BIGINT) AS h
-            FROM documents
-        ),
-        bits AS (
-            SELECT doc_id,
-                   {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
-            FROM tok GROUP BY doc_id
-        ),
-        sh AS (
-            SELECT doc_id,
-                   {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
-                       AS simhash
-            FROM bits
-        )
+        WITH {_SIMHASH_CTES}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -517,23 +508,7 @@ def _simhash_band_candidates(sh: DataFrame) -> DataFrame:
 @register(
     "dedup_simhash_banded_pairs",
     oracle=f"""
-        WITH tok AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(unnest({_TOKENS.format(x='text')})), 1, 8))
-                        AS BIGINT) AS h
-            FROM documents
-        ),
-        bits AS (
-            SELECT doc_id,
-                   {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32))}
-            FROM tok GROUP BY doc_id
-        ),
-        sh AS (
-            SELECT doc_id,
-                   {" + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(32))}
-                       AS simhash
-            FROM bits
-        )
+        WITH {_SIMHASH_CTES}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming,
                (CASE WHEN (a.simhash & 255) = (b.simhash & 255) THEN 1 ELSE 0 END

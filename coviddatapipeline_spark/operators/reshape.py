@@ -382,10 +382,17 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = t(spark, sf_dir, "orders")
-    rfm = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+    # persist: each with_global_row_number call launches eager cutpoint +
+    # count jobs, and the three chained calls would otherwise re-execute
+    # the orders scan+groupBy ~9 times (code-review r2)
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .persist()
     )
     ranked, n = with_global_row_number(rfm, ["last_order", "o_custkey"], out="rn_r")
     ranked, _ = with_global_row_number(ranked, ["frequency", "o_custkey"], out="rn_f")

@@ -32,6 +32,23 @@ def _tokens(col) -> Column:
     return F.split(_norm(col), " ")
 
 
+def _trigrams_all(col) -> Column:
+    """NON-distinct word trigrams, short-doc guarded: <3 tokens yields
+    an empty array (matching DuckDB's empty generate_series), never a
+    negative sequence that makes slice() abort the job (ADVICE r01).
+    The single definition shared by every shingle consumer —
+    text_word_trigrams_top, text_repetition_ratio, and (distinct'd)
+    dedup._trigrams — so the guard can't drift between copies."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # A tiny English-stopword list used by both the quality score and the
 # language-ID heuristic (public-knowledge word list).
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
@@ -189,19 +206,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    # Short-doc guard (ADVICE r01): <3 tokens must yield an empty shingle
-    # list (as DuckDB's generate_series does), not a negative sequence
-    # that makes slice() abort the job.
-    trigrams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(trigrams).alias("trigram"))
+        docs.select(F.explode(_trigrams_all(F.col("text"))).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 3)
@@ -540,14 +546,7 @@ def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    tri_all = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tri_all = _trigrams_all(F.col("text"))
     base = docs.select(
         "source",
         F.size(tri_all).alias("n_tri"),

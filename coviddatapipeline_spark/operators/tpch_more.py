@@ -159,7 +159,8 @@ SALT_BUCKETS = 8
             FROM unnest(generate_series(0, 99)) AS u(i)
         )
         SELECT f.sk, count(*) AS n,
-               round(sum(f.l_quantity * d.weight), 2) AS weighted_qty
+               round(CAST(sum(CAST(f.l_quantity * d.weight AS DECIMAL(18, 4)))
+                          AS DOUBLE), 2) AS weighted_qty
         FROM fact f JOIN dim d USING (sk)
         GROUP BY f.sk
         ORDER BY f.sk
@@ -186,11 +187,12 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sk"),
         "l_quantity",
         # deterministic, uniformly spread salt (not rand(): replays and
-        # retries must route a row to the same bucket)
-        (F.xxhash64("l_orderkey", "l_linenumber") % SALT_BUCKETS + SALT_BUCKETS)
+        # retries must route a row to the same bucket); pmod for the
+        # non-negative bucket in one expression
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
         .cast("int")
-        .alias("salt_raw"),
-    ).withColumn("salt", F.col("salt_raw") % SALT_BUCKETS)
+        .alias("salt"),
+    )
     # dim × salt replication as ONE range (no nested-loop cross join in
     # the plan, even a tiny one): row id encodes (sk, salt).
     dim = spark.range(100 * SALT_BUCKETS).select(
@@ -203,7 +205,14 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_quantity") * F.col("weight")), 2).alias(
+            # decimal sum: exact regardless of partial-sum order, so the
+            # rounded value can't straddle a boundary across engines
+            F.round(
+                F.sum(
+                    (F.col("l_quantity") * F.col("weight")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias(
                 "weighted_qty"
             ),
         )
@@ -216,7 +225,8 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH flat AS (
             SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
-                   l_extendedprice * (1 - l_discount) AS volume,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))
+                       AS volume,
                    sn.n_name AS supp_nation
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -232,9 +242,10 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate <  TIMESTAMP '1998-01-01'
         )
         SELECT yr,
-               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
-                              ELSE 0 END) / sum(volume), 6) AS mkt_share,
-               round(sum(volume), 2) AS total_volume
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18, 4)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+               round(CAST(sum(volume) AS DOUBLE), 2) AS total_volume
         FROM flat
         GROUP BY yr
         ORDER BY yr
@@ -247,7 +258,10 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate per year. Constant dims (nation, region) broadcast; "
         "part/customer/supplier are SF-scaled and left to AQE; the "
         "selective p_type + date predicates push into the scans, "
-        "shrinking the fact before any shuffle."
+        "shrinking the fact before any shuffle. Volume sums as DECIMAL "
+        "(associative-exact, so the rounded share can't straddle a "
+        "boundary by partial-sum order — the q7 lesson), cast to double "
+        "only at output."
     ),
     tags=("join", "agg", "tpch"),
 )
@@ -281,22 +295,25 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .select(
             F.year("o_orderdate").alias("yr"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
             "supp_nation",
         )
     )
+    zero_dec = F.lit(0).cast("decimal(18,4)")
     return (
         flat.groupBy("yr")
         .agg(
             F.round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
-                    .otherwise(F.lit(0.0))
-                )
-                / F.sum("volume"),
+                    .otherwise(zero_dec)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum("volume"), 2).alias("total_volume"),
+            F.round(F.sum("volume").cast("double"), 2).alias("total_volume"),
         )
         .orderBy("yr")
     )

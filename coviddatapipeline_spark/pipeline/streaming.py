@@ -83,20 +83,18 @@ def stream_refresh_gold(
         # commit would replay the batch and duplicate Silver rows — the
         # SURVEY §4.3.2 hazard. Partitioning by batch_id and dynamically
         # overwriting exactly that partition makes the replay a no-op:
-        # effective guarantee is exactly-once for the Silver table.
-        ss = batch_df.sparkSession
-        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(silver_path)
-            )
-        finally:
-            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        cases = ss.read.parquet(silver_path)
+        # effective guarantee is exactly-once for the Silver table. The
+        # overwrite mode is a per-WRITER option, not a session conf
+        # mutation — concurrent writes on the same session keep their own
+        # semantics.
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(silver_path)
+        )
+        cases = batch_df.sparkSession.read.parquet(silver_path)
         for name, builder in (
             ("q1_total_count", G.q1_total_count),
             ("q2_latest_date", G.q2_latest_date),
@@ -141,14 +139,14 @@ def stream_incremental_gold_q5(
     )
 
     def upsert(batch_df, batch_id: int) -> None:
-        # update-mode batch = only rows whose aggregate changed
-        ss = batch_df.sparkSession
-        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            batch_df.write.mode("overwrite").partitionBy("state").parquet(gold_path)
-        finally:
-            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # update-mode batch = only rows whose aggregate changed; dynamic
+        # overwrite scoped to THIS writer (no session-conf mutation)
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("state")
+            .parquet(gold_path)
+        )
 
     return (
         totals.writeStream.outputMode("update")

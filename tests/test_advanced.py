@@ -111,8 +111,14 @@ def test_skew_salted_join_salt_in_plan(spark, parity_sf_dir):
 
 
 def test_ffd_packing_invariants(spark, parity_sf_dir):
-    """FFD fill must beat (or tie) sequential chop on every source, be
-    deterministic, and conserve docs/tokens."""
+    """FFD must conserve docs/tokens vs the chop packer, be
+    deterministic, and respect the capacity-derived bin bounds. (Its
+    bin count is NOT comparable to the chop packer's: chop bins may
+    overflow capacity when a doc straddles a boundary, so chop can
+    report fewer, fuller-than-1.0 bins — asserting FFD <= chop would be
+    wrong.)"""
+    from coviddatapipeline_spark.operators.datapipe import CONTEXT_TOKENS
+
     greedy = {
         r.source: r for r in ALL["pack_sequences_greedy"].fn(spark, parity_sf_dir).collect()
     }
@@ -122,6 +128,9 @@ def test_ffd_packing_invariants(spark, parity_sf_dir):
     for src, g in greedy.items():
         f = ffd1[src]
         assert f.n_docs == g.n_docs and f.total_tokens == g.total_tokens
-        assert f.n_bins <= g.n_bins, f"{src}: FFD used more bins than chop"
-        assert f.fill_ratio >= g.fill_ratio - 1e-9
+        # structural bounds: at least one bin for a non-empty source,
+        # never more bins than docs (each doc lands in exactly one bin)
+        assert 1 <= f.n_bins <= f.n_docs
+        # kernel rounds fill_ratio to 4 decimals
+        assert abs(f.fill_ratio - f.total_tokens / (f.n_bins * CONTEXT_TOKENS)) < 5e-5
         assert ffd2[src] == f  # deterministic
