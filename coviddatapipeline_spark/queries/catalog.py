@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.events",
     "coviddatapipeline_spark.operators.multimodal",
     "coviddatapipeline_spark.operators.tpch_more",
+    "coviddatapipeline_spark.operators.tpch_rest",
     "coviddatapipeline_spark.operators.datapipe",
 )
 
