@@ -75,12 +75,24 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # Full execution: pull results (headline outputs are small aggregates).
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Median of 3 runs per query (NEXT.md #7): single-run numbers on a
+        # shared box carry contention noise bigger than real plan changes;
+        # the median is robust to one slow outlier while still charging
+        # full planning + execution each run (no result caching — each run
+        # rebuilds the DataFrame from the registry callable).
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
+        spread = max(runs) - min(runs)
+        print(
+            f"# {name}: {timings[name]:.3f}s median ({n} rows, "
+            f"spread {spread:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
