@@ -442,6 +442,160 @@ def ivf_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-iteration Lloyd (NEXT.md round-2 #4) ----------------------------
+
+KM_SCALE = 1_000_000  # fixed-point: coord -> round(coord * 1e6) as int64
+KM_DIM = 64
+KM_ITERS = 2  # centroid updates; KM_ITERS + 1 assignment passes total
+
+
+def _km_oracle() -> str:
+    """Unrolled DuckDB CTE chain for KM_ITERS Lloyd updates + final
+    assignment, in the same fixed-point integer arithmetic as the Spark
+    operator (see ivf_kmeans_lloyd doc for why integers)."""
+    parts = [
+        f"""
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cent0 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K})
+        """
+    ]
+    for it in range(1, KM_ITERS + 2):
+        parts.append(f"""
+        a{it} AS (
+            SELECT e.vec_id,
+                   (SELECT c.cid FROM cent{it - 1} c
+                    ORDER BY list_dot_product(e.q::DOUBLE[], c.c::DOUBLE[]) DESC,
+                             c.cid ASC
+                    LIMIT 1) AS cluster
+            FROM e
+        )""")
+        if it <= KM_ITERS:
+            parts.append(f"""
+        m{it} AS (
+            SELECT a{it}.cluster AS cid, u.i,
+                   CAST(floor(sum(e.q[u.i]) * 1.0 / count(*)) AS BIGINT) AS c
+            FROM a{it} JOIN e USING (vec_id),
+                 unnest(generate_series(1, {KM_DIM})) AS u(i)
+            GROUP BY a{it}.cluster, u.i
+        ),
+        cent{it} AS (
+            SELECT c0.cid, COALESCE(m.c, c0.c) AS c
+            FROM cent0 c0
+            LEFT JOIN (SELECT cid, list(c ORDER BY i) AS c
+                       FROM m{it} GROUP BY cid) m USING (cid)
+        )""")
+    last = KM_ITERS + 1
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT a.cluster, count(*) AS n, l.centroid_l1
+        FROM a{last} a
+        JOIN (SELECT cid AS cluster,
+                     CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT)
+                         AS centroid_l1
+              FROM cent{KM_ITERS}) l USING (cluster)
+        GROUP BY a.cluster, l.centroid_l1
+        ORDER BY a.cluster
+    """
+    )
+
+
+@register(
+    "ivf_kmeans_lloyd",
+    oracle=_km_oracle(),
+    doc=(
+        f"Full Lloyd k-means for IVF quantizer training: {KM_ITERS} "
+        "centroid updates + a final assignment, k="
+        f"{KMEANS_K} seeded deterministically from the first k vectors. "
+        "Cross-engine determinism comes from FIXED-POINT arithmetic: "
+        f"coordinates quantize to round(x * {KM_SCALE}) int64, so "
+        "assignment dot products (<= 64 * (2^20)^2 << 2^53) and "
+        "floor-div centroid means are exact integers on both engines — "
+        "an iterative algorithm with float means would diverge on "
+        "partial-sum order alone. Scale shape: per iteration, one "
+        "map-only argmax over k broadcast-literal centroids (no "
+        "shuffle) plus one map-side-combinable agg producing k rows x "
+        f"{KM_DIM} per-dim sums; centroid state (k x {KM_DIM} ints) "
+        "lives on the driver — metadata-sized, like any trained-model "
+        "broadcast. Data never re-partitions across iterations. Ties "
+        "break to the lowest centroid id, empty clusters keep their "
+        "previous centroid (oracle: COALESCE)."
+    ),
+    tags=("datapipe", "similarity", "iterative"),
+)
+def ivf_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
+    cent: dict[int, list[int]] = {
+        int(r["vec_id"]): [int(v) for v in r["q"]] for r in seeds
+    }
+
+    def assign(df: DataFrame) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dot"),
+                    F.lit(-cid).cast("long").alias("neg_cid"),
+                )
+                for cid, c in sorted(cent.items())
+            ]
+        )
+        # lexicographic array_max: max dot, then max -cid (= min cid)
+        return df.withColumn(
+            "cluster", (-F.array_max(scored)["neg_cid"]).cast("long")
+        )
+
+    for _ in range(KM_ITERS):
+        sums = (
+            assign(q)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
+            )
+            .collect()
+        )  # k rows x (dim+1) ints — metadata-sized driver state
+        for r in sums:
+            n = int(r["n"])
+            # Python // floors like both engines' floor(sum/n); sums are
+            # < 2^53 so the SQL double division is exact-then-floored too
+            cent[int(r["cluster"])] = [
+                int(r[f"s{i}"]) // n for i in range(KM_DIM)
+            ]
+
+    l1 = {cid: sum(abs(v) for v in c) for cid, c in cent.items()}
+    l1_map = F.create_map(
+        *[F.lit(x) for cid in sorted(l1) for x in (cid, l1[cid])]
+    )
+    return (
+        assign(q)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .withColumn("centroid_l1", l1_map[F.col("cluster")].cast("long"))
+        .orderBy("cluster")
+    )
+
+
 FRAME_STRIDE = 32
 
 
