@@ -644,9 +644,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup clustering (connected components) ----------------------------
 
 
-def _cc_oracle() -> str:
-    """Recursive-CTE transitive closure over the LSH pair graph: a node's
-    component is the min doc_id it can reach."""
+def _cc_cte() -> str:
+    """Recursive-CTE transitive closure over the LSH pair graph, up to a
+    ``labels(doc_id, component)`` CTE: a node's component is the min
+    doc_id it can reach. Shared by every component-consuming oracle."""
     return f"""
         WITH RECURSIVE pairs AS ({_minhash_sql().replace(';', '')}),
         edges AS (
@@ -659,10 +660,15 @@ def _cc_oracle() -> str:
             SELECT v, v FROM nodes
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
         )
-        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
-        ORDER BY doc_id
     """
+
+
+def _cc_oracle() -> str:
+    return _cc_cte() + " SELECT doc_id, component FROM labels ORDER BY doc_id"
 
 
 @register(
@@ -758,4 +764,152 @@ def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming.agg(F.count("*").alias("n_incoming"))
         .crossJoin(new_docs.agg(F.count("*").alias("n_new")))
         .crossJoin(seen.agg(F.count("*").alias("n_already_seen")))
+    )
+
+
+# --- alternating-star connected components (scale path) --------------------
+
+
+@register(
+    "dedup_components_star",
+    oracle=_cc_oracle(),
+    doc=(
+        "Connected components over the MinHash-LSH near-dup pair graph "
+        "via the ALTERNATING large-star/small-star algorithm (Kiveris "
+        "et al., 'Connected Components in MapReduce and Beyond', SoCC "
+        "2014): large-star hooks every strictly-larger neighbor of u to "
+        "min(N(u) u {u}); small-star hooks the smaller neighbors; the "
+        "pair converges in O(log^2 n) rounds REGARDLESS of graph "
+        "diameter — the scale path when near-dup chains are long "
+        "(min-label propagation in dedup_near_dup_components needs "
+        "diameter rounds). Each half-round is one partial-aggregated "
+        "groupBy min + one equi-join on the (corpus-small) edge set; "
+        "edge sets shrink monotonically toward stars. Same output and "
+        "oracle as the propagation form — a differently-planned replica."
+    ),
+    tags=("dedup", "iterative"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+    def bidirect(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    def large_star(bi: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) u {u}); emit {v, m} for v in N(u), v > u.
+        mins = (
+            bi.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        return (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(bi: DataFrame) -> DataFrame:
+        # m(u) = min over strictly-smaller neighbors (all < u, so m < u);
+        # emit {v, m} for those neighbors plus {u, m}.
+        sm = bi.filter(F.col("v") < F.col("u"))
+        mins = sm.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            sm.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).persist()
+    for _ in range(12):  # O(log^2 n) bound; the check below exits early
+        new_edges = small_star(bidirect(large_star(bidirect(edges)))).persist()
+        changed = (
+            new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            break
+    # At the star fixpoint every node's neighborhood is exactly its
+    # component root (or, for the root, its members): label = min(u, N(u)).
+    return (
+        bidirect(edges)
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.min("v").alias("mn"))
+        .select("doc_id", F.least(F.col("mn"), F.col("doc_id")).alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_canonical_doc_per_component",
+    oracle=_cc_cte()
+    + """
+        , all_docs AS (
+            SELECT d.doc_id,
+                   COALESCE(l.component, d.doc_id) AS component,
+                   d.n_chars
+            FROM documents d LEFT JOIN labels l USING (doc_id)
+        ),
+        ranked AS (
+            SELECT component, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY component) AS n_docs
+            FROM all_docs
+        )
+        SELECT component, doc_id AS kept_doc_id, n_docs,
+               n_docs - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
+        ORDER BY component
+    """,
+    doc=(
+        "Canonical-document selection: the step that turns near-dup "
+        "components into an actual deduped corpus. Every document joins "
+        "its component label (singletons keep their own id — a LEFT "
+        "join, not inner), then one representative survives per "
+        "component: the longest text, ties to the lowest doc_id. The "
+        "argmax is a row_number window PARTITIONED by component — never "
+        "global — so the plan is one broadcast-ish left join (labels "
+        "are corpus-small) plus one partitioned window; scale-safe at "
+        "any corpus size."
+    ),
+    tags=("dedup", "window"),
+)
+def dedup_canonical_doc_per_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = dedup_near_dup_components(spark, sf_dir)
+    with_comp = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        with_comp.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
     )

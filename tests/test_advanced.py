@@ -134,3 +134,33 @@ def test_ffd_packing_invariants(spark, parity_sf_dir):
         # kernel rounds fill_ratio to 4 decimals
         assert abs(f.fill_ratio - f.total_tokens / (f.n_bins * CONTEXT_TOKENS)) < 5e-5
         assert ffd2[src] == f  # deterministic
+
+
+def test_star_cc_equals_propagation_cc(spark, parity_sf_dir):
+    """The alternating-star components must agree exactly with the
+    min-label-propagation components — same labels, any graph."""
+    from coviddatapipeline_spark.operators.dedup import (
+        dedup_components_star,
+        dedup_near_dup_components,
+    )
+
+    star = {r["doc_id"]: r["component"]
+            for r in dedup_components_star(spark, parity_sf_dir).collect()}
+    prop = {r["doc_id"]: r["component"]
+            for r in dedup_near_dup_components(spark, parity_sf_dir).collect()}
+    assert star == prop and len(star) > 0
+
+
+def test_canonical_doc_no_global_window(spark, parity_sf_dir):
+    """The per-component argmax window must be partitioned — no
+    Exchange SinglePartition over the SF-scaled documents table."""
+    from coviddatapipeline_spark.operators.dedup import (
+        dedup_canonical_doc_per_component,
+    )
+    from coviddatapipeline_spark.plans import executed_plan
+
+    plan = executed_plan(dedup_canonical_doc_per_component(spark, parity_sf_dir))
+    # the final .orderBy is a global sort of the (tiny) component summary;
+    # strip it before asserting, then require no other single-partition stage
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange SinglePartition" not in body
