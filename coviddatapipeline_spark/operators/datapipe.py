@@ -650,3 +650,162 @@ def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- corpus mixing / budgeting (round-2 tail) ------------------------------
+
+
+@register(
+    "mix_source_temperature_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(sum(len({_TOKENS.format(x='text')})) AS BIGINT)
+                       AS tokens_total,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(sqrt(tokens_total)) AS z FROM per)
+        SELECT source, tokens_total, n_docs,
+               round(sqrt(tokens_total) / z, 6) AS weight,
+               round(1e7 * (sqrt(tokens_total) / z) / tokens_total, 4)
+                   AS epochs_at_10m
+        FROM per, tot
+        ORDER BY source
+    """,
+    doc=(
+        "Temperature-based source mixing (alpha = 0.5): sampling weight "
+        "w_s = sqrt(tokens_s) / sum_i sqrt(tokens_i) — the standard "
+        "upweight-the-tail mix (multilingual-BERT exponent-smoothed "
+        "sampling, Pile-style source weighting) that keeps small "
+        "high-quality sources from being drowned by web crawl. "
+        "epochs_at_10m = how many passes over each source a 10M-token "
+        "budget implies — epochs >> 1 flags sources the mix would "
+        "over-repeat. alpha = 0.5 is deliberate: sqrt is IEEE-exact on "
+        "both engines where pow(x, 0.3) can differ by 1 ulp across "
+        "libms. Plan: one map-side-combinable agg over the corpus, then "
+        "arithmetic on a per-source frame of |sources| rows joined back "
+        "via broadcast cross-join — nothing global touches data."
+    ),
+    tags=("datapipe", "sampling", "agg"),
+)
+def mix_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens(F.col("text")))).alias("tokens_total"),
+        F.count("*").alias("n_docs"),
+    )
+    tot = per.agg(F.sum(F.sqrt(F.col("tokens_total"))).alias("z"))
+    w = F.sqrt(F.col("tokens_total")) / F.col("z")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens_total",
+            "n_docs",
+            F.round(w, 6).alias("weight"),
+            F.round(F.lit(1e7) * w / F.col("tokens_total"), 4).alias("epochs_at_10m"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_PER_LANG = 2_000
+
+
+@register(
+    "sample_token_budget_per_lang",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len({_TOKENS.format(x='text')}) AS toks,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, toks,
+                   sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id)
+                       AS cum
+            FROM d
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(toks) AS BIGINT) AS tokens_kept
+        FROM c WHERE cum <= {TOKEN_BUDGET_PER_LANG}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc=(
+        f"Token-budget subsampling: each language keeps documents — in "
+        "deterministic md5(doc_id) shuffle order, so the 'random' "
+        "sample is reproducible with no RNG state — until the running "
+        f"token total reaches {TOKEN_BUDGET_PER_LANG}. The cumulative "
+        "sum is a window PARTITIONED BY lang (never global), ordered by "
+        "a unique (hash, doc_id) key so RANGE/ROWS frames agree across "
+        "engines. This is the per-language cap step of corpus balancing "
+        "— one hash-partitioned shuffle on lang, then a streaming "
+        "running sum within each partition."
+    ),
+    tags=("datapipe", "sampling", "window"),
+)
+def sample_token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = F.sum("toks").over(
+        W.partitionBy("lang").orderBy("h", "doc_id")
+    )
+    return (
+        d.withColumn("cum", cum)
+        .filter(F.col("cum") <= TOKEN_BUDGET_PER_LANG)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("toks").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+        SELECT u.i - 1 AS dim,
+               round(avg(embedding[u.i]::DOUBLE), 6) AS mean,
+               round(stddev(embedding[u.i]::DOUBLE), 6) AS std,
+               round(min(embedding[u.i]::DOUBLE), 6) AS vmin,
+               round(max(embedding[u.i]::DOUBLE), 6) AS vmax
+        FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+        GROUP BY u.i
+        ORDER BY dim
+    """,
+    doc=(
+        "Per-dimension embedding statistics (mean/std/min/max over all "
+        "64 dims): the feature-drift / normalization audit a vector "
+        "pipeline runs before quantization or index training — a dim "
+        "with collapsed variance is dead weight, a shifted mean breaks "
+        "a dot-product index built on centered data. posexplode fans "
+        "each vector to (dim, value) rows — 64x row growth but tiny "
+        "fixed-width rows — then one map-side-combinable agg keyed on "
+        "dim (64 groups, perfectly parallel, no skew possible). Floats "
+        "widen to double BEFORE aggregation on both engines."
+    ),
+    tags=("datapipe", "similarity", "agg"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(x), 6).alias("mean"),
+            F.round(F.stddev(x), 6).alias("std"),
+            F.round(F.min(x), 6).alias("vmin"),
+            F.round(F.max(x), 6).alias("vmax"),
+        )
+        .orderBy("dim")
+    )

@@ -301,3 +301,137 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("error_pct") > 15.0)
         .orderBy("hour")
     )
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND ts > t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND ts > t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_click_after_view,
+               (SELECT count(*) FROM s3) AS n_purchase_after_click,
+               round((SELECT count(*) FROM s3) * 1.0
+                     / (SELECT count(*) FROM s1), 4) AS full_conversion
+    """,
+    doc=(
+        "Strict-order conversion funnel (view -> click -> purchase): a "
+        "user advances a step only with an event STRICTLY AFTER their "
+        "previous step's first occurrence — the product-analytics "
+        "staple. Three chained conditional min-aggregations, each a "
+        "user-keyed shuffle; after the first, every join is "
+        "co-partitioned on user_id, so steps 2..k reuse the "
+        "partitioning. Never a window over all users, never a driver "
+        "loop — depth-k funnels are k joins."
+    ),
+    tags=("events", "agg", "join"),
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
+        .select(
+            "*",
+            F.round(
+                F.col("n_purchase_after_click") * 1.0 / F.col("n_view"), 4
+            ).alias("full_conversion"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   CAST(date_diff('day', f.cohort,
+                                  date_trunc('week', e.ts)) / 7 AS BIGINT)
+                       AS week_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+               count(*) AS n_active
+        FROM act
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    doc=(
+        "Weekly retention cohorts: users grouped by first-seen week, "
+        "counted distinct-active per subsequent week offset — the "
+        "classic retention triangle. Plan: one user-keyed min-agg "
+        "(first touch), one co-partitioned join back to events, one "
+        "distinct + count keyed on (cohort, offset). Both week starts "
+        "are Monday-aligned on both engines, so the day-diff is an "
+        "exact multiple of 7 and the integer division is engine-safe."
+    ),
+    tags=("events", "agg", "timeseries"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.to_date(F.col("cohort")),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
