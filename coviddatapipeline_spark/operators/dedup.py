@@ -698,8 +698,10 @@ def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge graph is the candidate-pair set — orders of magnitude
     # smaller than the corpus — so a driver-controlled convergence loop
     # of small Spark jobs is the right shape (same structure GraphX /
-    # GraphFrames uses). Localized checkpointing via persist per round
-    # keeps lineage bounded.
+    # GraphFrames uses). Eager localCheckpoint per round truncates both
+    # lineage AND the logical plan — each round references the previous
+    # labels frame 3x, so persist alone leaves 3^rounds analyzer growth.
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(20):  # >= graph diameter in practice; loop exits early
         msgs = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -709,14 +711,13 @@ def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -791,6 +792,17 @@ def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return star_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ).select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+def star_components(edge_df: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Alternating-star connected components over an ``(a, b)`` edge
+    frame (undirected, self-loop-free): returns ``(node, component)``
+    where component = min node id reachable. Graph-agnostic core so the
+    algorithm is property-testable on arbitrary graphs, not just the
+    LSH pair graph."""
 
     def bidirect(e: DataFrame) -> DataFrame:
         return (
@@ -827,15 +839,20 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).persist()
-    for _ in range(12):  # O(log^2 n) bound; the check below exits early
-        new_edges = small_star(bidirect(large_star(bidirect(edges)))).persist()
+    # localCheckpoint per round, not persist: each round's plan references
+    # the previous frame ~16x (bidirect x2, join-back x2, twice per
+    # half-round), so without TRUNCATING THE LOGICAL PLAN the analyzer
+    # cost grows 16^rounds — persist only truncates execution. Eager
+    # checkpoint materializes the (corpus-small) edge set once per round;
+    # on a cluster, reliable checkpointing gives the same truncation.
+    edges = edge_df.localCheckpoint(eager=True)
+    for _ in range(max_rounds):  # O(log^2 n) bound; the check exits early
+        new_edges = small_star(bidirect(large_star(bidirect(edges)))).localCheckpoint(
+            eager=True
+        )
         changed = (
             new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
         )
-        edges.unpersist()
         edges = new_edges
         if changed == 0:
             break
@@ -843,10 +860,9 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component root (or, for the root, its members): label = min(u, N(u)).
     return (
         bidirect(edges)
-        .groupBy(F.col("u").alias("doc_id"))
+        .groupBy(F.col("u").alias("node"))
         .agg(F.min("v").alias("mn"))
-        .select("doc_id", F.least(F.col("mn"), F.col("doc_id")).alias("component"))
-        .orderBy("doc_id")
+        .select("node", F.least(F.col("mn"), F.col("node")).alias("component"))
     )
 
 

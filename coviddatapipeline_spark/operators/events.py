@@ -331,12 +331,15 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Strict-order conversion funnel (view -> click -> purchase): a "
         "user advances a step only with an event STRICTLY AFTER their "
-        "previous step's first occurrence — the product-analytics "
-        "staple. Three chained conditional min-aggregations, each a "
+        "previous step's first occurrence. Deliberately different "
+        "semantics from events_funnel_conversion (reshape.py), which "
+        "compares GLOBAL first-occurrence timestamps in one pass — "
+        "that form misses a user whose only click precedes their first "
+        "view but who clicks again after it; this form catches them. "
+        "The price is one chained conditional min-agg per step, each a "
         "user-keyed shuffle; after the first, every join is "
-        "co-partitioned on user_id, so steps 2..k reuse the "
-        "partitioning. Never a window over all users, never a driver "
-        "loop — depth-k funnels are k joins."
+        "co-partitioned on user_id. Never a window over all users, "
+        "never a driver loop — depth-k funnels are k joins."
     ),
     tags=("events", "agg", "join"),
 )
@@ -375,63 +378,76 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
-    "events_retention_cohorts",
+    "events_hourly_gapfill_locf",
     oracle="""
-        WITH firsts AS (
-            SELECT user_id, date_trunc('week', min(ts)) AS cohort
-            FROM events GROUP BY user_id
+        WITH daily AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(sum(value), 2) AS v, count(*) AS n
+            FROM events GROUP BY 1, 2
         ),
-        act AS (
-            SELECT DISTINCT e.user_id, f.cohort,
-                   CAST(date_diff('day', f.cohort,
-                                  date_trunc('week', e.ts)) / 7 AS BIGINT)
-                       AS week_offset
-            FROM events e JOIN firsts f USING (user_id)
+        bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM daily),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+            FROM types t, bounds
+        ),
+        j AS (
+            SELECT s.event_type, s.hr, d.v, COALESCE(d.n, 0) AS n
+            FROM spine s LEFT JOIN daily d USING (event_type, hr)
         )
-        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
-               count(*) AS n_active
-        FROM act
-        GROUP BY 1, 2
-        ORDER BY cohort_week, week_offset
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+               n AS n_events,
+               CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled
+        FROM j ORDER BY event_type, hour
     """,
     doc=(
-        "Weekly retention cohorts: users grouped by first-seen week, "
-        "counted distinct-active per subsequent week offset — the "
-        "classic retention triangle. Plan: one user-keyed min-agg "
-        "(first touch), one co-partitioned join back to events, one "
-        "distinct + count keyed on (cohort, offset). Both week starts "
-        "are Monday-aligned on both engines, so the day-diff is an "
-        "exact multiple of 7 and the integer division is engine-safe."
+        "Time-series gap filling: a complete hourly spine per event "
+        "type (generated, not scanned — F.sequence over the observed "
+        "min/max), left-joined to the hourly rollup, missing hours "
+        "forward-filled (LOCF) with the last observed value via an "
+        "IGNORE NULLS window. Scale shape: the only data-sized work is "
+        "the hourly pre-aggregation (one keyed shuffle with map-side "
+        "combine); the spine and the LOCF window run on the REDUCED "
+        "frame (types x hours — metadata-sized at any corpus scale), "
+        "partitioned by event_type, never global."
     ),
-    tags=("events", "agg", "timeseries"),
+    tags=("events", "timeseries", "window"),
 )
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    act = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort",
-            (
-                F.datediff(
-                    F.to_date(F.date_trunc("week", F.col("ts"))),
-                    F.to_date(F.col("cohort")),
-                )
-                / 7
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = (
+        ev.select("event_type")
         .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        act.groupBy(
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-            "week_offset",
+        j.select(
+            "event_type",
+            F.date_format("hr", _FMT).alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
-        .agg(F.count("*").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        .orderBy("event_type", "hour")
     )

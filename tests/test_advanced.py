@@ -164,3 +164,45 @@ def test_canonical_doc_no_global_window(spark, parity_sf_dir):
     # strip it before asserting, then require no other single-partition stage
     body = plan.split("Sort", 1)[-1]
     assert "Exchange SinglePartition" not in body
+
+
+def test_star_components_vs_union_find(spark):
+    """star_components on adversarial graphs (long chain — diameter far
+    beyond the round budget if rounds scaled with diameter — plus
+    disjoint cliques and a seeded random graph) must match a Python
+    union-find exactly."""
+    import random
+
+    from coviddatapipeline_spark.operators.dedup import star_components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    graphs = {
+        # 60-node chain: diameter 59 >> 12 rounds — only a
+        # diameter-independent algorithm converges inside the budget
+        "chain": [(i, i + 1) for i in range(60)],
+        "cliques": [(10 * c + i, 10 * c + j)
+                    for c in range(3) for i in range(5) for j in range(i + 1, 5)],
+        "random": list({tuple(sorted(rng.sample(range(40), 2)))
+                        for _ in range(50)}),
+    }
+    for name, edges in graphs.items():
+        df = spark.createDataFrame(edges, "a: long, b: long")
+        got = {r["node"]: r["component"]
+               for r in star_components(df).collect()}
+        assert got == uf_components(edges), name
