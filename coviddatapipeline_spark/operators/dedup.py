@@ -929,3 +929,81 @@ def dedup_canonical_doc_per_component(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("component")
     )
+
+
+# --- edit-distance near-dup (blocked) --------------------------------------
+
+LEV_PREFIX_CHARS = 60
+LEV_MAX_DIST = 8
+LEV_MAX_BLOCK = 100
+
+
+@register(
+    "dedup_levenshtein_candidates",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   array_to_string(({_TOKENS.format(x='text')})[1:3], ' ')
+                       AS blk,
+                   substr({_NORM.format(x='text')}, 1, {LEV_PREFIX_CHARS})
+                       AS pfx
+            FROM documents
+        ),
+        ok_blocks AS (
+            SELECT blk FROM keyed GROUP BY blk
+            HAVING count(*) BETWEEN 2 AND {LEV_MAX_BLOCK}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.pfx, b.pfx) AS edit_dist
+            FROM keyed a
+            JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            JOIN ok_blocks ob ON a.blk = ob.blk
+        )
+        SELECT doc_a, doc_b, edit_dist FROM pairs
+        WHERE edit_dist <= {LEV_MAX_DIST}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Edit-distance near-dup candidates, BLOCKED: docs sharing their "
+        "first-3-token prefix form a block; Levenshtein (JVM built-in, "
+        "not a UDF) runs only on within-block pairs with distance <= "
+        f"{LEV_MAX_DIST} over the first {LEV_PREFIX_CHARS} normalized "
+        "chars. The equi-join on the block key is the standard "
+        "record-linkage blocking trick — cost is sum(block^2), never "
+        f"n^2 — and blocks above {LEV_MAX_BLOCK} docs are dropped "
+        "(boilerplate prefixes; same df-cap reasoning as "
+        "MAX_SHINGLE_DF in the Jaccard join). Complements MinHash: "
+        "edit distance catches small in-place edits that shingle "
+        "overlap under-weights in short documents."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    keyed = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("blk"),
+        F.substring(_norm(F.col("text")), 1, LEV_PREFIX_CHARS).alias("pfx"),
+    )
+    ok_blocks = (
+        keyed.groupBy("blk")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= LEV_MAX_BLOCK))
+        .select("blk")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    ok = ok_blocks.select(F.col("blk").alias("ok_blk"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(ok, F.col("a.blk") == F.col("ok_blk"), "left_semi")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -423,3 +423,44 @@ def stats_moments_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "stats_regression_qty_price",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2)
+                   AS intercept,
+               round(corr(l_extendedprice, l_quantity), 4) AS r,
+               round(covar_samp(l_extendedprice, l_quantity), 2) AS cov
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc=(
+        "Built-in linear-regression aggregates (regr_slope / "
+        "regr_intercept / corr / covar_samp) of extended price on "
+        "quantity per return flag: the one-pass distributed OLS Spark "
+        "ships as JVM aggregates — sums/products accumulate map-side, "
+        "no second pass, no collect. Rounding absorbs partial-sum "
+        "association noise (doubles): 4 decimals where the statistic "
+        "is scale-free (slope, r), 2 where it carries price magnitude."
+    ),
+    tags=("agg", "analytics"),
+)
+def stats_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(price, qty), 4).alias("slope"),
+            F.round(F.regr_intercept(price, qty), 2).alias("intercept"),
+            F.round(F.corr(price, qty), 4).alias("r"),
+            F.round(F.covar_samp(price, qty), 2).alias("cov"),
+        )
+        .orderBy("l_returnflag")
+    )
