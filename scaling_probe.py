@@ -89,13 +89,57 @@ def main() -> None:
         )
         t_rank = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # iterative-graph shape: alternating-star CC over a synthetic
+        # pair graph that scales with mult (chains of 8 + triangles) —
+        # catches lineage/plan growth and per-round shuffle bloat that
+        # a single-pass plan never shows
+        from coviddatapipeline_spark.operators.dedup import star_components
+
+        n_nodes = 20_000 * mult
+        ids = spark.range(n_nodes)
+        chain = ids.filter((F.col("id") % 8) != 7).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        tri = ids.filter((F.col("id") % 1000) == 0).select(
+            F.col("id").alias("a"), (F.col("id") + 4).alias("b")
+        )
+        n_comp = star_components(chain.union(tri)).select("component").distinct().count()
+        t_cc = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # funnel shape: chained conditional min-aggs co-partitioned on
+        # user (events replicated with shifted user ids)
+        from coviddatapipeline_spark.operators.events import (
+            events_funnel_view_click_purchase,
+        )
+        from coviddatapipeline_spark.operators import common as _c
+
+        ev_raw = _c.events(spark, sf_dir)
+        ev = replicate(ev_raw, ["user_id", "event_id"], mult)
+        s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("t1")
+        )
+        s2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        s2.count()
+        t_funnel = time.perf_counter() - t0
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
         orows = 150_000 * mult
+        erows = 100_000 * mult
         print(
             f"mult={mult:2d}  rows~{rows:>8,}  join+agg={t_join:6.2f}s "
             f"({rows/t_join/1e6:5.2f}M rows/s)  wide-agg={t_agg:6.2f}s "
             f"({rows/t_agg/1e6:5.2f}M rows/s)  global-rank={t_rank:6.2f}s "
-            f"({orows/t_rank/1e6:5.2f}M rows/s)"
+            f"({orows/t_rank/1e6:5.2f}M rows/s)  star-cc={t_cc:6.2f}s "
+            f"({n_nodes/t_cc/1e6:5.2f}M nodes/s, {n_comp} comps)  "
+            f"funnel={t_funnel:6.2f}s ({erows/t_funnel/1e6:5.2f}M rows/s)"
         )
 
 
