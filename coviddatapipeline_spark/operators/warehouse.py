@@ -1,0 +1,231 @@
+"""Warehouse-surface operators: the SQL API twin, declarative data-
+quality constraint auditing, and slowly-changing-dimension (SCD2)
+merge — the operations a lakehouse team runs around the queries, not
+inside them.
+
+Scale posture: every check/merge below is anti-join / semi-join /
+map-side-combinable aggregation on keys the data is already shuffled
+by — no globals, no collects, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.queries.catalog import register
+
+
+@register(
+    "sql_api_flagship_twin",
+    oracle="""
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    doc=(
+        "The flagship join-agg expressed through the SECOND API surface "
+        "— spark.sql over registered temp views, with the broadcast "
+        "decision as a SQL hint (/*+ BROADCAST(nation) */) instead of "
+        "F.broadcast. Proves DataFrame and SQL front-ends compile to "
+        "the same Catalyst plan: same joins, same partial aggregation, "
+        "same result hash as flagship_revenue_by_nation. A user who "
+        "prefers SQL gets the whole engine through this door."
+    ),
+    tags=("join", "agg", "sql"),
+)
+def sql_api_flagship_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation) */
+               n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+        """
+    )
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+        SELECT 'orders_pk_unique' AS check_name,
+               count(*) - count(DISTINCT o_orderkey) AS n_violations,
+               count(*) AS n_checked
+        FROM orders
+        UNION ALL
+        SELECT 'orders_fk_customer', count(*), (SELECT count(*) FROM orders)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_fk_orders', count(*), (SELECT count(*) FROM lineitem)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_positive_qty',
+               count(*) FILTER (WHERE l_quantity <= 0), count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer_name_not_null',
+               count(*) FILTER (WHERE c_name IS NULL), count(*)
+        FROM customer
+        ORDER BY check_name
+    """,
+    doc=(
+        "Declarative data-quality audit — one row per constraint "
+        "(PK uniqueness, two FK referential checks, a range check, a "
+        "positivity check, a NOT NULL check) with violation and "
+        "checked counts. The expectations-suite shape (Great-"
+        "Expectations-style) as pure relational algebra: FK checks are "
+        "anti-joins (count of orphans), everything else map-side "
+        "conditional counts; each check is independently parallel and "
+        "none materializes violating rows unless asked."
+    ),
+    tags=("agg", "analytics", "join"),
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    def row(name: str, viol: DataFrame, checked: DataFrame) -> DataFrame:
+        return (
+            viol.agg(F.count("*").alias("n_violations"))
+            .crossJoin(checked.agg(F.count("*").alias("n_checked")))
+            .select(F.lit(name).alias("check_name"), "n_violations", "n_checked")
+        )
+
+    pk = (
+        orders.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations", "n_checked")
+    )
+    fk_cust = row(
+        "orders_fk_customer",
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+        orders,
+    )
+    fk_ord = row(
+        "lineitem_fk_orders",
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
+        lineitem,
+    )
+    disc = row(
+        "lineitem_discount_range",
+        lineitem.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        lineitem,
+    )
+    qty = row(
+        "lineitem_positive_qty", lineitem.filter(F.col("l_quantity") <= 0), lineitem
+    )
+    cname = row("customer_name_not_null", customer.filter(F.col("c_name").isNull()), customer)
+    return (
+        pk.unionByName(fk_cust)
+        .unionByName(fk_ord)
+        .unionByName(disc)
+        .unionByName(qty)
+        .unionByName(cname)
+        .orderBy("check_name")
+    )
+
+
+SCD2_UPDATE_MOD = 7  # deterministic "changed rows" batch: custkey % 7 == 0
+
+
+@register(
+    "scd2_customer_merge",
+    oracle=f"""
+        WITH updates AS (
+            SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % {SCD2_UPDATE_MOD} = 0
+        ),
+        closed AS (
+            SELECT c.c_mktsegment FROM customer c
+            JOIN updates u USING (c_custkey)
+        ),
+        current AS (
+            SELECT c.c_mktsegment, c.c_acctbal FROM customer c
+            LEFT JOIN updates u USING (c_custkey) WHERE u.c_custkey IS NULL
+            UNION ALL
+            SELECT c_mktsegment, c_acctbal FROM updates
+        )
+        SELECT cur.c_mktsegment AS segment,
+               count(*) AS n_current,
+               COALESCE(cl.n_closed, 0) AS n_closed,
+               round(sum(cur.c_acctbal), 2) AS sum_acctbal
+        FROM current cur
+        LEFT JOIN (SELECT c_mktsegment, count(*) AS n_closed
+                   FROM closed GROUP BY c_mktsegment) cl
+            ON cur.c_mktsegment = cl.c_mktsegment
+        GROUP BY cur.c_mktsegment, cl.n_closed
+        ORDER BY segment
+    """,
+    doc=(
+        "SCD Type-2 merge: an update batch (deterministically derived — "
+        f"every {SCD2_UPDATE_MOD}th customer gets a balance change) "
+        "applied to the customer dimension. Changed keys CLOSE their "
+        "old version (valid_to stamped — the semi-join side) and INSERT "
+        "the new version; unchanged keys pass through the anti-join. "
+        "Audited per segment: current row count, closed-version count, "
+        "current balance total. This is the upsert-without-Delta "
+        "pattern: semi + anti joins on the business key, then a "
+        "union — every step key-partitioned, merge cost O(dim + batch) "
+        "with the batch side broadcastable when small."
+    ),
+    tags=("join", "agg", "reshape"),
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    updates = (
+        customer.filter(F.col("c_custkey") % SCD2_UPDATE_MOD == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+    )
+    closed = customer.join(updates.select("c_custkey"), "c_custkey", "left_semi")
+    current = (
+        customer.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+        .select("c_mktsegment", "c_acctbal")
+        .unionByName(updates.select("c_mktsegment", "c_acctbal"))
+    )
+    n_closed = (
+        closed.groupBy("c_mktsegment").agg(F.count("*").alias("n_closed"))
+    )
+    return (
+        current.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_current"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .join(
+            n_closed.select(F.col("c_mktsegment").alias("segment"), "n_closed"),
+            "segment",
+            "left",
+        )
+        .select(
+            "segment",
+            "n_current",
+            F.coalesce(F.col("n_closed"), F.lit(0)).alias("n_closed"),
+            "sum_acctbal",
+        )
+        .orderBy("segment")
+    )

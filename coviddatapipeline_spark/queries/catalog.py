@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.tpch_more",
     "coviddatapipeline_spark.operators.tpch_rest",
     "coviddatapipeline_spark.operators.datapipe",
+    "coviddatapipeline_spark.operators.warehouse",
 )
 
 
