@@ -1,0 +1,282 @@
+"""Information-retrieval scoring over the ``documents`` table — the
+corpus-statistics layer a training-data pipeline uses for relevance
+filtering, query-based corpus slicing, and collocation mining:
+
+- TF-IDF top terms per document (corpus-weighted keyword extraction),
+- BM25 scoring against a fixed query (the Lucene-style retrieval
+  function, used to mine domain-relevant subsets out of a crawl),
+- adjacent-bigram PMI (collocation strength — multiword-expression
+  mining for tokenizer/vocab construction).
+
+All three are pure relational algebra: explode → groupBy → join →
+window, no Python anywhere. Corpus-level scalars (N, avgdl, totals)
+ride a broadcast cross-join, never a ``collect()``.
+
+Scale posture: the token explode is map-side; per-(doc, term) and
+per-term aggregations are the two shuffles, both map-side-combinable.
+The per-term (vocabulary-sized) side of each join is orders of
+magnitude smaller than the corpus — AQE broadcasts it at real scale.
+Ranking windows partition by doc_id (TF-IDF) or are over
+vocabulary-sized inputs (PMI top-k, BM25 top-k over matching docs
+only) — no unpartitioned window over SF-scaled data. Cross-engine
+ranking determinism: every ORDER BY ranks on round(score, 6) with a
+total-order tiebreak, so a sub-ulp ln() difference between libm and
+the JVM can never flip the selected set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.text import _NORM, _TOKENS, _norm, _tokens
+from coviddatapipeline_spark.queries.catalog import register
+
+_TOK = _TOKENS.format(x="text")
+
+# BM25 constants (the standard Robertson/Lucene defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "hash", "window")
+_Q_SQL = "(" + ", ".join(f"'{w}'" for w in BM25_QUERY) + ")"
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, rnk,
+               round(score, 4) AS tfidf
+        FROM (SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY round(score, 6) DESC, term) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    doc=(
+        "Corpus-weighted keyword extraction: top-3 TF-IDF terms per "
+        "document (tf x ln(N/df)). Term frequency and document "
+        "frequency are two map-side-combinable aggregations; N rides a "
+        "broadcast cross-join; the df join's vocabulary side is tiny "
+        "relative to the corpus (AQE broadcasts it at scale); the "
+        "ranking window partitions by doc_id, so every partition is a "
+        "single document's vocabulary."
+    ),
+    tags=("text", "agg", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", F.round("score", 4).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "bm25_fixed_query",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, len({_TOK}) AS dl FROM documents
+        ),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            WHERE term IN {_Q_SQL}
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN avgdl CROSS JOIN n
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scored
+        ORDER BY round(score, 6) DESC, doc_id
+        LIMIT 20
+    """,
+    doc=(
+        "BM25 retrieval scoring against a fixed query "
+        f"({', '.join(BM25_QUERY)}; k1={BM25_K1}, b={BM25_B}, Lucene "
+        "idf = ln(1 + (N-df+0.5)/(df+0.5))): top-20 matching documents. "
+        "The term explode is filtered to the query terms BEFORE any "
+        "shuffle, so the per-(doc, term) aggregation only carries docs "
+        "that matched — corpus scans once, everything downstream is "
+        "match-sized. avgdl and N are broadcast scalars; df has at "
+        "most |query| rows. This is the 'mine relevant docs out of "
+        "100 TB of crawl' primitive."
+    ),
+    tags=("text", "agg", "join"),
+)
+def bm25_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+        .orderBy(F.round(F.col("score"), 6).desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "bigram_pmi_top",
+    oracle=f"""
+        WITH bi AS (
+            SELECT bigram, count(*) AS c_xy
+            FROM (
+                SELECT unnest(list_transform(
+                           generate_series(1, len({_TOK}) - 1),
+                           i -> array_to_string(({_TOK})[i:i+1], ' ')
+                       )) AS bigram
+                FROM documents
+            )
+            GROUP BY bigram
+        ),
+        uni AS (
+            SELECT term, count(*) AS c
+            FROM (SELECT unnest({_TOK}) AS term FROM documents)
+            GROUP BY term
+        ),
+        tot AS (
+            SELECT (SELECT sum(c_xy) FROM bi) AS t_bi,
+                   (SELECT sum(c) FROM uni) AS t_uni
+        )
+        SELECT bigram,
+               c_xy,
+               round(ln((c_xy * 1.0 / t_bi)
+                        / ((ux.c * 1.0 / t_uni) * (uy.c * 1.0 / t_uni))),
+                     4) AS pmi
+        FROM bi
+        JOIN uni ux ON ux.term = string_split(bigram, ' ')[1]
+        JOIN uni uy ON uy.term = string_split(bigram, ' ')[2]
+        CROSS JOIN tot
+        WHERE c_xy >= {PMI_MIN_COUNT}
+        ORDER BY round(ln((c_xy * 1.0 / t_bi)
+                          / ((ux.c * 1.0 / t_uni) * (uy.c * 1.0 / t_uni))),
+                       6) DESC, bigram
+        LIMIT 15
+    """,
+    doc=(
+        "Collocation mining: top-15 adjacent-token bigrams by pointwise "
+        "mutual information, ln(p(xy) / (p(x) p(y))), with a minimum "
+        f"pair count of {PMI_MIN_COUNT} (PMI's low-frequency bias "
+        "guard). Bigram and unigram counts are two map-side-combinable "
+        "explode-aggregations; corpus totals are broadcast scalars; "
+        "both PMI joins attach the vocabulary-sized unigram table to "
+        "the bigram table (vocab^2-bounded, frequency-capped) — "
+        "nothing downstream of the two explodes is corpus-sized. The "
+        "multiword-expression signal used to seed tokenizer vocabs."
+    ),
+    tags=("text", "agg", "join"),
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = F.broadcast(
+        bi.agg(F.sum("c_xy").alias("t_bi")).crossJoin(
+            uni.agg(F.sum("c").alias("t_uni"))
+        )
+    )
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.log(
+        (F.col("c_xy") / F.col("t_bi"))
+        / ((F.col("c_x") / F.col("t_uni")) * (F.col("c_y") / F.col("t_uni")))
+    )
+    return (
+        bi.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("y", F.split(F.col("bigram"), " ").getItem(1))
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(tot)
+        .select("bigram", "c_xy", pmi.alias("pmi_raw"))
+        .orderBy(F.round(F.col("pmi_raw"), 6).desc(), "bigram")
+        .limit(15)
+        .select("bigram", "c_xy", F.round("pmi_raw", 4).alias("pmi"))
+    )

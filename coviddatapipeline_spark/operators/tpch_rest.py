@@ -15,9 +15,10 @@ l_commitdate / l_receiptdate / p_container / partsupp table):
   over the part join — the OR-of-ANDs pushdown shape.
 
 With these the registry covers every TPC-H query topology:
-Q1 (``pricing_summary``), Q5 (``flagship_revenue_by_nation``), and
-Q2/3/4/6/7/8/9/10/11/12/13/14/15/16/17/18/19/20/21/22 here and in
-``advanced`` / ``tpch_more``.
+Q1 (``pricing_summary``) and Q2-Q22 here and in ``advanced`` /
+``tpch_more`` (Q5 proper — region filter + local-supplier
+cross-condition — is ``tpch_q5_local_supplier_volume`` below; the
+flagship covers the same join graph unfiltered).
 
 Scale posture: every query joins the SF-scaled fact to SF-scaled
 ``part``/``orders`` via equi-join left to AQE (no hard broadcast of a
@@ -311,4 +312,65 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name AS nation,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18, 4))) AS DOUBLE), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation
+    """,
+    doc=(
+        "TPC-H Q5 proper (the flagship covers the Q5 join graph but "
+        "not its distinctive constraint): revenue from LOCAL suppliers "
+        "— customer and supplier must share a nation — within one "
+        "region and order-date year. The c_nationkey = s_nationkey "
+        "cross-condition rides the lineitem-supplier equi-join as a "
+        "post-join filter; region prunes nation via a broadcast "
+        "(5-row and 25-row constant dims), the date range prunes "
+        "orders at the scan, and the revenue sum is DECIMAL-exact "
+        "before the output cast. Six tables, one SF-scaled shuffle "
+        "chain: lineitem-orders-customer on their natural keys."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
     )

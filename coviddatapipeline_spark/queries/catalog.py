@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.tpch_rest",
     "coviddatapipeline_spark.operators.datapipe",
     "coviddatapipeline_spark.operators.warehouse",
+    "coviddatapipeline_spark.operators.retrieval",
 )
 
 
