@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.datapipe",
     "coviddatapipeline_spark.operators.warehouse",
     "coviddatapipeline_spark.operators.retrieval",
+    "coviddatapipeline_spark.operators.graph",
 )
 
 
