@@ -451,3 +451,119 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_attribution_first_last",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+            FROM events
+        )
+        SELECT first_touch, last_touch, count(*) AS n_conversions
+        FROM seq
+        WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        GROUP BY first_touch, last_touch
+        ORDER BY first_touch, last_touch
+    """,
+    doc=(
+        "Marketing-attribution matrix: for every conversion (purchase "
+        "event), the user's FIRST-ever touch and the LAST touch "
+        "immediately preceding the conversion, counted per (first, "
+        "last) pair. Both attribution views come from one pass over "
+        "the per-user ordered stream (first_value + lag share the same "
+        "user-partitioned window sort); the result collapses to an "
+        "|event_types|^2 matrix. At 100 TB the only data-sized cost is "
+        "the per-user sort, which sessionization and funnel analysis "
+        "already pay — in a real pipeline these windows share one "
+        "shuffle via the same repartition key."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.lag("event_type").over(w).alias("last_touch"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+INCIDENT_FACTOR = 1.2  # an hour is an incident at >120% of mean error rate
+
+
+@register(
+    "events_incident_interval_join",
+    oracle=f"""
+        WITH err AS (
+            SELECT date_trunc('hour', ts) AS hr, min(ts) AS lo, max(ts) AS hi,
+                   count(*) AS n_err
+            FROM events WHERE event_type = 'error'
+            GROUP BY hr
+        ),
+        thresh AS (SELECT avg(n_err) * {INCIDENT_FACTOR} AS cut FROM err),
+        incidents AS (
+            SELECT hr, lo, hi FROM err CROSS JOIN thresh WHERE n_err > cut
+        )
+        SELECT e.event_type,
+               count(*) AS n_in_incident,
+               count(DISTINCT i.hr) AS n_incidents
+        FROM events e
+        JOIN incidents i ON e.ts BETWEEN i.lo AND i.hi
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc=(
+        "Point-in-interval join, bucketized: incident windows are the "
+        f"[first, last] error span of hours whose error count exceeds "
+        f"{INCIDENT_FACTOR}x the hourly mean; every event landing "
+        "inside an incident window is attributed to it. The oracle "
+        "states it as a theta join (ts BETWEEN lo AND hi); the Spark "
+        "plan is the scale-safe form — intervals are hour-contained by "
+        "construction, so the range join becomes an EQUI-join on the "
+        "hour granule plus a residual BETWEEN filter, never a "
+        "BroadcastNestedLoop over the fact table. (General intervals "
+        "replicate to each overlapped granule first — same pattern, "
+        "explode(sequence(lo_granule, hi_granule)).) Incident table is "
+        "calendar-bounded, broadcast; threshold is a broadcast scalar."
+    ),
+    tags=("events", "join", "agg"),
+)
+def events_incident_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n_err"))
+    )
+    thresh = err.agg((F.avg("n_err") * INCIDENT_FACTOR).alias("cut"))
+    incidents = (
+        err.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_err") > F.col("cut"))
+        .select("hr", "lo", "hi")
+    )
+    return (
+        ev.withColumn("hr", F.date_trunc("hour", "ts"))
+        .join(F.broadcast(incidents), "hr")
+        .filter(F.col("ts").between(F.col("lo"), F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_in_incident"),
+            F.countDistinct("hr").alias("n_incidents"),
+        )
+        .orderBy("event_type")
+    )

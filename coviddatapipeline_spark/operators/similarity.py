@@ -272,3 +272,59 @@ def ann_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+        WITH pe AS (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        ),
+        c AS (SELECT label, pos, avg(x) AS c FROM pe GROUP BY label, pos)
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(sum(a.c * b.c)
+                     / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))),
+                     4) AS cosine
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+        ORDER BY label_a, label_b
+    """,
+    doc=(
+        "Inter-cluster geometry audit: pairwise cosine similarity "
+        "between per-label embedding centroids — the 'are my IVF cells "
+        "/ class clusters actually separated' diagnostic run before "
+        "trusting a quantizer or a stratified sampling plan. Centroids "
+        "via posexplode + per-(label, dim) mean (one map-side-"
+        "combinable shuffle over the corpus); everything after operates "
+        "on the labels x dims centroid table — constant-sized, so the "
+        "pairwise self-join (labels^2/2 rows) never touches the corpus "
+        "again. Cosine computed dim-aligned (equi-join on pos), "
+        "rounded for cross-engine float stability."
+    ),
+    tags=("similarity", "agg", "join"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pe = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    c = pe.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    a = c.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = c.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                4,
+            ).alias("cosine")
+        )
+        .orderBy("label_a", "label_b")
+    )
