@@ -809,3 +809,103 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+CURATION_MIN_TOKS = 10
+CURATION_BUDGET = 3_000
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   len({_TOKENS.format(x='text')}) AS toks,
+                   length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                  ' ', '')) * 1.0
+                       / len({_TOKENS.format(x='text')}) AS alen,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fp
+            FROM documents
+        ),
+        quality AS (
+            SELECT * FROM d
+            WHERE toks >= {CURATION_MIN_TOKS} AND alen BETWEEN 2 AND 12
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                          AS rn
+                FROM quality
+            ) WHERE rn = 1
+        ),
+        budgeted AS (
+            SELECT * FROM (
+                SELECT *, sum(toks) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+                FROM deduped
+            ) WHERE cum <= {CURATION_BUDGET}
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens
+        FROM budgeted
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc=(
+        "End-to-end corpus curation as ONE declarative plan — the "
+        "composition story: quality gate (token count >= "
+        f"{CURATION_MIN_TOKS}, mean token length in [2, 12]) -> exact "
+        "dedup keep-first (row_number over fingerprint) -> per-language "
+        f"token budget ({CURATION_BUDGET:,} tokens, deterministic "
+        "md5(doc_id) shuffle order) -> per-(lang, source) yield stats. "
+        "Catalyst fuses all four stages: the quality filter runs at the "
+        "scan, the dedup and budget windows are both hash-partitioned "
+        "(fp, lang — never global), and nothing materializes between "
+        "stages. A four-notebook-cell pipeline in one optimizer-visible "
+        "query; each stage also exists standalone "
+        "(text_quality_score, dedup_exact_keep_first, "
+        "sample_token_budget_per_lang)."
+    ),
+    tags=("datapipe", "text", "window", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks_arr = _tokens(F.col("text"))
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks_arr).alias("toks"),
+        (
+            F.length(F.regexp_replace(norm, " ", ""))
+            / F.size(toks_arr)
+        ).alias("alen"),
+        F.md5(F.lower(norm)).alias("fp"),
+    )
+    quality = d.filter(
+        (F.col("toks") >= CURATION_MIN_TOKS) & F.col("alen").between(2, 12)
+    )
+    deduped = (
+        quality.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    budgeted = (
+        deduped.withColumn(
+            "cum",
+            F.sum("toks").over(
+                W.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("cum") <= CURATION_BUDGET)
+    )
+    return (
+        budgeted.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").cast("long").alias("n_tokens"))
+        .orderBy("lang", "source")
+    )

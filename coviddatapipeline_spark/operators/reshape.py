@@ -642,3 +642,58 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+ANOMALY_Z = 2.0
+
+
+@register(
+    "daily_revenue_anomalies",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY day
+        ),
+        stats AS (
+            SELECT avg(rev) AS mu, stddev_samp(rev) AS sigma FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               round(rev, 2) AS revenue,
+               round((rev - mu) / sigma, 4) AS z
+        FROM daily CROSS JOIN stats
+        WHERE abs(round((rev - mu) / sigma, 4)) > {ANOMALY_Z}
+        ORDER BY day
+    """,
+    doc=(
+        "Univariate anomaly detection on the daily revenue series: "
+        f"days whose z-score exceeds |{ANOMALY_Z}| against the "
+        "global mean/stddev. Daily rollup is one map-side-combinable "
+        "shuffle; mu/sigma ride a broadcast cross-join (no collect, no "
+        "second scan); the anomaly predicate compares the ROUNDED "
+        "z-score on both engines so a boundary day can't flip "
+        "membership on sub-ulp stddev differences. The monitoring "
+        "primitive behind data-drift alerts on ingest volume."
+    ),
+    tags=("agg", "analytics"),
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    stats = daily.agg(
+        F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sigma")
+    )
+    z = F.round((F.col("rev") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("revenue"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > ANOMALY_Z)
+        .orderBy("day")
+    )
