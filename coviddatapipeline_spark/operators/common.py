@@ -41,13 +41,24 @@ def t_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a usable TimestampType column.
 
-    The file stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    an epoch-nanos long. Integer-divide (never float-divide — doubles
-    lose precision above 2^53) to micros, matching DuckDB's truncation
-    of the same column to µs TIMESTAMP.
+    Handles both physical layouts the driver has generated across
+    rounds: TIMESTAMP(MICROS) arrives as a native (ntz) timestamp and
+    is used as-is; TIMESTAMP(NANOS) is rejected by Spark's vectorized
+    reader, so with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
+    as an epoch-nanos long, which we integer-divide (never
+    float-divide — doubles lose precision above 2^53) to micros. Both
+    paths match DuckDB's µs TIMESTAMP view of the same column.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     df = t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # MICROS files arrive as TIMESTAMP_NTZ; cast to TimestampType so
+        # every downstream comparison/window sees the same type round 1
+        # produced. Session zone is pinned UTC, so the cast is the
+        # identity on wall-clock values.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

@@ -191,3 +191,158 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "next", "n", "prob")
         .orderBy("prev", "next")
     )
+
+
+# --- Triangle counting on the supplier co-occurrence graph -----------
+
+# Two suppliers are adjacent when they co-appear in at least this many
+# distinct orders. At sf0.01 the mean pair co-occurs ~18 times, so the
+# threshold thins the graph without emptying it at sf0.001.
+TRI_MIN_COOCCUR = 2
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+        WITH pl AS (
+            SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+        ),
+        edges AS (
+            SELECT a.s AS u, b.s AS v
+            FROM pl a JOIN pl b ON a.o = b.o AND a.s < b.s
+            GROUP BY a.s, b.s
+            HAVING count(*) >= {TRI_MIN_COOCCUR}
+        ),
+        deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v FROM edges
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        wedge AS (SELECT sum(d * (d - 1) / 2) AS n_wedges,
+                         count(*) AS n_nodes FROM deg)
+        SELECT w.n_nodes,
+               (SELECT count(*) FROM edges) AS n_edges,
+               t.n_triangles,
+               round(3.0 * t.n_triangles / w.n_wedges, 4)
+                   AS global_clustering
+        FROM tri t CROSS JOIN wedge w
+    """,
+    doc=(
+        "Triangle count and global clustering coefficient of the "
+        "supplier co-occurrence graph (edge = two suppliers sharing >= "
+        f"{TRI_MIN_COOCCUR} distinct orders). Edge construction is a "
+        "self-equi-join of (order, supplier) pairs on the order key — "
+        "per-order fanout is schema-bounded (TPC-H caps line items per "
+        "order at 7), so the pair explosion is O(rows), not "
+        "quadratic. Triangles are counted on the canonically oriented "
+        "edge list (u < v) with the standard two-join wedge-close: "
+        "e1(a,b) x e2(b,c) builds wedges, e3(a,c) closes them — three "
+        "equi-joins on an edge list that is orders of magnitude "
+        "smaller than the fact table. At 100 TB the orientation would "
+        "switch to (degree, id) order so high-degree hubs never "
+        "anchor the wedge build. Clustering = 3 x triangles / wedges."
+    ),
+    tags=("graph", "join", "agg"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pl = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused 4x below; compute once
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        deg AS (SELECT c AS node, count(*) AS d FROM pairs GROUP BY c),
+        buckets AS (
+            SELECT CAST(floor(ln(d) / ln(2)) AS INT) AS log2_bucket,
+                   count(*) AS n_nodes, min(d) AS min_deg, max(d) AS max_deg
+            FROM deg GROUP BY 1
+        )
+        SELECT log2_bucket, n_nodes, min_deg, max_deg
+        FROM buckets ORDER BY log2_bucket
+    """,
+    doc=(
+        "Log2-bucketed degree distribution of the customer side of the "
+        "customer-supplier bipartite graph (degree = distinct suppliers "
+        "a customer bought from). Two map-side-combinable shuffles "
+        "(distinct pairs, then per-node count) and a bucket rollup "
+        "whose cardinality is log(max_degree) — the shape used to "
+        "detect hub skew before choosing a join strategy: a heavy top "
+        "bucket is the signal to salt or isolate hot keys."
+    ),
+    tags=("graph", "agg"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = pairs.groupBy("c").agg(F.count("*").alias("d"))
+    return (
+        deg.groupBy(
+            F.floor(F.log(F.col("d")) / F.log(F.lit(2.0)))
+            .cast("int")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("log2_bucket")
+    )

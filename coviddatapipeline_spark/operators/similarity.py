@@ -328,3 +328,161 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --- k-NN graph and hyperplane LSH -----------------------------------
+
+KNN_K = 3
+
+# Hyperplane LSH: 6 planes -> 64 buckets. Plane coefficients are the
+# deterministic small-integer pattern ((p*131 + d*17) % 7) - 3, and the
+# vector is quantized to round(x*1000) BIGINT before the projection, so
+# the signed projection is EXACT INTEGER arithmetic in both engines —
+# the sign (and therefore the bucket) can never flip on a sub-ulp
+# float-summation difference, the classic cross-engine LSH hazard.
+LSH_PLANES = 6
+
+
+@register(
+    "knn_graph_within_cell",
+    oracle=f"""
+        WITH scored AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= {KNN_K}
+        ORDER BY vec_id, rank
+    """,
+    doc=(
+        f"k-NN graph (k={KNN_K}) over ALL vectors, restricted to each "
+        "vector's IVF cell (label = coarse-quantizer assignment): the "
+        "cell equi-join caps candidate generation at sum(cell^2) "
+        "instead of N^2, the top-k window is partitioned by vec_id "
+        "(never global), and every dot product is JVM-side column "
+        "algebra (zip_with + aggregate). This is the build step for "
+        "graph-based ANN indexes (NSW-style) and for kNN-graph "
+        "near-dup clustering; at 100 TB each cell join partitions "
+        "independently, and recall is tuned by probing adjacent cells "
+        "(the multiprobe pattern registered separately)."
+    ),
+    tags=("similarity", "graph", "join"),
+)
+def knn_graph_within_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id"), F.col("label"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("blabel"),
+        F.col("v").alias("vb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("label") == F.col("blabel")) & (F.col("vec_id") != F.col("neighbor_id")),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("cos", _dot("va", "vb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _lsh_sig_spark() -> Column:
+    """64-bucket signature: sum over planes of 2^p * (proj_p >= 0)."""
+    sig = F.lit(0)
+    for p in range(LSH_PLANES):
+        proj = F.expr(
+            "aggregate(transform(v, (x, i) -> cast(round(x * 1000) as bigint)"
+            f" * (pmod({p} * 131 + i * 17, 7) - 3)), 0L, (acc, x) -> acc + x)"
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def _lsh_sig_duck(alias: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({alias}.embedding)), "
+            f"i -> CAST(round(CAST({alias}.embedding[i] AS DOUBLE) * 1000) AS BIGINT) "
+            f"* (({p} * 131 + (i - 1) * 17) % 7 - 3)))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_hyperplane_topk",
+    oracle=f"""
+        WITH sigs AS (
+            SELECT e.vec_id, e.embedding,
+                   {_lsh_sig_duck('e')} AS sig
+            FROM embeddings e
+        ),
+        q AS (SELECT * FROM sigs WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos
+            FROM q JOIN sigs c
+              ON q.sig = c.sig AND q.vec_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    doc=(
+        f"Random-hyperplane LSH ANN: {LSH_PLANES} deterministic integer "
+        "hyperplanes hash every vector to a 64-bucket signature; "
+        "candidates are the query's bucket only (equi-join on sig), "
+        "then exact cosine ranks the bucket. The projection quantizes "
+        "the vector to round(x*1000) BIGINT so the sign bit is exact "
+        "integer arithmetic — immune to cross-engine float-sum "
+        "ordering, which would otherwise flip buckets for near-plane "
+        "vectors. Data-independent alternative to the IVF cell probe "
+        "(no quantizer training); at scale you run T independent "
+        "plane sets and union candidates to trade compute for recall."
+    ),
+    tags=("similarity", "lsh", "join"),
+)
+def ann_lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("sig", _lsh_sig_spark())
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("qsig"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sig"), F.col("v").alias("cv")
+    )
+    joined = F.broadcast(q).join(
+        c, (F.col("qsig") == F.col("sig")) & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("cos", _dot("qv", "cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -636,3 +636,113 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Corpus statistics: Zipf fit and per-doc lexical entropy ---------
+
+ZIPF_TOP_N = 200
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_TOKENS.format(x='text')}) AS word FROM documents
+        ),
+        wc AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+        top AS (
+            SELECT word, c,
+                   row_number() OVER (ORDER BY c DESC, word) AS rank
+            FROM wc ORDER BY c DESC, word LIMIT {ZIPF_TOP_N}
+        )
+        SELECT count(*) AS n_terms,
+               round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+               round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept,
+               round(regr_r2(ln(c), ln(rank)), 4) AS r2
+        FROM top
+    """,
+    doc=(
+        f"Zipf's-law fit over the corpus: the top-{ZIPF_TOP_N} word "
+        "frequencies regressed as ln(freq) ~ ln(rank) (a healthy "
+        "natural-language corpus fits slope ~ -1; synthetic or "
+        "template-heavy text shows a flatter/steeper curve, making "
+        "this a corpus-level quality screen). The word count is one "
+        "map-side-combinable shuffle over the SF-scaled token stream; "
+        "the top-N is a TakeOrdered (per-partition heap + driver "
+        "merge, never a global sort), and the rank window runs over "
+        f"exactly {ZIPF_TOP_N} rows. regr_* aggregates are one-pass "
+        "JVM moments."
+    ),
+    tags=("text", "agg", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    top = wc.orderBy(F.col("c").desc(), "word").limit(ZIPF_TOP_N)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("c").desc(), "word"))
+    )
+    lc, lr = F.log("c"), F.log("rank")
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+    )
+
+
+@register(
+    "text_word_entropy",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS.format(x='text')}) AS word
+            FROM documents
+        ),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        wp AS (
+            SELECT doc_id, c,
+                   c * 1.0 / sum(c) OVER (PARTITION BY doc_id) AS p
+            FROM wc
+        )
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               round(-sum(p * ln(p)), 4) AS word_entropy
+        FROM wp GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Per-document lexical (word-unigram Shannon) entropy, the "
+        "standard repetition/diversity screen for training-data "
+        "curation: near-zero entropy flags boilerplate and keyword "
+        "stuffing, which length filters miss. One shuffle to (doc, "
+        "word) counts with map-side combine, then a window PARTITIONED "
+        "by doc_id (never global) for the in-doc distribution; "
+        "everything is JVM column algebra over the exploded token "
+        "stream."
+    ),
+    tags=("text", "agg", "quality"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c") / F.sum("c").over(W.partitionBy("doc_id"))
+    return (
+        wc.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("word_entropy"),
+        )
+        .orderBy("doc_id")
+    )

