@@ -567,3 +567,72 @@ def events_incident_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+ASOF_FWD_TOLERANCE_S = 3600
+
+
+@register(
+    "events_asof_next_purchase",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_purchase_ts
+            FROM events
+        ),
+        clicks AS (
+            SELECT date_diff('microsecond', ts, next_purchase_ts) AS delay_us
+            FROM seq WHERE event_type = 'click'
+        )
+        SELECT count(*) AS n_clicks,
+               count(CASE WHEN delay_us <= {ASOF_FWD_TOLERANCE_S}::BIGINT * 1000000
+                          THEN 1 END) AS n_converted_1h,
+               round(avg(CASE WHEN delay_us <= {ASOF_FWD_TOLERANCE_S}::BIGINT * 1000000
+                              THEN delay_us / 1e6 END), 2) AS avg_delay_s,
+               round(quantile_cont(CASE WHEN delay_us <= {ASOF_FWD_TOLERANCE_S}::BIGINT
+                                             * 1000000
+                                        THEN delay_us / 1e6 END, 0.5), 2)
+                   AS median_delay_s
+        FROM clicks
+    """,
+    doc=(
+        "Forward as-of join with tolerance: for every click, the SAME "
+        "user's next purchase strictly after it, kept only within a "
+        "1-hour window — the conversion-latency primitive. Expressed "
+        "as a conditional running-min over the user-partitioned "
+        "ordered event stream (ROWS 1 FOLLOWING .. UNBOUNDED), so it "
+        "is ONE shuffle on user_id with no self-join at all — the "
+        "window-as-asof trick that beats a range join whenever both "
+        "sides live in the same stream. Delays are computed in exact "
+        "integer microseconds (unix_micros both sides) before the "
+        "float division, so truncation semantics cannot diverge "
+        "between engines. Complements events_asof_last_click_before_"
+        "purchase (backward as-of, two-table form)."
+    ),
+    tags=("events", "window", "asof"),
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    seq = ev.withColumn(
+        "next_purchase_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    clicks = seq.filter(F.col("event_type") == "click").select(
+        (F.unix_micros("next_purchase_ts") - F.unix_micros("ts")).alias("delay_us")
+    )
+    tol_us = ASOF_FWD_TOLERANCE_S * 1_000_000
+    in_tol = F.when(F.col("delay_us") <= tol_us, F.col("delay_us") / 1e6)
+    return clicks.agg(
+        F.count("*").alias("n_clicks"),
+        F.count(F.when(F.col("delay_us") <= tol_us, 1)).alias("n_converted_1h"),
+        F.round(F.avg(in_tol), 2).alias("avg_delay_s"),
+        F.round(F.percentile(in_tol, F.lit(0.5)), 2).alias("median_delay_s"),
+    )

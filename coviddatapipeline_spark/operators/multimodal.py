@@ -261,3 +261,91 @@ def mm_resize_plan_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(resize_plan, schema=_RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# Deterministic fake-container dispatch tables for the header probe.
+# Indexed by cheap integer features of the payload header — real code
+# would switch on magic bytes (ftyp/RIFF/EBML); the dispatch SHAPE and
+# the downstream typed-struct plumbing are identical.
+_CONTAINERS = ("mp4", "mkv", "wav")
+_CODECS = ("h264", "aac", "opus", "vp9")
+
+
+@register(
+    "mm_av_header_probe",
+    oracle=f"""
+        WITH probe AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   ascii(substring(text, 1, 1)) AS b0
+            FROM documents
+        ),
+        typed AS (
+            SELECT doc_id, n_bytes,
+                   ['{_CONTAINERS[0]}', '{_CONTAINERS[1]}', '{_CONTAINERS[2]}']
+                       [1 + n_bytes % 3] AS container,
+                   ['{_CODECS[0]}', '{_CODECS[1]}', '{_CODECS[2]}', '{_CODECS[3]}']
+                       [1 + b0 % 4] AS codec,
+                   n_bytes * 8.0 / (8 + b0 % 8) AS duration_ms
+            FROM probe
+        )
+        SELECT container, codec, count(*) AS n_files,
+               round(sum(duration_ms), 2) AS total_duration_ms,
+               round(avg(n_bytes * 8.0 / (duration_ms / 1000.0) / 1000), 3)
+                   AS avg_kbps
+        FROM typed
+        GROUP BY container, codec
+        ORDER BY container, codec
+    """,
+    doc=(
+        "A/V container header probe: parse cheap integer features of "
+        "each binary payload's header into a TYPED metadata struct "
+        "(container, codec, duration) without decoding the stream, "
+        "then roll up the catalog per (container, codec). The parse "
+        "is pure JVM column algebra over the first header bytes — at "
+        "100 TB this is the pattern that builds the media-catalog "
+        "dimension in one scan while full decode stays in the stubbed "
+        "mapInPandas kernels (no media libs in this container; the "
+        "dispatch here keys on byte-derived integers rather than real "
+        "magic numbers, but the plumbing — byte slicing, struct "
+        "typing, catalog rollup — is the production shape)."
+    ),
+    tags=("multimodal", "agg"),
+)
+def mm_av_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir).select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.ascii(F.col("payload").cast("string")).alias("b0"),
+    )
+    container = F.array(*[F.lit(c) for c in _CONTAINERS])[
+        F.pmod(F.col("n_bytes"), F.lit(3)).cast("int")
+    ]
+    codec = F.array(*[F.lit(c) for c in _CODECS])[
+        F.pmod(F.col("b0"), F.lit(4)).cast("int")
+    ]
+    typed = p.select(
+        "doc_id",
+        "n_bytes",
+        F.struct(
+            container.alias("container"),
+            codec.alias("codec"),
+            (F.col("n_bytes") * 8.0 / (8 + F.pmod(F.col("b0"), F.lit(8)))).alias("duration_ms"),
+        ).alias("av"),
+    )
+    return (
+        typed.groupBy(
+            F.col("av.container").alias("container"), F.col("av.codec").alias("codec")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.round(F.sum("av.duration_ms"), 2).alias("total_duration_ms"),
+            F.round(
+                F.avg(
+                    F.col("n_bytes") * 8.0 / (F.col("av.duration_ms") / 1000.0) / 1000
+                ),
+                3,
+            ).alias("avg_kbps"),
+        )
+        .orderBy("container", "codec")
+    )

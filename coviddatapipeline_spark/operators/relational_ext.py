@@ -464,3 +464,58 @@ def stats_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stats_mad_per_segment",
+    oracle="""
+        WITH j AS (
+            SELECT c_mktsegment AS segment, o_totalprice AS price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        med AS (
+            SELECT segment, quantile_cont(price, 0.5) AS med
+            FROM j GROUP BY segment
+        )
+        SELECT j.segment,
+               round(max(med.med), 4) AS median_price,
+               round(quantile_cont(abs(j.price - med.med), 0.5), 4) AS mad,
+               round(quantile_cont(abs(j.price - med.med), 0.5) / max(med.med), 6)
+                   AS robust_cv
+        FROM j JOIN med ON j.segment = med.segment
+        GROUP BY j.segment
+        ORDER BY j.segment
+    """,
+    doc=(
+        "Median absolute deviation (MAD) of order value per market "
+        "segment — the outlier-robust spread measure (stddev is "
+        "dominated by the tail the moment the data has one). Two "
+        "passes by construction: exact per-group median (Spark "
+        "`percentile` = DuckDB `quantile_cont`), joined back for the "
+        "median of absolute deviations; the join key is the 5-value "
+        "segment so the median table broadcasts. At 100 TB both "
+        "medians switch to approx_percentile, same topology."
+    ),
+    tags=("agg", "stats"),
+)
+def stats_mad_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    med = j.groupBy("segment").agg(F.percentile("price", F.lit(0.5)).alias("med"))
+    dev = j.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("price") - F.col("med"))
+    )
+    return (
+        dev.groupBy("segment")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_price"),
+            F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"),
+            F.round(F.percentile("adev", F.lit(0.5)) / F.max("med"), 6).alias(
+                "robust_cv"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -746,3 +746,59 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS.format(x='text')}) AS word
+            FROM documents
+        ),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        cw AS (SELECT word, sum(c) AS cw FROM wc GROUP BY word),
+        tot AS (SELECT sum(cw) AS n FROM cw)
+        SELECT wc.doc_id, sum(wc.c) AS n_tokens,
+               round(sum(wc.c * ln(cw.cw * 1.0 / tot.n)) / sum(wc.c), 4)
+                   AS avg_logprob
+        FROM wc JOIN cw ON wc.word = cw.word CROSS JOIN tot
+        GROUP BY wc.doc_id
+        ORDER BY wc.doc_id
+    """,
+    doc=(
+        "Per-document mean word log-probability under the corpus "
+        "unigram distribution — the cheapest language-model quality "
+        "proxy for curation (very low = off-distribution gibberish, "
+        "very high = stopword soup; both are cut candidates). The "
+        "corpus distribution is one map-side-combinable word count; "
+        "per-doc scoring joins PRE-AGGREGATED (doc, word) counts to "
+        "it — the join input is bounded by vocabulary x docs-that-"
+        "contain, never the raw token stream — and the corpus-size "
+        "scalar rides along as crossJoin(broadcast(agg)), the house "
+        "scalar-subquery pattern. At 100 TB the head of the "
+        "distribution (a few thousand words covering >90% of mass) "
+        "would be broadcast and only the tail shuffled."
+    ),
+    tags=("text", "agg", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    cw = wc.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = F.broadcast(cw.agg(F.sum("cw").alias("n")))
+    return (
+        wc.join(cw, "word")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("cw") / F.col("n"))) / F.sum("c"), 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

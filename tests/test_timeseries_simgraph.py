@@ -141,3 +141,47 @@ def test_new_ops_no_cartesian_over_fact(spark, parity_sf_dir):
     ):
         plan = ALL[name].fn(spark, parity_sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_unigram_logprob_negative(spark, parity_sf_dir):
+    """Log-probabilities of a nondegenerate distribution are strictly
+    negative, and every document is scored."""
+    from coviddatapipeline_spark.operators.common import t
+
+    rows = ALL["text_unigram_logprob"].fn(spark, parity_sf_dir).collect()
+    assert len(rows) == t(spark, parity_sf_dir, "documents").count()
+    assert all(r["avg_logprob"] < 0 for r in rows)
+
+
+def test_mad_smaller_than_range(spark, parity_sf_dir):
+    """MAD is nonnegative and cannot exceed the median for a
+    nonnegative-valued distribution's lower half spread sanity."""
+    rows = ALL["stats_mad_per_segment"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0
+        assert r["median_price"] > 0
+        assert abs(r["robust_cv"] - r["mad"] / r["median_price"]) < 1e-4
+
+
+def test_asof_next_purchase_tolerance(spark, parity_sf_dir):
+    """Conversions are a subset of clicks and delays respect the
+    1-hour tolerance: 0 < median <= avg ceiling <= 3600s."""
+    row = ALL["events_asof_next_purchase"].fn(spark, parity_sf_dir).collect()[0]
+    assert 0 < row["n_converted_1h"] <= row["n_clicks"]
+    assert 0 < row["median_delay_s"] <= 3600
+    assert 0 < row["avg_delay_s"] <= 3600
+
+
+def test_av_header_probe_partitions_catalog(spark, parity_sf_dir):
+    """Every document lands in exactly one (container, codec) cell and
+    the dispatch stays within the declared vocabularies."""
+    from coviddatapipeline_spark.operators.common import t
+    from coviddatapipeline_spark.operators.multimodal import _CODECS, _CONTAINERS
+
+    rows = ALL["mm_av_header_probe"].fn(spark, parity_sf_dir).collect()
+    assert sum(r["n_files"] for r in rows) == t(spark, parity_sf_dir, "documents").count()
+    for r in rows:
+        assert r["container"] in _CONTAINERS
+        assert r["codec"] in _CODECS
+        assert r["avg_kbps"] > 0
