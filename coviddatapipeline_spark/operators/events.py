@@ -636,3 +636,108 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(in_tol), 2).alias("avg_delay_s"),
         F.round(F.percentile(in_tol, F.lit(0.5)), 2).alias("median_delay_s"),
     )
+
+
+FUNNEL_CLICK_WINDOW_S = 1800
+FUNNEL_PURCHASE_WINDOW_S = 3600
+
+
+@register(
+    "events_funnel_time_bounded",
+    oracle=f"""
+        WITH fv AS (
+            SELECT user_id, min(ts) AS vts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fc AS (
+            SELECT c.user_id, min(c.ts) AS cts
+            FROM events c JOIN fv ON c.user_id = fv.user_id
+            WHERE c.event_type = 'click' AND c.ts > fv.vts
+              AND date_diff('microsecond', fv.vts, c.ts)
+                  <= {FUNNEL_CLICK_WINDOW_S}::BIGINT * 1000000
+            GROUP BY c.user_id
+        ),
+        fp AS (
+            SELECT p.user_id, min(p.ts) AS pts
+            FROM events p JOIN fc ON p.user_id = fc.user_id
+            WHERE p.event_type = 'purchase' AND p.ts > fc.cts
+              AND date_diff('microsecond', fc.cts, p.ts)
+                  <= {FUNNEL_PURCHASE_WINDOW_S}::BIGINT * 1000000
+            GROUP BY p.user_id
+        )
+        SELECT (SELECT count(*) FROM fv) AS n_view_users,
+               (SELECT count(*) FROM fc) AS n_click_30m,
+               (SELECT count(*) FROM fp) AS n_purchase_60m,
+               round((SELECT count(*) FROM fc) * 1.0
+                     / (SELECT count(*) FROM fv), 4) AS view_to_click,
+               round((SELECT count(*) FROM fp) * 1.0
+                     / nullif((SELECT count(*) FROM fc), 0), 4) AS click_to_purchase
+    """,
+    doc=(
+        "Time-bounded conversion funnel: first view -> first click "
+        "within 30 min -> first purchase within 60 min of that click, "
+        "counted per user. Each stage REDUCES to one row per user "
+        "(min-timestamp groupBy, map-side combinable) BEFORE the next "
+        "join, so stage joins are user-key equi-joins between "
+        "per-user tables with a residual time-range predicate — "
+        "fan-out is bounded by events-per-user at the candidate "
+        "stage, never views x clicks. Microsecond-exact integer time "
+        "arithmetic on both engines. Complements the unbounded "
+        "strict-order funnel (events_funnel_view_click_purchase) "
+        "with the session-realistic windowed semantics."
+    ),
+    tags=("events", "join", "funnel"),
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    fc = (
+        clicks.join(fv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vts"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("vts")
+                <= FUNNEL_CLICK_WINDOW_S * 1_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    fp = (
+        purchases.join(fc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("cts"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("cts")
+                <= FUNNEL_PURCHASE_WINDOW_S * 1_000_000
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    nv = F.broadcast(fv.agg(F.count("*").alias("n_view_users")))
+    nc = F.broadcast(fc.agg(F.count("*").alias("n_click_30m")))
+    np_ = F.broadcast(fp.agg(F.count("*").alias("n_purchase_60m")))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view_users",
+            "n_click_30m",
+            "n_purchase_60m",
+            F.round(F.col("n_click_30m") / F.col("n_view_users"), 4).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchase_60m")
+                / F.nullif(F.col("n_click_30m"), F.lit(0)),
+                4,
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -346,3 +346,85 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# --- Market-basket association mining --------------------------------
+
+MB_MIN_SUPPORT = 3
+MB_TOP_K = 20
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+        freq AS (SELECT p, count(*) AS cp FROM items GROUP BY p),
+        pairs AS (
+            SELECT a.p AS pa, b.p AS pb, count(*) AS co
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            HAVING count(*) >= {MB_MIN_SUPPORT}
+        )
+        SELECT pa, pb, co,
+               round(co * 1.0 * n.n_orders / (fa.cp * fb.cp), 6) AS lift,
+               round(co * 1.0 / fa.cp, 6) AS confidence_a_to_b
+        FROM pairs
+        JOIN freq fa ON fa.p = pairs.pa
+        JOIN freq fb ON fb.p = pairs.pb
+        CROSS JOIN n
+        ORDER BY round(co * 1.0 * n.n_orders / (fa.cp * fb.cp), 6) DESC,
+                 pa, pb
+        LIMIT {MB_TOP_K}
+    """,
+    doc=(
+        "Market-basket association rules over order contents: for part "
+        f"pairs co-bought in >= {MB_MIN_SUPPORT} orders, lift = "
+        "P(a,b)/(P(a)P(b)) and directed confidence, top-"
+        f"{MB_TOP_K} by lift. Pair generation is the order-key self-"
+        "join of DISTINCT (order, part) — fanout per order is "
+        "schema-bounded (<= C(7,2) pairs), so candidate volume is "
+        "O(orders), and the support filter prunes before the "
+        "frequency joins. Item frequencies join back on the part key "
+        "(at 100 TB the head of the frequency table would broadcast); "
+        "the basket-count scalar rides as crossJoin(broadcast(agg)). "
+        "Deterministic top-k via the round(,6) lift key with pair "
+        "tie-break."
+    ),
+    tags=("graph", "join", "agg", "analytics"),
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 3x: pairs, freq, basket count
+    )
+    n = F.broadcast(items.select("o").distinct().agg(F.count("*").alias("n_orders")))
+    freq = items.groupBy("p").agg(F.count("*").alias("cp"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= MB_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("p").alias("pa"), F.col("cp").alias("ca"))
+    fb = freq.select(F.col("p").alias("pb"), F.col("cp").alias("cb"))
+    lift = F.round(F.col("co") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6)
+    return (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .crossJoin(n)
+        .select(
+            "pa",
+            "pb",
+            "co",
+            lift.alias("lift"),
+            F.round(F.col("co") / F.col("ca"), 6).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(MB_TOP_K)
+    )

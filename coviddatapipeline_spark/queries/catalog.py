@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.retrieval",
     "coviddatapipeline_spark.operators.graph",
     "coviddatapipeline_spark.operators.timeseries",
+    "coviddatapipeline_spark.operators.linalg",
 )
 
 

@@ -130,16 +130,47 @@ def main() -> None:
         s2.count()
         t_funnel = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # iterative-linalg shape: one power-iteration matvec round
+        # (map-only integer dot + 64-key map-side-combinable shuffle) —
+        # the per-round cost of emb_pca_power_iteration; should scale
+        # ~linearly in vectors since the reduce side is constant-width
+        from coviddatapipeline_spark.operators.linalg import (
+            PCA_DIM,
+            PCA_SCALE,
+            _dot_lit,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = replicate(emb, ["vec_id"], mult).select(
+            F.transform(
+                F.col("embedding"),
+                lambda e: F.floor(e.cast("double") * PCA_SCALE + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("q")
+        )
+        (
+            qv.withColumn("s", _dot_lit("q", [PCA_SCALE] * PCA_DIM))
+            .select(F.posexplode("q").alias("pos", "qcomp"), "s")
+            .groupBy("pos")
+            .agg(F.sum(F.col("qcomp") * F.col("s")).alias("y"))
+            .collect()
+        )
+        t_pca = time.perf_counter() - t0
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
         orows = 150_000 * mult
         erows = 100_000 * mult
+        vrows = 5_000 * mult
         print(
             f"mult={mult:2d}  rows~{rows:>8,}  join+agg={t_join:6.2f}s "
             f"({rows/t_join/1e6:5.2f}M rows/s)  wide-agg={t_agg:6.2f}s "
             f"({rows/t_agg/1e6:5.2f}M rows/s)  global-rank={t_rank:6.2f}s "
             f"({orows/t_rank/1e6:5.2f}M rows/s)  star-cc={t_cc:6.2f}s "
             f"({n_nodes/t_cc/1e6:5.2f}M nodes/s, {n_comp} comps)  "
-            f"funnel={t_funnel:6.2f}s ({erows/t_funnel/1e6:5.2f}M rows/s)"
+            f"funnel={t_funnel:6.2f}s ({erows/t_funnel/1e6:5.2f}M rows/s)  "
+            f"pca-matvec={t_pca:6.2f}s ({vrows/t_pca/1e3:5.1f}k vec/s)"
         )
 
 

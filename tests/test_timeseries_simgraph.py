@@ -185,3 +185,45 @@ def test_av_header_probe_partitions_catalog(spark, parity_sf_dir):
         assert r["container"] in _CONTAINERS
         assert r["codec"] in _CODECS
         assert r["avg_kbps"] > 0
+
+
+def test_market_basket_lift_axioms(spark, parity_sf_dir):
+    """Support threshold respected, confidence is a probability, and
+    the top-k is ordered by lift descending."""
+    from coviddatapipeline_spark.operators.graph import MB_MIN_SUPPORT
+
+    rows = ALL["orders_market_basket_lift"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["co"] >= MB_MIN_SUPPORT
+        assert 0 < r["confidence_a_to_b"] <= 1
+        assert r["lift"] > 0
+        assert r["pa"] < r["pb"]
+
+
+def test_funnel_time_bounded_monotone(spark, parity_sf_dir):
+    """Each stage is a filtered subset of the previous stage's users."""
+    row = ALL["events_funnel_time_bounded"].fn(spark, parity_sf_dir).collect()[0]
+    assert row["n_view_users"] >= row["n_click_30m"] >= row["n_purchase_60m"]
+    assert 0 <= row["view_to_click"] <= 1
+    unbounded = ALL["events_funnel_view_click_purchase"].fn(spark, parity_sf_dir)
+    # The 30m/60m windows can only shrink each stage vs the unbounded
+    # strict-order funnel over the same stream.
+    ub = {r["stage"]: r["n_users"] for r in unbounded.collect()} if \
+        "stage" in unbounded.columns else None
+    if ub and "click" in ub:
+        assert row["n_click_30m"] <= ub["click"]
+
+
+def test_pca_projection_stats(spark, parity_sf_dir):
+    """Unit-norm embeddings projected on a unit direction lie in
+    [-1, 1] modulo quantization slack; label partition covers the
+    table; mean is inside [min, max]."""
+    from coviddatapipeline_spark.operators.common import t
+
+    rows = ALL["emb_pca_power_iteration"].fn(spark, parity_sf_dir).collect()
+    assert sum(r["n"] for r in rows) == t(spark, parity_sf_dir, "embeddings").count()
+    for r in rows:
+        assert -1.1 <= r["min_proj"] <= r["mean_proj"] <= r["max_proj"] <= 1.1
