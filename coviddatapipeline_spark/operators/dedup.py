@@ -1007,3 +1007,151 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _mh_audit_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh"
+        for b in range(N_BANDS)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        exact AS (
+            SELECT c.doc_a, c.doc_b,
+                   count(*) * 1.0 / (sx.n + sy.n - count(*)) AS jac
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+            JOIN sizes sx ON sx.doc_id = c.doc_a
+            JOIN sizes sy ON sy.doc_id = c.doc_b
+            GROUP BY c.doc_a, c.doc_b, sx.n, sy.n
+        )
+        SELECT e.doc_a, e.doc_b,
+               round(({match_terms}) / {N_HASHES}.0, 4) AS jaccard_est,
+               round(e.jac, 4) AS jaccard_exact,
+               round(abs(({match_terms}) / {N_HASHES}.0 - e.jac), 4) AS abs_err
+        FROM exact e
+        JOIN mh x ON x.doc_id = e.doc_a
+        JOIN mh y ON y.doc_id = e.doc_b
+        ORDER BY e.doc_a, e.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_estimator_audit",
+    oracle=_mh_audit_oracle(),
+    doc=(
+        f"Estimator-calibration audit for the MinHash pipeline: on "
+        "every LSH candidate pair (>= 1 shared band), the "
+        f"{N_HASHES}-hash match-fraction estimate of Jaccard next to "
+        "the EXACT shingle Jaccard and the absolute error — the "
+        "measurement that tells you whether k is large enough before "
+        "trusting the threshold at corpus scale (the ANN twin is "
+        "ann_recall_ivf_vs_exact). Same shuffle shape as "
+        "dedup_minhash_lsh: array-native minhashes, band-bucket "
+        "equi-join for candidates, broadcast exact verification; the "
+        "signature comparison is a zip_with equality count, all JVM."
+    ),
+    tags=("dedup", "lsh", "audit"),
+)
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = _trigrams(F.col("text"))
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            arr.alias("arr"),
+            F.transform(
+                arr,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % _MH_P,
+            ).alias("bases"),
+        )
+        .persist()
+    )
+    def _mix(a: int, b: int):
+        # unary lambda factory: a 2-arg lambda would make transform()
+        # pass the element index as the second Column
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("bases", _mix(_MH_A[i], _MH_B[i])))
+            for i in range(N_HASHES)
+        ]
+    )
+    mh = docs.select("doc_id", sig.alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col("sig")[3 * b + r] for r in range(BAND_ROWS)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        mh.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "bk.band_id", "bk.band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        F.broadcast(cand)
+        .join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .join(mh.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(mh.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    union_n = F.size("arr_a") + F.size("arr_b") - common
+    jac = common * 1.0 / union_n
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = matches / float(N_HASHES)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("jaccard_est"),
+            F.round(jac, 4).alias("jaccard_exact"),
+            F.round(F.abs(est - jac), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -126,3 +126,57 @@ def ntile_from_rn(rn: Column, n: int, k: int) -> Column:
         .otherwise(r + F.ceil((rn - big) / max(q, 1)))
         .cast("int")
     )
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    out: str = "run_sum",
+    num_buckets: int | None = None,
+) -> tuple[DataFrame, float]:
+    """Exact global cumulative sum of ``value`` in ``keys`` order
+    without a single-partition window — the prefix-sum sibling of
+    :func:`with_global_row_number`, same three steps: range buckets
+    from cutpoints, a metadata-sized per-bucket total collect whose
+    driver-side prefix becomes the broadcast offsets, and bucket-LOCAL
+    running-sum windows. Returns (df + ``out`` column, grand total).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key_cols = [F.col(k) for k in keys]
+    lead = _monotone_numeric(df, keys[0])
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
+    ).first()
+    cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
+
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
+    else:
+        bucket = F.lit(0).alias(_BKT)
+    with_bkt = df.withColumn(_BKT, bucket)
+
+    sums = sorted(
+        (r[0], r[1])
+        for r in with_bkt.groupBy(_BKT).agg(F.sum(value).alias("s")).collect()
+    )
+    offsets, acc = [], 0.0
+    for bkt, s in sums:
+        offsets.append((bkt, acc))
+        acc += float(s or 0.0)
+    off_df = spark.createDataFrame(offsets or [(0, 0.0)], f"{_BKT} int, {_OFF} double")
+
+    local = F.sum(F.col(value)).over(
+        W.partitionBy(_BKT).orderBy(*key_cols).rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = (
+        with_bkt.join(F.broadcast(off_df), _BKT)
+        .withColumn(out, F.col(_OFF) + local)
+        .drop(_BKT, _OFF)
+    )
+    return ranked, acc

@@ -519,3 +519,132 @@ def stats_mad_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+PARETO_TARGET = 0.8
+
+
+@register(
+    "customer_revenue_pareto",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS r
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (SELECT sum(r) AS t, count(*) AS n FROM rev),
+        c AS (
+            SELECT r, sum(r) OVER (ORDER BY r DESC, o_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+            FROM rev
+        )
+        SELECT max(tot.n) AS n_customers,
+               count(CASE WHEN round(cum / tot.t, 9) < {PARETO_TARGET}
+                          THEN 1 END) + 1 AS n_top_customers,
+               round((count(CASE WHEN round(cum / tot.t, 9) < {PARETO_TARGET}
+                                 THEN 1 END) + 1) * 1.0 / max(tot.n), 6)
+                   AS customer_share_for_{int(PARETO_TARGET * 100)}pct
+        FROM c CROSS JOIN tot
+    """,
+    doc=(
+        "Pareto revenue concentration: how few customers produce "
+        f"{int(PARETO_TARGET * 100)}% of revenue. Needs an EXACT "
+        "global cumulative sum in revenue-descending order — computed "
+        "with operators/ranking.py's cutpoint-bucket machinery "
+        "(with_global_running_sum: range buckets, metadata-sized "
+        "bucket-total collect, broadcast prefix offsets, bucket-local "
+        "running-sum windows), so no Exchange SinglePartition appears "
+        "even though the semantics are a global ORDER BY window. "
+        "Boundary membership compares the share ROUNDED to 9 dp on "
+        "both engines. The per-customer reduction comes first, so the "
+        "ranked input is customers, not orders."
+    ),
+    tags=("agg", "window", "analytics", "ranking"),
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    ordered = rev.withColumn("neg_r", -F.col("r"))
+    cum_df, total = with_global_running_sum(
+        ordered, ["neg_r", "o_custkey"], "r", out="cum"
+    )
+    below = F.count(
+        F.when(F.round(F.col("cum") / F.lit(total), 9) < PARETO_TARGET, 1)
+    )
+    share_col = f"customer_share_for_{int(PARETO_TARGET * 100)}pct"
+    return cum_df.agg(
+        F.count("*").alias("n_customers"),
+        (below + 1).alias("n_top_customers"),
+        F.round((below + 1) / F.count("*"), 6).alias(share_col),
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "supplier_balance_winsorized",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT s_nationkey,
+                   quantile_cont(s_acctbal, {WINSOR_LO}) AS lo,
+                   quantile_cont(s_acctbal, {WINSOR_HI}) AS hi
+            FROM supplier GROUP BY s_nationkey
+        ),
+        clipped AS (
+            SELECT s.s_nationkey,
+                   s.s_acctbal AS raw,
+                   least(greatest(s.s_acctbal, c.lo), c.hi) AS w
+            FROM supplier s JOIN cuts c ON s.s_nationkey = c.s_nationkey
+        )
+        SELECT n.n_name AS nation, count(*) AS n_suppliers,
+               round(avg(raw), 4) AS raw_mean,
+               round(avg(w), 4) AS winsorized_mean,
+               round(avg(abs(raw - w)), 4) AS mean_clip_distance
+        FROM clipped JOIN nation n ON n.n_nationkey = clipped.s_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    doc=(
+        "Winsorized robust mean of supplier balances per nation: "
+        f"values clipped to the per-nation [{WINSOR_LO}, {WINSOR_HI}] "
+        "quantile band before averaging — the outlier treatment used "
+        "on heavy-tailed quality/weight columns before they feed "
+        "training mixes (trimming drops rows, winsorizing keeps mass). "
+        "Per-group exact percentiles reduce to one row per nation and "
+        "broadcast back for the clip; everything else is one "
+        "map-side-combinable rollup plus the broadcast nation-name "
+        "join. At 100 TB the percentile step switches to "
+        "approx_percentile, same topology. mean_clip_distance "
+        "quantifies how much mass the tails actually carried."
+    ),
+    tags=("agg", "stats", "quality"),
+)
+def supplier_balance_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cuts = sup.groupBy("s_nationkey").agg(
+        F.percentile("s_acctbal", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("s_acctbal", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    clipped = sup.join(F.broadcast(cuts), "s_nationkey").select(
+        "s_nationkey",
+        F.col("s_acctbal").alias("raw"),
+        F.least(F.greatest(F.col("s_acctbal"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clipped.join(
+            F.broadcast(nation), clipped.s_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("raw"), 4).alias("raw_mean"),
+            F.round(F.avg("w"), 4).alias("winsorized_mean"),
+            F.round(F.avg(F.abs(F.col("raw") - F.col("w"))), 4).alias(
+                "mean_clip_distance"
+            ),
+        )
+        .orderBy("nation")
+    )

@@ -697,3 +697,67 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > ANOMALY_Z)
         .orderBy("day")
     )
+
+
+@register(
+    "orders_cohort_ltv_matrix",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        aged AS (
+            SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+                   CAST(datediff('month', f.cohort_month,
+                                 date_trunc('month', o.o_orderdate)) AS INT)
+                       AS age_months,
+                   o.o_totalprice AS price, o.o_custkey
+            FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        )
+        SELECT cohort, age_months,
+               count(DISTINCT o_custkey) AS active_customers,
+               count(*) AS n_orders,
+               round(sum(price), 2) AS revenue
+        FROM aged
+        GROUP BY cohort, age_months
+        ORDER BY cohort, age_months
+    """,
+    doc=(
+        "Customer-cohort LTV matrix over ORDERS (the events-side "
+        "sibling is events_cohort_retention): customers grouped by "
+        "first-purchase month, revenue and active count per cohort "
+        "age in months. Two shuffles — the per-customer min reduction "
+        "(map-side combinable), then the (cohort, age) rollup after a "
+        "customer-key equi-join whose right side is one row per "
+        "customer (at 100 TB the first_order table is the thing you "
+        "materialize incrementally, not recompute). Month arithmetic "
+        "uses truncated month difference on both engines."
+    ),
+    tags=("agg", "join", "analytics"),
+)
+def orders_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("int").alias("age_months"),
+        F.col("o_totalprice").alias("price"),
+        "o_custkey",
+    )
+    return (
+        aged.groupBy("cohort", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .orderBy("cohort", "age_months")
+    )

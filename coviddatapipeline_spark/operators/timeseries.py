@@ -213,3 +213,82 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "peak_hour", "peak_ratio", "hour_entropy")
         .orderBy("event_type")
     )
+
+
+SHIFT_WINDOW = 7
+SHIFT_SIGMA = 2.0
+
+
+@register(
+    "events_level_shift_detector",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        stats AS (SELECT stddev_samp(n) AS sd FROM daily),
+        framed AS (
+            SELECT day, n,
+                   avg(n * 1.0) OVER (ORDER BY day
+                       ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)
+                       AS mean_before,
+                   avg(n * 1.0) OVER (ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND {SHIFT_WINDOW - 1} FOLLOWING)
+                       AS mean_after,
+                   count(*) OVER (ORDER BY day
+                       ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING)
+                       AS n_before
+            FROM daily
+        )
+        SELECT day, n,
+               round(mean_before, 4) AS mean_before,
+               round(mean_after, 4) AS mean_after,
+               round(abs(mean_after - mean_before) / stats.sd, 4) AS shift_score,
+               CASE WHEN round(abs(mean_after - mean_before) / stats.sd, 4)
+                         > {SHIFT_SIGMA} THEN 1 ELSE 0 END AS is_shift
+        FROM framed CROSS JOIN stats
+        WHERE n_before = {SHIFT_WINDOW}
+        ORDER BY day
+    """,
+    doc=(
+        f"Level-shift (changepoint) detector on the daily event-count "
+        f"series: trailing-{SHIFT_WINDOW}-day mean vs leading-"
+        f"{SHIFT_WINDOW}-day mean per day, scored in global-stddev "
+        f"units, flagged above {SHIFT_SIGMA} sigma. The SF-scaled fact "
+        "reduces to the calendar-bounded daily series before any "
+        "window; the two frame means and the flag run over that tiny "
+        "series (a window over days-elapsed rows, not data), and the "
+        "global sd rides as a broadcast scalar. Flag membership "
+        "compares the ROUNDED score, so sub-ulp float differences "
+        "between engines cannot flip a row (the "
+        "daily_revenue_anomalies convention). Warm-up days without a "
+        f"full {SHIFT_WINDOW}-day history are excluded."
+    ),
+    tags=("events", "timeseries", "window"),
+)
+def events_level_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select("day", "n")
+    sd = F.broadcast(daily.agg(F.stddev_samp("n").alias("sd")))
+    w_before = W.orderBy("day").rowsBetween(-SHIFT_WINDOW, -1)
+    w_after = W.orderBy("day").rowsBetween(0, SHIFT_WINDOW - 1)
+    framed = (
+        daily.withColumn("mean_before", F.avg(F.col("n") * 1.0).over(w_before))
+        .withColumn("mean_after", F.avg(F.col("n") * 1.0).over(w_after))
+        .withColumn("n_before", F.count("*").over(w_before))
+    )
+    score = F.round(
+        F.abs(F.col("mean_after") - F.col("mean_before")) / F.col("sd"), 4
+    )
+    return (
+        framed.crossJoin(sd)
+        .filter(F.col("n_before") == SHIFT_WINDOW)
+        .select(
+            "day",
+            "n",
+            F.round("mean_before", 4).alias("mean_before"),
+            F.round("mean_after", 4).alias("mean_after"),
+            score.alias("shift_score"),
+            F.when(score > SHIFT_SIGMA, 1).otherwise(0).alias("is_shift"),
+        )
+        .orderBy("day")
+    )

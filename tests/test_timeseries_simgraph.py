@@ -227,3 +227,84 @@ def test_pca_projection_stats(spark, parity_sf_dir):
     assert sum(r["n"] for r in rows) == t(spark, parity_sf_dir, "embeddings").count()
     for r in rows:
         assert -1.1 <= r["min_proj"] <= r["mean_proj"] <= r["max_proj"] <= 1.1
+
+
+def test_minhash_audit_covers_lsh_output(spark, parity_sf_dir):
+    """The audit scores ALL candidate pairs, so every pair the
+    threshold-filtered LSH query emits must appear in it, with the
+    identical exact Jaccard; estimates are valid probabilities."""
+    audit = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in ALL["dedup_minhash_estimator_audit"].fn(spark, parity_sf_dir).collect()
+    }
+    assert audit
+    for r in audit.values():
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert 0.0 < r["jaccard_exact"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["jaccard_est"] - r["jaccard_exact"])) < 2e-4
+    lsh = ALL["dedup_minhash_lsh"].fn(spark, parity_sf_dir).collect()
+    for r in lsh:
+        key = (r["doc_a"], r["doc_b"])
+        assert key in audit, key
+        assert abs(audit[key]["jaccard_exact"] - r["jaccard"]) < 1e-9
+
+
+def test_level_shift_flag_consistent(spark, parity_sf_dir):
+    """Flag must equal (rounded score > sigma); warm-up days without a
+    full trailing window are excluded."""
+    from coviddatapipeline_spark.operators.timeseries import SHIFT_SIGMA, SHIFT_WINDOW
+
+    rows = ALL["events_level_shift_detector"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    days = [r["day"] for r in rows]
+    assert len(set(days)) == len(days)
+    for r in rows:
+        assert r["shift_score"] >= 0
+        assert r["is_shift"] == (1 if r["shift_score"] > SHIFT_SIGMA else 0)
+    # a 30-day series loses exactly the first SHIFT_WINDOW warm-up days
+    from coviddatapipeline_spark.operators.timeseries import _daily
+
+    n_days = _daily(spark, parity_sf_dir).count()
+    assert len(rows) == n_days - SHIFT_WINDOW
+
+
+def test_pareto_no_single_partition_exchange(spark, parity_sf_dir):
+    """The exact global cumsum must come from the cutpoint-bucket
+    machinery, not a global-order window: every Window node in the
+    physical plan is partitioned by the range bucket. (A final
+    SinglePartition exchange for the one-row scalar aggregate is fine
+    — map-side partials reduce it to O(partitions) rows.)"""
+    df = ALL["customer_revenue_pareto"].fn(spark, parity_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__rank_bkt" in line, line
+    row = df.collect()[0]
+    assert 0 < row["n_top_customers"] <= row["n_customers"]
+    # Pareto: the top slice for 80% of revenue must be a minority of
+    # customers on any nonuniform revenue distribution
+    assert row["customer_share_for_80pct"] < 0.8
+
+
+def test_cohort_ltv_matrix_conserves_orders(spark, parity_sf_dir):
+    """Every order lands in exactly one (cohort, age) cell; age 0
+    exists for every cohort (the first order defines the cohort)."""
+    from coviddatapipeline_spark.operators.common import t
+
+    rows = ALL["orders_cohort_ltv_matrix"].fn(spark, parity_sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) == t(spark, parity_sf_dir, "orders").count()
+    cohorts = {r["cohort"] for r in rows}
+    age0 = {r["cohort"] for r in rows if r["age_months"] == 0}
+    assert cohorts == age0
+    assert all(r["age_months"] >= 0 for r in rows)
+
+
+def test_winsorized_mean_is_tamer(spark, parity_sf_dir):
+    """Clipping to the quantile band can only pull the mean toward the
+    center: |winsorized| spread never exceeds the raw extremes, and
+    the clip distance is nonnegative."""
+    rows = ALL["supplier_balance_winsorized"].fn(spark, parity_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_clip_distance"] >= 0
+        assert r["n_suppliers"] > 0
