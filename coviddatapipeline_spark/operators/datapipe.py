@@ -909,3 +909,80 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("toks").cast("long").alias("n_tokens"))
         .orderBy("lang", "source")
     )
+
+
+def _leakage_oracle() -> str:
+    from coviddatapipeline_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_sql,
+    )
+
+    pairs_sql = _minhash_sql()
+    split_case = (
+        f"CASE WHEN {_BUCKET_SQL} < 80 THEN 'train' "
+        f"WHEN {_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+        WITH neardups AS ({pairs_sql}),
+        splits AS (SELECT doc_id, {split_case} AS split FROM documents)
+        SELECT least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi,
+               count(*) AS n_pairs,
+               count(CASE WHEN sa.split != sb.split THEN 1 END) AS n_leaking
+        FROM neardups p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_leakage_oracle(),
+    doc=(
+        "Cross-split contamination audit: every verified near-duplicate "
+        "pair (the full MinHash-LSH pipeline, Jaccard >= 0.7) labeled "
+        "with the train/val/test assignment of both members — pairs "
+        "whose members land in DIFFERENT splits are evaluation "
+        "leakage: the val/test example has a near-copy in train, so "
+        "metrics on it are memorization, not generalization. This is "
+        "the audit run BEFORE training, composed from two existing "
+        "primitives (deterministic md5 split + LSH near-dup), both "
+        "pure functions of doc content/id, so the audit is "
+        "reproducible across engines and partitionings. Scale cost is "
+        "the LSH pipeline's (sum bucket^2); the split join adds two "
+        "hash joins against a two-column projection of the corpus."
+    ),
+    tags=("datapipe", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    splits = docs.select(
+        "doc_id",
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("split_a") != F.col("split_b"), 1)).alias(
+                "n_leaking"
+            ),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

@@ -292,3 +292,84 @@ def events_level_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_seasonality_decomposition",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        dow AS (
+            SELECT day, n, dayofweek(day) AS dw FROM daily
+        ),
+        season AS (
+            SELECT dw, avg(n * 1.0) AS dow_mean FROM dow GROUP BY dw
+        ),
+        grand AS (SELECT avg(n * 1.0) AS g FROM daily),
+        trend_scatter AS (
+            SELECT day + CAST(u.k AS INTEGER) AS target_day,
+                   n * pow({EWMA_DECAY}, u.k) AS wn,
+                   pow({EWMA_DECAY}, u.k) AS w
+            FROM daily CROSS JOIN generate_series(0, {EWMA_HORIZON}) AS u(k)
+        ),
+        trend AS (
+            SELECT target_day, sum(wn) / sum(w) AS tr
+            FROM trend_scatter GROUP BY target_day
+        )
+        SELECT d.day, d.n,
+               round(t.tr, 2) AS trend,
+               round(s.dow_mean / g.g, 4) AS seasonal_idx,
+               round(t.tr * (s.dow_mean / g.g), 2) AS expected,
+               round(d.n - t.tr * (s.dow_mean / g.g), 2) AS residual
+        FROM dow d
+        JOIN trend t ON t.target_day = d.day
+        JOIN season s ON s.dw = d.dw
+        CROSS JOIN grand g
+        ORDER BY d.day
+    """,
+    doc=(
+        "Multiplicative seasonality decomposition of the daily event "
+        "series (STL-lite): trend = trailing EWMA (the scatter-gather "
+        "equi-join form, no window), seasonal index = day-of-week mean "
+        "over grand mean, residual = observed - trend x seasonal. "
+        "Everything downstream of the one fact-reducing shuffle "
+        "operates on the calendar-bounded daily series: the seasonal "
+        "table is 7 rows, the grand mean a broadcast scalar. The "
+        "residual column is what anomaly detectors should consume "
+        "instead of raw counts — it removes the weekly rhythm that "
+        "makes naive z-scores fire every weekend."
+    ),
+    tags=("events", "timeseries", "agg"),
+)
+def events_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select("day", "n")
+    dow = daily.withColumn("dw", F.dayofweek("day"))
+    season = dow.groupBy("dw").agg(F.avg(F.col("n") * 1.0).alias("dow_mean"))
+    grand = F.broadcast(daily.agg(F.avg(F.col("n") * 1.0).alias("g")))
+    scattered = daily.select(
+        "day", "n", F.explode(F.sequence(F.lit(0), F.lit(EWMA_HORIZON))).alias("k")
+    ).select(
+        F.date_add("day", F.col("k")).alias("target_day"),
+        (F.col("n") * F.pow(F.lit(EWMA_DECAY), F.col("k"))).alias("wn"),
+        F.pow(F.lit(EWMA_DECAY), F.col("k")).alias("w"),
+    )
+    trend = scattered.groupBy("target_day").agg(
+        (F.sum("wn") / F.sum("w")).alias("tr")
+    )
+    idx = F.col("dow_mean") / F.col("g")
+    return (
+        dow.join(trend, dow.day == trend.target_day)
+        .join(F.broadcast(season), "dw")
+        .crossJoin(grand)
+        .select(
+            "day",
+            "n",
+            F.round("tr", 2).alias("trend"),
+            F.round(idx, 4).alias("seasonal_idx"),
+            F.round(F.col("tr") * idx, 2).alias("expected"),
+            F.round(F.col("n") - F.col("tr") * idx, 2).alias("residual"),
+        )
+        .orderBy("day")
+    )

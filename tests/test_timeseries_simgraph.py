@@ -308,3 +308,18 @@ def test_winsorized_mean_is_tamer(spark, parity_sf_dir):
     for r in rows:
         assert r["mean_clip_distance"] >= 0
         assert r["n_suppliers"] > 0
+
+
+def test_split_leakage_pairs_match_lsh(spark, parity_sf_dir):
+    """The audit partitions the exact LSH pair set: group counts sum to
+    the number of near-dup pairs, and n_leaking only counts
+    cross-split cells (split_lo != split_hi => all pairs leak)."""
+    rows = ALL["split_leakage_audit"].fn(spark, parity_sf_dir).collect()
+    n_pairs_total = sum(r["n_pairs"] for r in rows)
+    lsh_count = ALL["dedup_minhash_lsh"].fn(spark, parity_sf_dir).count()
+    assert n_pairs_total == lsh_count
+    for r in rows:
+        if r["split_lo"] == r["split_hi"]:
+            assert r["n_leaking"] == 0
+        else:
+            assert r["n_leaking"] == r["n_pairs"]
