@@ -125,7 +125,7 @@ def f1_f2_trim_initcap_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_f4_cast_with_default",
     oracle="""
         SELECT event_type,
-               sum(coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), 0)) AS k_total,
+               CAST(sum(coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), 0)) AS BIGINT) AS k_total,
                count(*) AS n
         FROM events
         GROUP BY event_type

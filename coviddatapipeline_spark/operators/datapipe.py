@@ -101,7 +101,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT source,
                count(*) AS n_contaminated,
-               sum(CASE WHEN shared >= 10 THEN 1 ELSE 0 END) AS n_heavy,
+               CAST(sum(CASE WHEN shared >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
                max(shared) AS max_shared
         FROM hits
         GROUP BY source
@@ -165,7 +165,7 @@ CONTEXT_TOKENS = 2048  # packing window (tokens per training sequence)
         )
         SELECT source,
                count(*) AS n_docs,
-               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                count(DISTINCT bin) AS n_bins,
                round(sum(n_tok) * 1.0
                      / (count(DISTINCT bin) * {CONTEXT_TOKENS}), 4) AS fill_ratio

@@ -675,18 +675,47 @@ def _cc_oracle() -> str:
     "dedup_near_dup_components",
     oracle=_cc_oracle(),
     doc=(
-        "Connected components over the MinHash-LSH near-dup pair graph "
-        "(min-label propagation to fixpoint): collapses transitive "
-        "near-duplicate chains into clusters, the step that turns pair "
-        "detection into actual dedup groups. Iterative DataFrame algorithm "
-        "— per round one join + one min-aggregate, both on the (tiny "
-        "relative to the corpus) edge set; converges in <= diameter "
-        "rounds, each a Catalyst-planned job with AQE. Oracle: DuckDB "
-        "recursive-CTE transitive closure."
+        "Connected components over the MinHash-LSH near-dup pair graph — "
+        "collapses transitive near-duplicate chains into clusters, the "
+        "step that turns pair detection into actual dedup groups. "
+        "Registered algorithm: ALTERNATING large-star/small-star "
+        "(Kiveris et al., SoCC 2014) via :func:`star_components`, which "
+        "converges in O(log^2 n) rounds regardless of graph diameter — "
+        "the 100 TB-safe shape (the min-label-propagation variant, kept "
+        "as dedup_components_labelprop for cross-checking, needs "
+        "diameter rounds and a long near-dup chain makes diameter ~ "
+        "corpus size). Oracle: DuckDB recursive-CTE transitive closure."
     ),
     tags=("dedup", "iterative"),
 )
 def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        star_components(
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        )
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_components_labelprop",
+    oracle=_cc_oracle(),
+    doc=(
+        "Min-label propagation to fixpoint over the near-dup pair graph: "
+        "lbl(v) <- min(lbl(v), min over neighbors), one join + one "
+        "min-aggregate per round, <= diameter rounds. Kept as the "
+        "differently-planned replica that cross-checks the registered "
+        "star-CC entry (dedup_near_dup_components): same output, same "
+        "oracle, independent algorithm — a bug in either shows up as a "
+        "divergence in tests/test_advanced.py. The star form is the "
+        "primary because label propagation's round count scales with "
+        "chain length, not log^2 n."
+    ),
+    tags=("dedup", "iterative"),
+)
+def dedup_components_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -694,13 +723,9 @@ def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
     )
-    # Min-label propagation: lbl(v) <- min(lbl(v), min over neighbors).
-    # The edge graph is the candidate-pair set — orders of magnitude
-    # smaller than the corpus — so a driver-controlled convergence loop
-    # of small Spark jobs is the right shape (same structure GraphX /
-    # GraphFrames uses). Eager localCheckpoint per round truncates both
-    # lineage AND the logical plan — each round references the previous
-    # labels frame 3x, so persist alone leaves 3^rounds analyzer growth.
+    # Eager localCheckpoint per round truncates both lineage AND the
+    # logical plan — each round references the previous labels frame 3x,
+    # so persist alone leaves 3^rounds analyzer growth.
     labels = labels.localCheckpoint(eager=True)
     for _ in range(20):  # >= graph diameter in practice; loop exits early
         msgs = (
@@ -769,32 +794,6 @@ def dedup_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- alternating-star connected components (scale path) --------------------
-
-
-@register(
-    "dedup_components_star",
-    oracle=_cc_oracle(),
-    doc=(
-        "Connected components over the MinHash-LSH near-dup pair graph "
-        "via the ALTERNATING large-star/small-star algorithm (Kiveris "
-        "et al., 'Connected Components in MapReduce and Beyond', SoCC "
-        "2014): large-star hooks every strictly-larger neighbor of u to "
-        "min(N(u) u {u}); small-star hooks the smaller neighbors; the "
-        "pair converges in O(log^2 n) rounds REGARDLESS of graph "
-        "diameter — the scale path when near-dup chains are long "
-        "(min-label propagation in dedup_near_dup_components needs "
-        "diameter rounds). Each half-round is one partial-aggregated "
-        "groupBy min + one equi-join on the (corpus-small) edge set; "
-        "edge sets shrink monotonically toward stars. Same output and "
-        "oracle as the propagation form — a differently-planned replica."
-    ),
-    tags=("dedup", "iterative"),
-)
-def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    return star_components(
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    ).select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
 
 
 def star_components(edge_df: DataFrame, max_rounds: int = 12) -> DataFrame:
@@ -1032,15 +1031,27 @@ def _mh_audit_oracle() -> str:
                         AND a.doc_id < b.doc_id
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        exact AS (
-            SELECT c.doc_a, c.doc_b,
-                   count(*) * 1.0 / (sx.n + sy.n - count(*)) AS jac
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
             FROM cand c
             JOIN sh a ON a.doc_id = c.doc_a
             JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        -- LEFT JOIN + COALESCE keeps a candidate pair with ZERO shared
+        -- shingles (possible only if two distinct shingles collide under
+        -- the md5-prefix base hash, making band keys equal without
+        -- overlap) with jac = 0 — mirroring Spark's array_intersect
+        -- semantics instead of silently dropping the pair.
+        exact AS (
+            SELECT c.doc_a, c.doc_b,
+                   coalesce(sd.inter, 0) * 1.0
+                       / (sx.n + sy.n - coalesce(sd.inter, 0)) AS jac
+            FROM cand c
+            LEFT JOIN shared sd
+                   ON sd.doc_a = c.doc_a AND sd.doc_b = c.doc_b
             JOIN sizes sx ON sx.doc_id = c.doc_a
             JOIN sizes sy ON sy.doc_id = c.doc_b
-            GROUP BY c.doc_a, c.doc_b, sx.n, sy.n
         )
         SELECT e.doc_a, e.doc_b,
                round(({match_terms}) / {N_HASHES}.0, 4) AS jaccard_est,

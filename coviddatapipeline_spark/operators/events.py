@@ -600,8 +600,14 @@ ASOF_FWD_TOLERANCE_S = 3600
     """,
     doc=(
         "Forward as-of join with tolerance: for every click, the SAME "
-        "user's next purchase strictly after it, kept only within a "
-        "1-hour window — the conversion-latency primitive. Expressed "
+        "user's next purchase after it in STREAM order — strictness is "
+        "over the (ts, event_id) sequence position, not time: a "
+        "purchase sharing the click's exact timestamp counts as 'next' "
+        "when its event_id is larger (and is skipped when smaller), "
+        "the standard deterministic tie-break for same-instant events; "
+        "both engines order identically so parity is exact. Kept only "
+        "within a 1-hour window — the conversion-latency primitive. "
+        "Expressed "
         "as a conditional running-min over the user-partitioned "
         "ordered event stream (ROWS 1 FOLLOWING .. UNBOUNDED), so it "
         "is ONE shuffle on user_id with no self-join at all — the "

@@ -306,7 +306,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         deg AS (SELECT c AS node, count(*) AS d FROM pairs GROUP BY c),
         buckets AS (
-            SELECT CAST(floor(ln(d) / ln(2)) AS INT) AS log2_bucket,
+            SELECT CAST(length(printf('%b', d)) - 1 AS INT) AS log2_bucket,
                    count(*) AS n_nodes, min(d) AS min_deg, max(d) AS max_deg
             FROM deg GROUP BY 1
         )
@@ -333,9 +333,16 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = pairs.groupBy("c").agg(F.count("*").alias("d"))
+    # Bucket = bit_length(d) - 1, computed with EXACT integer math on
+    # both engines (Spark: length of the binary string; DuckDB:
+    # length(printf('%b', d)) - 1). floor(ln(d)/ln(2)) sits exactly on
+    # an integer boundary for power-of-two degrees, where a 1-ulp libm
+    # difference between JVM Math.log and DuckDB ln would flip the
+    # bucket — the same cross-engine float hazard the LSH operators
+    # avoid with integer quantization.
     return (
         deg.groupBy(
-            F.floor(F.log(F.col("d")) / F.log(F.lit(2.0)))
+            (F.length(F.expr("bin(d)")) - F.lit(1))
             .cast("int")
             .alias("log2_bucket")
         )

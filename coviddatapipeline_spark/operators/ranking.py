@@ -33,6 +33,8 @@ job materializes unbounded state on one node.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
@@ -148,11 +150,17 @@ def with_global_running_sum(
     key_cols = [F.col(k) for k in keys]
     lead = _monotone_numeric(df, keys[0])
 
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
-    ).first()
-    cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
+    # A single bucket needs no cutpoints at all — and percentile_approx
+    # with an empty literal probability array is a degenerate call we
+    # must not issue (shuffle.partitions=1 sessions hit this).
+    if num_buckets <= 1:
+        cuts = []
+    else:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts_row = df.select(
+            F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
+        ).first()
+        cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
 
     if cuts:
         cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
@@ -165,11 +173,30 @@ def with_global_running_sum(
         (r[0], r[1])
         for r in with_bkt.groupBy(_BKT).agg(F.sum(value).alias("s")).collect()
     )
-    offsets, acc = [], 0.0
+    # Accumulate prefix offsets EXACTLY: Spark's sum() gives Decimal for
+    # decimal columns and int for integrals — Decimal arithmetic keeps
+    # every cent even past 2^53, where a float accumulator would
+    # silently round while the (decimal) oracle stays exact. Floats
+    # stay floats (they are inexact upstream anyway). The offset column
+    # is emitted as decimal(38,6) for exact inputs so the final
+    # offset + bucket-local-window-sum addition is itself exact.
+    exact = all(not isinstance(s, float) for _, s in sums if s is not None)
+    offsets: list[tuple[int, object]] = []
+    acc: object = Decimal(0) if exact else 0.0
     for bkt, s in sums:
         offsets.append((bkt, acc))
-        acc += float(s or 0.0)
-    off_df = spark.createDataFrame(offsets or [(0, 0.0)], f"{_BKT} int, {_OFF} double")
+        acc += (Decimal(s) if exact else float(s)) if s is not None else 0
+    if exact:
+        off_type = "decimal(38,6)"
+        rows = [(b, Decimal(v).quantize(Decimal("0.000001"))) for b, v in offsets]
+        grand = float(acc)
+    else:
+        off_type = "double"
+        rows = [(b, float(v)) for b, v in offsets]
+        grand = acc
+    off_df = spark.createDataFrame(
+        rows or [(0, Decimal(0) if exact else 0.0)], f"{_BKT} int, {_OFF} {off_type}"
+    )
 
     local = F.sum(F.col(value)).over(
         W.partitionBy(_BKT).orderBy(*key_cols).rowsBetween(W.unboundedPreceding, 0)
@@ -179,4 +206,4 @@ def with_global_running_sum(
         .withColumn(out, F.col(_OFF) + local)
         .drop(_BKT, _OFF)
     )
-    return ranked, acc
+    return ranked, grand

@@ -271,15 +271,21 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
     "window_lag_order_gap_days",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               date_diff('day',
+               coalesce(date_diff('day',
                          lag(o_orderdate) OVER (PARTITION BY o_custkey
                                                 ORDER BY o_orderdate, o_orderkey),
-                         o_orderdate) AS gap_days
+                         o_orderdate), -1) AS gap_days
         FROM orders
         WHERE o_custkey < 50
         ORDER BY o_custkey, o_orderkey
     """,
-    doc="lag() across rows per key: inter-order gap in days (NULL for first order).",
+    doc=(
+        "lag() across rows per key: inter-order gap in days. A customer's "
+        "first order has no predecessor; that NULL is encoded as -1 so the "
+        "output column stays integer and null-free for cross-engine "
+        "hashing (a NULL in a DuckDB integer column turns the whole "
+        "pandas column float64, which hashes 0 as '0.0' against Spark's 0)."
+    ),
     tags=("window",),
 )
 def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +296,9 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.datediff(F.col("o_orderdate"), prev).alias("gap_days"),
+            F.coalesce(
+                F.datediff(F.col("o_orderdate"), prev), F.lit(-1)
+            ).alias("gap_days"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

@@ -221,7 +221,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_money_totals",
     oracle="""
         SELECT o_orderstatus AS status,
-               sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+                   AS total_exact,
                count(*) AS n
         FROM orders
         GROUP BY 1
@@ -233,7 +234,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "billions of prices accumulates ulp error and depends on "
         "partial-sum order; decimal aggregation is associative-exact, so "
         "results are reproducible across partitionings — the correctness "
-        "reason warehouses keep money in decimal."
+        "reason warehouses keep money in decimal. The exact total is "
+        "EMITTED as its decimal string on both engines: pandas coerces a "
+        "DuckDB DECIMAL to float64 (driver fetch path), which would "
+        "reintroduce the very drift the operator exists to avoid."
     ),
     tags=("agg", "decimal"),
 )
@@ -242,7 +246,9 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("total_exact"),
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+            .cast("string")
+            .alias("total_exact"),
             F.count("*").alias("n"),
         )
         .orderBy("status")

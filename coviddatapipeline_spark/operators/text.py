@@ -237,7 +237,7 @@ def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang, source,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                CAST(floor(avg(quality) * 10000 + 0.5) AS BIGINT) AS avg_quality_e4
         FROM dedup
         GROUP BY lang, source
@@ -530,8 +530,8 @@ def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(avg(CASE WHEN n_tri > 0
                               THEN 1.0 - n_uniq * 1.0 / n_tri ELSE 0 END), 4)
                    AS avg_repetition,
-               sum(CASE WHEN n_tri > 0 AND 1.0 - n_uniq * 1.0 / n_tri > 0.2
-                        THEN 1 ELSE 0 END) AS n_repetitive
+               CAST(sum(CASE WHEN n_tri > 0 AND 1.0 - n_uniq * 1.0 / n_tri > 0.2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM tri
         GROUP BY source
         ORDER BY source
@@ -590,7 +590,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END AS pass
             FROM feats
         )
-        SELECT source, count(*) AS n_docs, sum(pass) AS n_pass,
+        SELECT source, count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass,
                round(avg(pass), 4) AS pass_rate
         FROM flagged
         GROUP BY source
@@ -710,7 +710,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    c * 1.0 / sum(c) OVER (PARTITION BY doc_id) AS p
             FROM wc
         )
-        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
                round(-sum(p * ln(p)), 4) AS word_entropy
         FROM wp GROUP BY doc_id ORDER BY doc_id
     """,
@@ -758,7 +758,7 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
         cw AS (SELECT word, sum(c) AS cw FROM wc GROUP BY word),
         tot AS (SELECT sum(cw) AS n FROM cw)
-        SELECT wc.doc_id, sum(wc.c) AS n_tokens,
+        SELECT wc.doc_id, CAST(sum(wc.c) AS BIGINT) AS n_tokens,
                round(sum(wc.c * ln(cw.cw * 1.0 / tot.n)) / sum(wc.c), 4)
                    AS avg_logprob
         FROM wc JOIN cw ON wc.word = cw.word CROSS JOIN tot

@@ -161,7 +161,7 @@ def events_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hourly
         ),
         totals AS (
-            SELECT event_type, sum(c) AS n_events,
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
                    round(max(c) * 24.0 / sum(c), 4) AS peak_ratio,
                    round(-sum(p * ln(p)), 4) AS hour_entropy
             FROM withp GROUP BY event_type

@@ -536,8 +536,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_PARTSUPP_SQL},
         val AS (
             SELECT p_partkey,
-                   sum(cost_cents * ((p_partkey * 7 + s_suppkey * 11) % 1000 + 1))
-                       AS part_value
+                   CAST(sum(cost_cents * ((p_partkey * 7 + s_suppkey * 11) % 1000 + 1))
+                        AS BIGINT) AS part_value
             FROM ps
             GROUP BY p_partkey
         ),

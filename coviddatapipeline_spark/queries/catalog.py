@@ -54,72 +54,82 @@ _REGISTRY: dict[str, Query] = {}
 _LOADED = False
 
 # The driver's correctness gate covers the FIRST 50 entries of queries()
-# iteration order. Registration order is module-import order, which put
-# the generic relational operators first in round 1 and left every
-# SURVEY §2 covid-parity entry and the dedup/ANN/text/events/multimodal
-# core outside the checked window (VERDICT.md round 1, fix #1). This
-# explicit priority list pins the brief-defining queries — plus the two
-# entries whose round-1 driver rows were red and are fixed this round —
-# into the window; everything else follows in registration order.
+# iteration order; the window is 50 of ~180 registered entries, so the
+# list ROTATES each round (VERDICT.md round 2, fix #6): a small sentinel
+# set of previously-green rows stays pinned, every entry whose oracle or
+# implementation changed this round enters the window for verification,
+# and the remaining slots cycle through families no CORRECTNESS file has
+# covered yet. Rows-only entries (no oracle) are kept BELOW the window —
+# a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
+#
+# Round-3 window:
+#   - sentinels: 9 previously-green rows spanning covid/dedup/ann/text/
+#     events (regression canaries for the families rotated out);
+#   - round-3 fixes: the 9 HUGEINT-cast oracles (round-2's red class),
+#     the null-free window_lag + string-decimal rewrites, the star-CC
+#     swap, the estimator-audit LEFT JOIN, the integer-exact degree
+#     histogram;
+#   - rotation: first driver coverage for datapipe, warehouse,
+#     retrieval, graph, timeseries, linalg, reshape, tpch_more/rest and
+#     the remaining relational/advanced entries.
 _PRIORITY: tuple[str, ...] = (
+    # --- sentinels (green in CORRECTNESS_r02) ---
     "flagship_revenue_by_nation",
-    # SURVEY §2 covid-parity rows (operators/covid.py)
     "s1_scan_count_orders",
     "s6_p2_watermark_increment",
-    "p1_projection_rename",
-    "f1_f2_trim_initcap_clean",
-    "f3_f4_cast_with_default",
-    "p4_malformed_drop",
     "q2_a2_latest_date",
-    "q3_browse_limit",
     "q4_topk_other_share",
-    "q5_sum_group_order_asc",
-    "f5_string_date_compare",
-    # Text analysis (operators/text.py)
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_word_trigrams_top",
-    "docpipe_clean_corpus_stats",
-    "text_bpe_token_estimate",
-    "text_winnow_fingerprint",
-    "text_pii_scrub",
-    "text_dedup_rate_by_source",
-    # Deduplication (operators/dedup.py)
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "dedup_simhash_banded_pairs",
-    "dedup_embedding_cosine_pairs",
-    "dedup_near_dup_components",
-    "dedup_incremental_anti_join",
-    # Similarity search (operators/similarity.py)
-    "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_ivf",
-    "ann_cosine_topk_multiprobe",
-    "ann_recall_ivf_vs_exact",
-    # Event streams (operators/events.py)
-    "events_hourly_rollup",
-    "events_sliding_window",
+    "text_token_stats",
     "events_sessionization",
-    "events_asof_last_click_before_purchase",
-    "events_user_gap_median_pandas",
-    "events_rolling_7d_active_users",
-    "events_error_rate_hourly",
-    # Multimodal plumbing (operators/multimodal.py)
-    "mm_binary_metadata",
-    "mm_decode_features_pandas",
-    "mm_image_decode_stub",
-    "mm_frame_offsets",
-    "mm_resize_plan_pandas",
-    # Round-1 red driver rows, fixed this round — re-verify in-window.
-    "tpch_q7_nation_trade_volume",
-    "array_agg_nations_per_region",
+    # --- round-3 fixed oracles: HUGEINT casts (VERDICT r02 fix #1) ---
+    "f3_f4_cast_with_default",
+    "docpipe_clean_corpus_stats",
+    "text_repetition_ratio",
+    "text_gopher_rules",
+    "text_word_entropy",
+    "text_unigram_logprob",
+    "tpch_q11_important_stock",
+    "contamination_ngram_overlap",
+    "pack_sequences_greedy",
+    "events_hourly_profile",
+    # --- round-3 fixed oracles: null-free / string-decimal rewrites ---
+    "window_lag_order_gap_days",
+    "decimal_money_totals",
+    # --- round-3 changed implementations ---
+    "dedup_near_dup_components",  # now the alternating-star core
+    "dedup_minhash_estimator_audit",  # oracle LEFT JOIN (ADVICE)
+    "graph_degree_histogram",  # integer-exact bucketing (ADVICE)
+    # --- promoted oracle-backed multimodal entry (r02 fix #3) ---
+    "mm_av_header_probe",
+    # --- rotation: families never covered by a CORRECTNESS file ---
+    "pricing_summary",
+    "window_topk_orders_per_segment",
+    "join_left_outer_order_counts",
+    "scalar_subquery_above_avg",
+    "median_price_per_segment",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_revenue_by_customer",
+    "tpch_q18_large_volume_customers",
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "pivot_priority_by_status",
+    "unpivot_order_metrics",
+    "rfm_customer_segments",
+    "split_train_val_test",
+    "sample_token_budget_per_lang",
+    "emb_int8_quant_stats",
+    "scd2_customer_merge",
+    "dq_constraint_audit",
+    "tfidf_top_terms",
+    "bm25_fixed_query",
+    "pagerank_customer_supplier",
+    "events_ewma_daily_revenue",
+    "daily_revenue_anomalies",
+    "emb_pca_power_iteration",
+    "events_funnel_conversion",
 )
 
 

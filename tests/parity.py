@@ -40,7 +40,15 @@ def canon_cell(v):
             return "0"
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
+        # DuckDB DATE arrives as a midnight pandas Timestamp via .df()
+        # while Spark DateType collects as datetime.date; the driver
+        # hashes that pairing as EQUAL (q2_a2_latest_date, a Spark-date
+        # vs DuckDB-DATE query, was green in round 2's CORRECTNESS).
+        # Canonicalize midnight datetimes to the date string to mirror.
+        v = v.replace(tzinfo=None)
+        if v.time() == dt.time(0, 0, 0) and v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -56,13 +64,61 @@ def rows_to_canon(rows, colnames):
     return out
 
 
+def _from_pandas(v):
+    """Convert one pandas/numpy cell to the Python value the driver hashes.
+
+    The driver fetches the DuckDB side through pandas (``rel.df()``), NOT
+    ``fetchall()``. The difference is the round-2 red-row class: DuckDB
+    ``sum(INTEGER)`` yields HUGEINT, which pandas renders float64
+    (``99111.0``) while Spark's collect gives int (``99111``) — values
+    equal, hash different. ``fetchall()`` hid the class locally by
+    converting HUGEINT to Python int. So: keep numpy floats as floats
+    (int-vs-float MUST mismatch), map NaN (pandas' NULL for numeric
+    columns) to None, and unwrap numpy scalars / arrays / Timestamps.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_from_pandas(x) for x in v]
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def fetch_duck_pandas(duck_con, oracle_sql: str):
+    """Fetch a DuckDB result the way the driver does: through pandas.
+
+    Returns (colnames, rows) with cells converted by :func:`_from_pandas`.
+    """
+    rel = duck_con.execute(oracle_sql)
+    cols = [c[0] for c in rel.description]
+    pdf = rel.df()
+    rows = [
+        tuple(_from_pandas(v) for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
+
+
 def compare(spark_df, duck_con, oracle_sql: str):
     """Return (ok, message) comparing a Spark DataFrame against DuckDB."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
-    rel = duck_con.execute(oracle_sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
+    d_cols, d_rows = fetch_duck_pandas(duck_con, oracle_sql)
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"

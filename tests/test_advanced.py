@@ -140,14 +140,14 @@ def test_star_cc_equals_propagation_cc(spark, parity_sf_dir):
     """The alternating-star components must agree exactly with the
     min-label-propagation components — same labels, any graph."""
     from coviddatapipeline_spark.operators.dedup import (
-        dedup_components_star,
+        dedup_components_labelprop,
         dedup_near_dup_components,
     )
 
     star = {r["doc_id"]: r["component"]
-            for r in dedup_components_star(spark, parity_sf_dir).collect()}
-    prop = {r["doc_id"]: r["component"]
             for r in dedup_near_dup_components(spark, parity_sf_dir).collect()}
+    prop = {r["doc_id"]: r["component"]
+            for r in dedup_components_labelprop(spark, parity_sf_dir).collect()}
     assert star == prop and len(star) > 0
 
 
