@@ -150,11 +150,13 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
     timed("skew_plain_shuffle_join", lambda: plain.collect())
     timed("skew_salted_join", lambda: skew_salted_join_agg(spark, sf_dir).collect())
 
-    # --- incremental (update-mode) gold vs full recompute --------------
-    # NEXT.md #2: second micro-batch cost — full gold recompute scans all
-    # of silver every trigger; the update-mode aggregation touches only
-    # changed keys. Timed on the SECOND drain, where the difference is
-    # the story.
+    # --- incremental (update-mode) gold vs full recompute: CROSSOVER ---
+    # VERDICT r02 fix #5 (NEXT.md #2): grow silver over N micro-batches
+    # and time EACH drain for both strategies. Full refresh re-reads all
+    # of silver every trigger, so its per-batch cost grows with silver
+    # size; the update-mode aggregation touches only the new batch's
+    # keys, so its per-batch cost stays flat — the curve (batch2..batchN
+    # rows below) is the crossover evidence SCALE.md §7 cites.
     try:
         from coviddatapipeline_spark.pipeline.streaming import (
             stream_incremental_gold_q5,
@@ -162,21 +164,26 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
         )
         from tests.covid_fixture import make_rows, write_csv
 
-        rows = make_rows(20_000)
+        n_batches, batch_rows = 5, 150_000
+        rows = make_rows(n_batches * batch_rows)
         for label, starter in (
-            ("gold_full_refresh_batch2", lambda d: stream_refresh_gold(
+            ("gold_full_refresh", lambda d: stream_refresh_gold(
                 spark, d["in"], d["silver"], d["gold"], d["ckpt"])),
-            ("gold_incremental_batch2", lambda d: stream_incremental_gold_q5(
+            ("gold_incremental", lambda d: stream_incremental_gold_q5(
                 spark, d["in"], d["gold"], d["ckpt"])),
         ):
             root = tempfile.mkdtemp(prefix="bench_gold_")
             d = {k: os.path.join(root, k) for k in ("in", "silver", "gold", "ckpt")}
             os.makedirs(d["in"])
             try:
-                write_csv(os.path.join(d["in"], "b1.csv"), rows[:10_000])
+                write_csv(os.path.join(d["in"], "b1.csv"), rows[:batch_rows])
                 starter(d).awaitTermination(120)
-                write_csv(os.path.join(d["in"], "b2.csv"), rows[10_000:])
-                timed(label, lambda: starter(d).awaitTermination(120))
+                for b in range(2, n_batches + 1):
+                    write_csv(
+                        os.path.join(d["in"], f"b{b}.csv"),
+                        rows[(b - 1) * batch_rows : b * batch_rows],
+                    )
+                    timed(f"{label}_batch{b}", lambda: starter(d).awaitTermination(120))
             finally:
                 shutil.rmtree(root, ignore_errors=True)
     except Exception as e:  # bench extras must never sink the headline run

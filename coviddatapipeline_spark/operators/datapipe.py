@@ -986,3 +986,121 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "train_order_global_shuffle",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   len({_TOKENS.format(x='text')}) AS n_tok,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {N_SHARDS} AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS okey
+            FROM documents
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               arg_min(doc_id, okey) AS first_doc_id,
+               arg_max(doc_id, okey) AS last_doc_id
+        FROM keyed
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    doc=(
+        "Deterministic global training-order shuffle: shard = "
+        "md5(doc_id) mod N, within-shard order = the md5 hex itself — "
+        "a reproducible permutation that is a pure function of doc_id "
+        "(no RNG state to ship, identical on every engine and every "
+        "re-run, the property epoch-resumable dataloaders need). The "
+        "materialization at scale is repartition(shard) + "
+        "sortWithinPartitions(okey) — ONE hash shuffle, no global "
+        "sort; this entry emits the per-shard audit (doc/token counts "
+        "balanced by the uniform hash, plus the first/last doc in "
+        "training order as min/max over the order key) that validates "
+        "the permutation without materializing it."
+    ),
+    tags=("datapipe", "sampling"),
+)
+def train_order_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    okey = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+        (
+            F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % N_SHARDS
+        ).alias("shard"),
+        okey.alias("okey"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min(F.struct("okey", "doc_id")).getField("doc_id").alias("first_doc_id"),
+            F.max(F.struct("okey", "doc_id")).getField("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+SAMPLE_K = 50
+
+
+@register(
+    "sample_bottomk_per_source",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                       AS rn
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               CAST(count(CASE WHEN rn <= {SAMPLE_K} THEN 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn <= {SAMPLE_K} THEN doc_id END) AS BIGINT)
+                   AS kept_id_sum
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Deterministic uniform sample of K docs per source via "
+        "BOTTOM-K-BY-HASH: rank each source's docs by md5(doc_id) and "
+        "keep the first K. Because md5 is uniform and content-blind, "
+        "this IS a uniform random sample — but reproducible across "
+        "runs, engines, partitionings, and INCREMENTAL growth (a doc's "
+        "hash never changes, so re-sampling a grown corpus keeps "
+        "maximal overlap with the previous sample — the property "
+        "reservoir sampling loses the moment you re-run it). One "
+        "source-partitioned window, no global sort; kept_id_sum is the "
+        "cross-engine checksum that the SAME docs were chosen, not "
+        "just the same count."
+    ),
+    tags=("datapipe", "sampling"),
+)
+def sample_bottomk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("rn") <= SAMPLE_K, 1)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= SAMPLE_K, F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -552,6 +552,141 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_band_candidates(
+    bands: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    payload_cols: list[str],
+    n_salt: int = 8,
+    hot_threshold: int = 1024,
+) -> DataFrame:
+    """Skew-hardened self-equi-join on band columns (VERDICT r02 fix #8).
+
+    The plain band-bucket equi-join shuffles on the band key alone, so a
+    single VIRAL band value (boilerplate corpora: one hot 8-bit band
+    shared by m docs) lands m rows in ONE task that grinds through m^2
+    candidate pairs while every other core idles. AQE's skew-join split
+    cannot see this: it triggers on map-output BYTES per partition, and
+    the viral bucket is small in bytes — the blowup is in the join's
+    quadratic OUTPUT, which only materializes inside the task.
+
+    The hardening is TARGETED: a cheap per-band-key count finds keys
+    with >= ``hot_threshold`` rows; only THOSE rows take the salted
+    path (build side keeps its hash-block of the row id, probe side is
+    replicated to all ``n_salt`` blocks, join key = (bands..., salt)),
+    fanning the hot bucket into ``n_salt`` parallel tasks of m * m/n_salt
+    work. Cold keys join plain. Blanket salting — replicating the WHOLE
+    table n_salt x — measurably LOSES as the well-distributed background
+    grows (probe: 0.4x at 200k background docs); targeting keeps the
+    replication proportional to hot data only, which is the entire point.
+    Output is EXACTLY the unsalted candidate set: the hot/cold key
+    partition is disjoint, and within the hot path every ordered pair
+    (a < b) meets in precisely the block of b's salt.
+
+    ``bands``: one row per (id, band values); ``payload_cols`` ride
+    along to both sides (suffixed _a/_b). The hot-key set is broadcast
+    (it is bounded by n_rows / hot_threshold keys — metadata-sized).
+    """
+    hot_keys = (
+        bands.groupBy(*band_cols)
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") >= hot_threshold)
+        .select(*band_cols, F.lit(1).alias("__hot"))
+    )
+    # One broadcast LEFT OUTER join + marker filters, NOT left_semi/
+    # left_anti: anti joins on these keys degenerate to null-aware
+    # BroadcastNestedLoopJoin (4 of them, replanned per branch — the
+    # probe measured the whole function 3x slower than the plain join
+    # it was meant to beat). A broadcast hash left-join is guaranteed.
+    marked = bands.join(F.broadcast(hot_keys), band_cols, "left")
+    hot = marked.filter(F.col("__hot").isNotNull()).drop("__hot")
+    cold = marked.filter(F.col("__hot").isNull()).drop("__hot")
+
+    def side(src: DataFrame, suffix: str, extra: list) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias(f"__id{suffix}"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in payload_cols],
+            *band_cols,
+            *extra,
+        )
+
+    cold_pairs = side(cold, "a", []).join(side(cold, "b", []), band_cols)
+
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)).alias("__salt")
+    hot_a = side(hot, "a", []).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(j) for j in range(n_salt)]))
+    )
+    hot_b = side(hot, "b", [salt])
+    hot_pairs = hot_a.join(hot_b, [*band_cols, "__salt"]).drop("__salt")
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            *[f"{c}_a" for c in payload_cols],
+            *[f"{c}_b" for c in payload_cols],
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash_banded_pairs_salted",
+    oracle=f"""
+        WITH {_SIMHASH_CTES}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "SimHash near-dup pairs through the TARGETED-salt band-bucket "
+        "join (salted_band_candidates): same pigeonhole-complete result "
+        "as dedup_simhash_near_pairs — the all-pairs oracle proves no "
+        "pair is lost through the salt — but band values whose bucket "
+        "exceeds hot_threshold get a hash-block salt in the equi-join "
+        "key, so one viral 8-bit band value cannot serialize into a "
+        "single straggler task (cold keys join plain; blanket salting "
+        "replicates the whole table and loses). The adversarial-skew "
+        "wall-time curve is scaling_probe.py's band-skew row."
+    ),
+    tags=("dedup", "lsh", "skew"),
+)
+def dedup_simhash_banded_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    cand = salted_band_candidates(
+        bands, "doc_id", ["band", "val"], ["simhash"], n_salt=8
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(simhash_a ^ simhash_b)"))
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 

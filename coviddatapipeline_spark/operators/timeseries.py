@@ -373,3 +373,89 @@ def events_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_daily_kl_drift",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM cells),
+        types AS (SELECT DISTINCT event_type FROM cells),
+        n_types AS (SELECT count(*) AS tt FROM types),
+        spine AS (SELECT d.day, t.event_type FROM days d CROSS JOIN types t),
+        filled AS (
+            SELECT s.day, s.event_type, coalesce(c.c, 0) AS c
+            FROM spine s LEFT JOIN cells c
+              ON c.day = s.day AND c.event_type = s.event_type
+        ),
+        probs AS (
+            SELECT day, event_type,
+                   (c + 1) * 1.0
+                       / (sum(c) OVER (PARTITION BY day) + n_types.tt) AS p,
+                   CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n_events
+            FROM filled CROSS JOIN n_types
+        )
+        SELECT cur.day, max(cur.n_events) AS n_events,
+               round(sum(cur.p * ln(cur.p / prev.p)), 4) AS kl_prev
+        FROM probs cur
+        JOIN probs prev ON prev.day = cur.day - 1
+                       AND prev.event_type = cur.event_type
+        GROUP BY cur.day
+        ORDER BY cur.day
+    """,
+    doc=(
+        "Day-over-day distribution drift of the event-type mix, as "
+        "add-one-smoothed KL divergence KL(today || yesterday) — the "
+        "monitor that catches a client release silently changing the "
+        "event composition before any count-based alarm fires (volume "
+        "can stay flat while the mix shifts). The SF-scaled fact "
+        "reduces to |days| x |types| cells in ONE map-side-combinable "
+        "shuffle; the day-type spine (cross join of two tiny distinct "
+        "sets), the per-day normalization window, and the day-vs-"
+        "previous-day equi-join all run on that calendar-bounded cell "
+        "table. Laplace smoothing keeps KL finite when a type is "
+        "absent on either day; the type-count scalar rides along as a "
+        "broadcast cross join (house scalar-subquery shape)."
+    ),
+    tags=("events", "timeseries", "agg"),
+)
+def events_daily_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    n_types = F.broadcast(types.agg(F.count("*").alias("tt")))
+    spine = days.crossJoin(F.broadcast(types))
+    filled = (
+        spine.join(cells, ["day", "event_type"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    wd = W.partitionBy("day")
+    probs = filled.crossJoin(n_types).select(
+        "day",
+        "event_type",
+        ((F.col("c") + 1) / (F.sum("c").over(wd) + F.col("tt"))).alias("p"),
+        F.sum("c").over(wd).alias("n_events"),
+    )
+    cur = probs.select("day", "event_type", "p", "n_events")
+    prev = probs.select(
+        F.date_add("day", 1).alias("day"),
+        "event_type",
+        F.col("p").alias("q"),
+    )
+    return (
+        cur.join(prev, ["day", "event_type"])
+        .groupBy("day")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 4).alias(
+                "kl_prev"
+            ),
+        )
+        .orderBy("day")
+    )

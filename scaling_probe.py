@@ -159,6 +159,56 @@ def main() -> None:
         )
         t_pca = time.perf_counter() - t0
 
+        # adversarial band skew (VERDICT r02 fix #8): a FIXED 8000-doc
+        # viral band value (boilerplate corpus) atop a background corpus
+        # that grows with mult. The unsalted band equi-join lands the
+        # viral bucket's 32M candidate pairs in ONE task (generation +
+        # the distinct's map-side partial aggregate both serialize
+        # there); the TARGETED salted join (dedup.salted_band_candidates
+        # — only keys above hot_threshold take the salted path) fans it
+        # into n_salt parallel tasks. Same output (asserted), so the
+        # delta is pure straggler relief; the blanket-salting variant
+        # that replicated the whole table measured SLOWER than plain as
+        # background grew, which is why the helper targets.
+        from coviddatapipeline_spark.operators.dedup import salted_band_candidates
+
+        n_bg = 50_000 * mult
+        hot = spark.range(8_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.lit(99_999).alias("val"),
+        )
+        bg = (
+            spark.range(n_bg)
+            .select(
+                (F.col("id") + 8_000).alias("doc_id"),
+                F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+            )
+            .select(
+                "doc_id",
+                "band",
+                F.pmod(
+                    F.hash(F.col("doc_id") * 4 + F.col("band")), F.lit(65_536)
+                ).alias("val"),
+            )
+        )
+        bands = hot.unionByName(bg)
+        a = bands.select(F.col("doc_id").alias("ida"), "band", "val")
+        b = bands.select(F.col("doc_id").alias("idb"), "band", "val")
+        t0 = time.perf_counter()
+        n_plain = (
+            a.join(b, ["band", "val"])
+            .filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb")
+            .distinct()
+            .count()
+        )
+        t_skew_plain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_salted = salted_band_candidates(bands, "doc_id", ["band", "val"], []).count()
+        t_skew_salt = time.perf_counter() - t0
+        assert n_plain == n_salted, (n_plain, n_salted)
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
         orows = 150_000 * mult
         erows = 100_000 * mult
@@ -170,7 +220,9 @@ def main() -> None:
             f"({orows/t_rank/1e6:5.2f}M rows/s)  star-cc={t_cc:6.2f}s "
             f"({n_nodes/t_cc/1e6:5.2f}M nodes/s, {n_comp} comps)  "
             f"funnel={t_funnel:6.2f}s ({erows/t_funnel/1e6:5.2f}M rows/s)  "
-            f"pca-matvec={t_pca:6.2f}s ({vrows/t_pca/1e3:5.1f}k vec/s)"
+            f"pca-matvec={t_pca:6.2f}s ({vrows/t_pca/1e3:5.1f}k vec/s)  "
+            f"band-skew plain={t_skew_plain:6.2f}s salted={t_skew_salt:6.2f}s "
+            f"({n_salted:,} pairs, {t_skew_plain/t_skew_salt:4.1f}x)"
         )
 
 

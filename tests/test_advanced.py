@@ -206,3 +206,26 @@ def test_star_components_vs_union_find(spark):
         got = {r["node"]: r["component"]
                for r in star_components(df).collect()}
         assert got == uf_components(edges), name
+
+
+def test_salted_band_join_plan_and_parity(spark, parity_sf_dir):
+    """The skew-hardened band join must (a) keep the salt column in the
+    equi-join keys — so a viral band value fans out across tasks instead
+    of serializing into one — (b) contain no cartesian/nested-loop, and
+    (c) produce EXACTLY the unsalted candidate pairs."""
+    from coviddatapipeline_spark.operators.dedup import (
+        dedup_simhash_banded_pairs_salted,
+        dedup_simhash_near_pairs,
+    )
+    from coviddatapipeline_spark.plans import assert_no_cartesian, executed_plan
+
+    df = dedup_simhash_banded_pairs_salted(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    assert "__salt" in executed_plan(df)
+
+    salted = {(r.doc_a, r.doc_b, r.hamming) for r in df.collect()}
+    plain = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash_near_pairs(spark, parity_sf_dir).collect()
+    }
+    assert salted == plain and len(salted) > 0

@@ -100,8 +100,9 @@ def test_gold_q3_browse(covid_env):
         covid_env["duck"],
         """
         SELECT date, state, county, new_cases, new_deaths FROM (
-            SELECT date, state, county, sum(new_cases) AS new_cases,
-                   sum(new_deaths) AS new_deaths
+            SELECT date, state, county,
+                   CAST(sum(new_cases) AS BIGINT) AS new_cases,
+                   CAST(sum(new_deaths) AS BIGINT) AS new_deaths
             FROM covid_cases GROUP BY date, state, county
         ) ORDER BY state, county, date LIMIT 2000
         """,
@@ -123,7 +124,7 @@ def test_gold_q4_topk_other(covid_env):
             FROM per_county
         )
         SELECT CASE WHEN rn <= 3 THEN county ELSE 'Other' END AS county,
-               sum(cases) AS cases,
+               CAST(sum(cases) AS BIGINT) AS cases,
                round(sum(cases) * 100.0 / max(total), 2) AS pct
         FROM ranked GROUP BY 1 ORDER BY cases DESC
         """,
@@ -135,7 +136,8 @@ def test_gold_q5_deaths_by_state(covid_env):
     ok, msg = compare(
         gold.q5_deaths_by_state(covid_env["silver"]),
         covid_env["duck"],
-        "SELECT state, sum(new_deaths) AS deaths FROM covid_cases GROUP BY state ORDER BY deaths",
+        "SELECT state, CAST(sum(new_deaths) AS BIGINT) AS deaths"
+        " FROM covid_cases GROUP BY state ORDER BY deaths",
     )
     assert ok, msg
 
