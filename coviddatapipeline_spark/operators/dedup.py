@@ -1301,3 +1301,130 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _mirror_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT source, unnest({_TRIGRAMS_SQL.format(x='text')}) AS s
+            FROM documents
+        ),
+        sig AS (SELECT source, {mh_cols} FROM sh GROUP BY source),
+        sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM sizes a JOIN sizes b ON a.source < b.source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b,
+               round(({match_terms}) / {N_HASHES}.0, 4) AS jaccard_est,
+               round(coalesce(sd.inter, 0) * 1.0
+                     / (sa.n + sb.n - coalesce(sd.inter, 0)), 4) AS jaccard_exact
+        FROM pairs p
+        LEFT JOIN shared sd
+               ON sd.source_a = p.source_a AND sd.source_b = p.source_b
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
+        JOIN sig x ON x.source = p.source_a
+        JOIN sig y ON y.source = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """
+
+
+@register(
+    "dedup_source_mirror_detection",
+    oracle=_mirror_oracle(),
+    doc=(
+        "Whole-SOURCE mirror detection: corpus-level MinHash signatures "
+        "per source next to the exact shingle-set Jaccard for every "
+        "source pair — the audit that catches two crawls of the same "
+        "site (mirrors, re-hosted dumps) before doc-level dedup wastes "
+        "a pass on them. The signature of a source is the ELEMENT-WISE "
+        "MIN of its documents' minhash components — sketch "
+        "MERGEABILITY, the algebraic property that lets the signature "
+        "build as one map-side-combinable groupBy (and, at 100 TB, "
+        "fold per-partition partials without ever seeing two rows of "
+        "the same source on one node). The |sources|^2 comparison "
+        "matrix is metadata-sized; the exact verification joins the "
+        "inverted shingle index once (LEFT-join totality over pairs, "
+        "zero-overlap pairs kept at jaccard 0 — the estimator-audit "
+        "convention)."
+    ),
+    tags=("dedup", "lsh", "audit"),
+)
+def dedup_source_mirror_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t_fanout(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", F.explode(_trigrams(F.col("text"))).alias("s"))
+        .distinct()
+        .select(
+            "source",
+            "s",
+            (
+                F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _MH_P
+            ).alias("base"),
+        )
+        .persist()
+    )
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("base") + F.lit(_MH_B[i])) % _MH_P).alias(
+                f"h{i}"
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    shared = (
+        sh.select(F.col("source").alias("source_a"), "s")
+        .join(sh.select(F.col("source").alias("source_b"), "s"), "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    x = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"h{i}").alias(f"xa{i}") for i in range(N_HASHES)],
+    )
+    y = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{i}").alias(f"yb{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        pairs.join(shared, ["source_a", "source_b"], "left")
+        .join(F.broadcast(x), "source_a")
+        .join(F.broadcast(y), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(matches / F.lit(float(N_HASHES)), 4).alias("jaccard_est"),
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 4).alias(
+                "jaccard_exact"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

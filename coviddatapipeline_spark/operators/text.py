@@ -802,3 +802,79 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+VOCAB_SIZES = (10, 50, 100)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+        WITH wc AS (
+            SELECT word, count(*) AS c
+            FROM (SELECT unnest({_TOKENS.format(x='text')}) AS word FROM documents)
+            GROUP BY word
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rn
+            FROM wc
+        )
+        SELECT v.v,
+               CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+               max(tot.total) AS total_tokens,
+               round(sum(r.c) * 1.0 / max(tot.total), 6) AS coverage
+        FROM (VALUES {", ".join(f"({v})" for v in VOCAB_SIZES)}) AS v(v)
+        JOIN ranked r ON r.rn <= v.v
+        CROSS JOIN tot
+        GROUP BY v.v
+        ORDER BY v.v
+    """,
+    doc=(
+        "Vocabulary coverage curve: the fraction of all corpus tokens "
+        "covered by the top-V most frequent words, at V in "
+        f"{VOCAB_SIZES} — the measurement behind tokenizer vocabulary "
+        "sizing (where the coverage curve flattens is where bigger "
+        "vocab stops paying) and OOV-rate estimation. One map-side-"
+        "combinable word count, then a DISTRIBUTED top-k (orderBy + "
+        "limit plans as TakeOrdered — per-partition heaps merged on "
+        "the driver, bounded by V, never an Exchange SinglePartition "
+        "over the vocabulary); the V-row rank table and the corpus-"
+        "total scalar are both broadcast-sized. Deterministic "
+        "tie-break on the word string."
+    ),
+    tags=("text", "agg", "analytics"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = F.broadcast(wc.agg(F.sum("c").cast("long").alias("total")))
+    top = (
+        wc.orderBy(F.col("c").desc(), F.col("word"))
+        .limit(max(VOCAB_SIZES))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("c").desc(), F.col("word"))
+            ),
+        )
+    )
+    vs = spark.createDataFrame([(v,) for v in VOCAB_SIZES], "v int")
+    return (
+        F.broadcast(vs)
+        .join(top, F.col("rn") <= F.col("v"))
+        .crossJoin(tot)
+        .groupBy("v")
+        .agg(
+            F.sum("c").cast("long").alias("covered_tokens"),
+            F.max("total").alias("total_tokens"),
+            F.round(F.sum("c") / F.max("total"), 6).alias("coverage"),
+        )
+        .orderBy("v")
+    )
