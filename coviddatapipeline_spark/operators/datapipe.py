@@ -449,10 +449,15 @@ KM_DIM = 64
 KM_ITERS = 2  # centroid updates; KM_ITERS + 1 assignment passes total
 
 
-def _km_oracle() -> str:
-    """Unrolled DuckDB CTE chain for KM_ITERS Lloyd updates + final
-    assignment, in the same fixed-point integer arithmetic as the Spark
-    operator (see ivf_kmeans_lloyd doc for why integers)."""
+def km_cte_parts() -> tuple[str, str]:
+    """(joined WITH-parts, final-assignment CTE name) for the unrolled
+    Lloyd chain — shared by the trainer oracle and the trained-ANN
+    oracle (similarity.py), which extends the chain with a probe."""
+    parts = _km_parts()
+    return ",".join(parts), f"a{KM_ITERS + 1}"
+
+
+def _km_parts() -> list[str]:
     parts = [
         f"""
         e AS (
@@ -489,6 +494,14 @@ def _km_oracle() -> str:
             LEFT JOIN (SELECT cid, list(c ORDER BY i) AS c
                        FROM m{it} GROUP BY cid) m USING (cid)
         )""")
+    return parts
+
+
+def _km_oracle() -> str:
+    """Unrolled DuckDB CTE chain for KM_ITERS Lloyd updates + final
+    assignment, in the same fixed-point integer arithmetic as the Spark
+    operator (see ivf_kmeans_lloyd doc for why integers)."""
+    parts = _km_parts()
     last = KM_ITERS + 1
     return (
         "WITH " + ",".join(parts) + f"""
@@ -502,6 +515,72 @@ def _km_oracle() -> str:
         ORDER BY a.cluster
     """
     )
+
+
+def km_assign(df: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
+    """Add a ``cluster`` column: argmax dot product against the k
+    broadcast-literal centroids (map-only, no shuffle); ties break to
+    the lowest centroid id via the lexicographic array_max on
+    (dot, -cid)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+            )
+            for cid, c in sorted(cent.items())
+        ]
+    )
+    return df.withColumn("cluster", (-F.array_max(scored)["neg_cid"]).cast("long"))
+
+
+def km_train_centroids(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Run the fixed-point Lloyd loop (see ivf_kmeans_lloyd doc) and
+    return (persisted quantized frame, trained centroid dict). Shared
+    by the registered trainer entry and the trained-quantizer ANN
+    (similarity.ann_cosine_topk_ivf_trained), so 'the model the audit
+    verified' and 'the model the index probes' are the same code."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
+    cent: dict[int, list[int]] = {
+        int(r["vec_id"]): [int(v) for v in r["q"]] for r in seeds
+    }
+    for _ in range(KM_ITERS):
+        sums = (
+            km_assign(q, cent)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
+            )
+            .collect()
+        )  # k rows x (dim+1) ints — metadata-sized driver state
+        for r in sums:
+            n = int(r["n"])
+            # Python // floors like both engines' floor(sum/n); sums are
+            # < 2^53 so the SQL double division is exact-then-floored too
+            cent[int(r["cluster"])] = [
+                int(r[f"s{i}"]) // n for i in range(KM_DIM)
+            ]
+    return q, cent
 
 
 @register(
@@ -528,60 +607,10 @@ def _km_oracle() -> str:
     tags=("datapipe", "similarity", "iterative"),
 )
 def ivf_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-        ).alias("q"),
-    ).persist()
-
-    seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
-    cent: dict[int, list[int]] = {
-        int(r["vec_id"]): [int(v) for v in r["q"]] for r in seeds
-    }
+    q, cent = km_train_centroids(spark, sf_dir)
 
     def assign(df: DataFrame) -> DataFrame:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"),
-                            F.array(*[F.lit(v) for v in c]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dot"),
-                    F.lit(-cid).cast("long").alias("neg_cid"),
-                )
-                for cid, c in sorted(cent.items())
-            ]
-        )
-        # lexicographic array_max: max dot, then max -cid (= min cid)
-        return df.withColumn(
-            "cluster", (-F.array_max(scored)["neg_cid"]).cast("long")
-        )
-
-    for _ in range(KM_ITERS):
-        sums = (
-            assign(q)
-            .groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
-            )
-            .collect()
-        )  # k rows x (dim+1) ints — metadata-sized driver state
-        for r in sums:
-            n = int(r["n"])
-            # Python // floors like both engines' floor(sum/n); sums are
-            # < 2^53 so the SQL double division is exact-then-floored too
-            cent[int(r["cluster"])] = [
-                int(r[f"s{i}"]) // n for i in range(KM_DIM)
-            ]
+        return km_assign(df, cent)
 
     l1 = {cid: sum(abs(v) for v in c) for cid, c in cent.items()}
     l1_map = F.create_map(

@@ -486,3 +486,89 @@ def ann_lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+def _trained_ivf_oracle() -> str:
+    from coviddatapipeline_spark.operators.datapipe import km_cte_parts
+
+    ctes, last = km_cte_parts()
+    return f"""
+        WITH {ctes},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(qq.embedding::DOUBLE[],
+                                    cc.embedding::DOUBLE[]) AS cos
+            FROM {last} q
+            JOIN {last} c ON q.cluster = c.cluster AND q.vec_id != c.vec_id
+            JOIN embeddings qq ON qq.vec_id = q.vec_id
+            JOIN embeddings cc ON cc.vec_id = c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_cosine_topk_ivf_trained",
+    oracle=_trained_ivf_oracle(),
+    doc=(
+        "IVF ANN probing cells of the TRAINED coarse quantizer: the "
+        "fixed-point Lloyd centroids from datapipe.km_train_centroids "
+        "(the same model ivf_kmeans_lloyd's audit verifies) assign "
+        "every vector a cell with a map-only broadcast-literal argmax; "
+        "each query then ranks only its own cell's candidates — the "
+        "production IVF shape, vs ann_cosine_topk_ivf's label-seeded "
+        "stand-in. Index build is the Lloyd cost (per iteration: one "
+        "map-only pass + one k x dim metadata collect); the probe is "
+        "one equi-join on the cell id with the query set broadcast. "
+        "Oracle: the unrolled Lloyd CTE chain extended with the "
+        "same-cell top-k — assignment, centroids, and ranking all "
+        "verified end-to-end in one statement."
+    ),
+    tags=("similarity", "iterative"),
+)
+def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, sf_dir)
+    assigned = km_assign(q, cent).select("vec_id", "cluster")
+    emb = _emb(spark, sf_dir)
+    qs = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cluster").alias("qcl"),
+            F.col("v").alias("qv"),
+        )
+    )
+    cand = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("ccl"),
+        F.col("v").alias("cv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(qs)
+        .join(
+            cand,
+            (F.col("qcl") == F.col("ccl"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", _dot("qv", "cv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
