@@ -1428,3 +1428,137 @@ def dedup_source_mirror_detection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source_a", "source_b")
     )
+
+
+K_GRAM = 8  # tokens per rolling window
+MIN_RUN = 3  # consecutive shared k-grams => >= K_GRAM + MIN_RUN - 1 shared tokens
+MAX_KGRAM_DF = 50  # boilerplate guard: k-grams in more docs are dropped
+
+
+@register(
+    "dedup_exact_substring_runs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS.format(x='text')} AS tk FROM documents
+        ),
+        kg AS (
+            SELECT doc_id, u.i AS pos,
+                   md5(array_to_string(tk[u.i:u.i + {K_GRAM - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - {K_GRAM - 1}, 0)))
+                     AS u(i)
+        ),
+        keep AS (
+            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM kg GROUP BY h)
+            WHERE df <= {MAX_KGRAM_DF}
+        ),
+        m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, b.pos AS pb
+            FROM kg a
+            JOIN kg b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN keep k ON k.h = a.h
+        ),
+        islands AS (
+            SELECT doc_a, doc_b, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS island
+            FROM (SELECT DISTINCT doc_a, doc_b, pa, pb FROM m)
+        ),
+        runs AS (
+            SELECT doc_a, doc_b, count(*) AS run_len
+            FROM islands GROUP BY doc_a, doc_b, diag, island
+        )
+        SELECT doc_a, doc_b,
+               count(*) AS n_runs,
+               max(run_len) AS longest_run_kgrams,
+               CAST(max(run_len) + {K_GRAM - 1} AS BIGINT)
+                   AS longest_shared_tokens
+        FROM runs
+        GROUP BY doc_a, doc_b
+        HAVING max(run_len) >= {MIN_RUN}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Exact shared-substring dedup (the suffix-array signal of Lee "
+        "et al. 2021, 'Deduplicating Training Data Makes Language "
+        "Models Better' — public), re-expressed relationally: every "
+        f"{K_GRAM}-token rolling window is hashed with its position, "
+        "windows meet through an inverted-index equi-join on the hash "
+        "(never doc x doc), and consecutive shared windows are grouped "
+        "into maximal runs with the gaps-and-islands trick — matches "
+        "on one (doc_a, doc_b) diagonal pa - pb with consecutive pa "
+        "belong to one contiguous shared substring, so max run length "
+        f"+ {K_GRAM - 1} is the exact shared-token-span length, "
+        f"reported for pairs sharing >= {MIN_RUN + K_GRAM - 1} "
+        "consecutive tokens. This catches long verbatim overlap "
+        "(quotes, licenses, mirrored passages) that whole-doc "
+        "fingerprints and bag-of-shingles Jaccard both miss. Per-"
+        f"k-gram document frequency is capped at {MAX_KGRAM_DF} "
+        "(MAX_SHINGLE_DF convention) so boilerplate windows cannot "
+        "explode the index; the islands window is partitioned by "
+        "(pair, diagonal) — never global."
+    ),
+    tags=("dedup", "text"),
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = t_fanout(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    kg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(tk) - (K_GRAM - 1), F.lit(0))
+                    ),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(tk, i, K_GRAM))).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .persist()
+    )
+    keep = (
+        kg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= MAX_KGRAM_DF)
+        .select("h")
+    )
+    a = kg.join(keep, "h").select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = kg.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    wi = W.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    islands = m.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(wi)).alias("island"),
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("longest_run_kgrams"),
+            (F.max("run_len") + F.lit(K_GRAM - 1))
+            .cast("long")
+            .alias("longest_shared_tokens"),
+        )
+        .filter(F.col("longest_run_kgrams") >= MIN_RUN)
+        .orderBy("doc_a", "doc_b")
+    )

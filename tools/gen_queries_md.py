@@ -13,9 +13,10 @@ lines = [
     '"rows-only" = semantics not SQL-expressible (reason in the doc column).',
     "",
     "The driver's CORRECTNESS gate covers the first 50 entries of",
-    "`queries()` iteration order; since round 2 that window is pinned (via",
-    "`catalog._PRIORITY`) to the SURVEY §2 covid-parity rows and the",
-    "dedup/ANN/text/events/multimodal core — see catalog.py.",
+    "`queries()` iteration order; `catalog._PRIORITY` pins and ROTATES",
+    "that window each round — a stable sentinel set plus every entry",
+    "whose oracle or implementation changed, plus families not yet",
+    "covered by a prior CORRECTNESS file — see catalog.py.",
     "",
     "| # | name | tags | check | what it does |",
     "|---|---|---|---|---|",
