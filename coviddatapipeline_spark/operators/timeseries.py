@@ -427,6 +427,15 @@ def events_daily_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count("*").alias("c"))
+    return kl_drift_from_cells(cells)
+
+
+def kl_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """KL-drift math over a (day, event_type, c) cell table — shared by
+    the batch operator above and the streaming twin
+    (pipeline.streaming.stream_daily_mix_drift), so the monitor a
+    stream maintains incrementally and the batch recompute are the
+    same code and provably agree (test_streaming)."""
     days = cells.select("day").distinct()
     types = cells.select("event_type").distinct()
     n_types = F.broadcast(types.agg(F.count("*").alias("tt")))

@@ -294,3 +294,50 @@ def stream_event_counts(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+def stream_daily_mix_drift(
+    spark: SparkSession,
+    input_dir: str,
+    cells_path: str,
+    kl_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """Streaming twin of ``events_daily_kl_drift``: the (day, type)
+    cell table is maintained as an update-mode streaming aggregation —
+    each micro-batch emits only the cells whose count CHANGED, and the
+    sink dynamic-partition-overwrites exactly those (day, event_type)
+    partitions — then the KL monitor is recomputed from the full cell
+    table with the SAME kernel the batch operator uses
+    (timeseries.kl_drift_from_cells). The cell table is calendar x
+    type bounded, so the per-trigger recompute is metadata-sized no
+    matter how large the event stream is; the expensive reduction
+    (events -> cells) is the part streaming state carries. This is the
+    drift alarm run ON the ingest path instead of as a nightly batch.
+    """
+    from coviddatapipeline_spark.operators.timeseries import kl_drift_from_cells
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    cells = stream.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("c"))
+
+    def upsert(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "event_type")
+            .parquet(cells_path)
+        )
+        s = batch_df.sparkSession
+        full = s.read.parquet(cells_path).select("day", "event_type", "c")
+        kl_drift_from_cells(full).write.mode("overwrite").parquet(kl_path)
+
+    return (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

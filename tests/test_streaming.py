@@ -399,3 +399,54 @@ def test_stream_static_enrichment(spark, tmp_path, parity_sf_dir):
         .collect()[0]
     )
     assert (got["n"], got["wsum"]) == (want["n"], want["wsum"])
+
+
+def test_stream_daily_mix_drift_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The streaming KL-drift monitor (update-mode cell maintenance +
+    shared kernel recompute) must EXACTLY equal the batch operator over
+    the same events after two incremental drains — counts are integers
+    and both paths run the identical kernel, so equality is exact, not
+    approximate."""
+    from coviddatapipeline_spark.operators.timeseries import events_daily_kl_drift
+    from coviddatapipeline_spark.pipeline.streaming import stream_daily_mix_drift
+
+    root = str(tmp_path)
+    in_dir, cells, kl, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "cells"),
+        os.path.join(root, "kl"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    ev = events(spark, parity_sf_dir).select("event_id", "ts", "event_type")
+    mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        # the file stream source lists in_dir FLAT — stage each chunk's
+        # part files directly into it, not as a nested parquet dir
+        import glob
+        import shutil
+
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(ev.filter(F.col("event_id") <= mid), "p1")
+    stream_daily_mix_drift(
+        spark, in_dir, cells, kl, ckpt, ev.schema
+    ).awaitTermination(120)
+    stage(ev.filter(F.col("event_id") > mid), "p2")
+    stream_daily_mix_drift(
+        spark, in_dir, cells, kl, ckpt, ev.schema
+    ).awaitTermination(120)
+
+    got = {
+        (r["day"], r["n_events"], r["kl_prev"])
+        for r in spark.read.parquet(kl).collect()
+    }
+    want = {
+        (r["day"], r["n_events"], r["kl_prev"])
+        for r in events_daily_kl_drift(spark, parity_sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
