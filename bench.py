@@ -216,6 +216,7 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
         for name in ("b_orders", "b_customer"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(tmp, ignore_errors=True)
+
     return out
 
 
