@@ -49,3 +49,20 @@ def test_entry_exports_match_catalog():
     assert set(E.oracle_sql()) == {
         n for n, q in catalog.all_queries().items() if q.oracle is not None
     }
+
+
+def test_driver_window_is_fully_hash_checkable():
+    """The driver's CORRECTNESS gate covers the FIRST 50 queries()
+    entries. Guard the window's composition: every slot oracle-backed
+    (a rows-only entry in the window is a wasted slot — VERDICT r02
+    fix #3), exactly the _PRIORITY names in order, no dead names."""
+    import __spark_entry__ as E
+    from coviddatapipeline_spark.queries import catalog
+
+    names = list(E.queries())[:50]
+    oracles = E.oracle_sql()
+    missing = [n for n in names if n not in oracles]
+    assert not missing, f"rows-only entries inside the checked window: {missing}"
+    assert names == list(catalog._PRIORITY)[: len(names)]
+    dead = [n for n in catalog._PRIORITY if n not in catalog.all_queries()]
+    assert not dead, f"_PRIORITY names not in the registry: {dead}"
