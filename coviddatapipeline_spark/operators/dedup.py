@@ -189,21 +189,13 @@ def _minhash_sql() -> str:
     """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=12, md5-seeded) → 4 bands × 3 rows → candidate pairs via
-    band-bucket join → exact Jaccard verification on candidates only.
-
-    Shuffle-minimal formulation: min-hashes are computed ARRAY-NATIVELY
-    per document (array_min over a transform of the distinct shingle
-    array) — zero shuffles, versus the naive explode + 12-way min
-    groupBy. Verification reuses the shingle arrays via array_intersect
-    on the (tiny, broadcast) candidate set instead of re-exploding every
-    document. The only data-sized shuffle left is the band-bucket
-    self-join, which is the LSH point: work is Σ bucket², not n².
-    A doc with <3 tokens has an empty shingle array → null min-hashes →
-    null band keys, which never equi-join: same exclusion the explode
-    formulation produced.
-    """
+def _lsh_docs_bands(spark: SparkSession, sf_dir: str):
+    """(docs, bands) for the MinHash-LSH family: docs carries the
+    distinct shingle array + per-shingle base hashes (persisted — feeds
+    minhash derivation AND candidate verification); bands carries one
+    (doc_id, band_id, band_key) row per band. Shared by the self-join
+    pipeline (dedup_minhash_lsh) and the incremental ingest gate
+    (dedup_incremental_neardup_ingest)."""
     # one md5 per shingle (not per shingle x per hash): base hashes are
     # computed INSIDE the persisted projection so they materialize once
     # in the cache — a derived select would be projection-collapsed and
@@ -220,7 +212,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _MH_P,
             ).alias("bases"),
         )
-        .persist()  # feeds minhash derivation AND candidate verification
+        .persist()
     )
 
     def _minhash(i: int):
@@ -247,6 +239,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
         .persist()  # consumed twice by the self-join
     )
+    return docs, bands
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=12, md5-seeded) → 4 bands × 3 rows → candidate pairs via
+    band-bucket join → exact Jaccard verification on candidates only.
+
+    Shuffle-minimal formulation: min-hashes are computed ARRAY-NATIVELY
+    per document (array_min over a transform of the distinct shingle
+    array) — zero shuffles, versus the naive explode + 12-way min
+    groupBy. Verification reuses the shingle arrays via array_intersect
+    on the (tiny, broadcast) candidate set instead of re-exploding every
+    document. The only data-sized shuffle left is the band-bucket
+    self-join, which is the LSH point: work is Σ bucket², not n².
+    A doc with <3 tokens has an empty shingle array → null min-hashes →
+    null band keys, which never equi-join: same exclusion the explode
+    formulation produced.
+    """
+    docs, bands = _lsh_docs_bands(spark, sf_dir)
 
     a, bb = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1561,4 +1572,132 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_run_kgrams") >= MIN_RUN)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _neardup_ingest_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        bands AS ({bands_union}),
+        thr AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS t FROM documents),
+        inc AS (SELECT b.* FROM bands b, thr WHERE b.doc_id >= thr.t),
+        ex AS (SELECT b.* FROM bands b, thr WHERE b.doc_id < thr.t),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+            FROM inc i JOIN ex e
+              ON i.band_id = e.band_id AND i.band_key = e.band_key
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT c.inc_id, c.ex_id, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.inc_id
+            JOIN sh b ON b.doc_id = c.ex_id AND b.s = a.s
+            GROUP BY 1, 2
+        ),
+        ver AS (
+            SELECT c.inc_id
+            FROM cand c
+            LEFT JOIN shared sd ON sd.inc_id = c.inc_id AND sd.ex_id = c.ex_id
+            JOIN sizes sx ON sx.doc_id = c.inc_id
+            JOIN sizes sy ON sy.doc_id = c.ex_id
+            WHERE round(coalesce(sd.inter, 0) * 1.0
+                        / (sx.n + sy.n - coalesce(sd.inter, 0)), 4)
+                  >= {JACCARD_THRESHOLD}
+        )
+        SELECT
+            (SELECT count(*) FROM documents, thr WHERE doc_id >= thr.t)
+                AS n_incoming,
+            (SELECT count(*) FROM cand) AS n_candidate_pairs,
+            (SELECT count(*) FROM ver) AS n_verified_pairs,
+            (SELECT count(DISTINCT inc_id) FROM ver) AS n_blocked,
+            (SELECT count(*) FROM documents, thr WHERE doc_id >= thr.t)
+                - (SELECT count(DISTINCT inc_id) FROM ver) AS n_admitted
+    """
+
+
+@register(
+    "dedup_incremental_neardup_ingest",
+    oracle=_neardup_ingest_oracle(),
+    doc=(
+        "Continuous-ingest NEAR-dup gate: an incoming batch (upper half "
+        "of doc_id, threshold derived in-query from max(doc_id)/2 so "
+        "the split tracks whatever corpus the round's testdata carries) "
+        "is LSH-banded against the EXISTING corpus only — an "
+        "incoming x existing band equi-join, never incoming x incoming "
+        "or the full self-join — then candidates are exactness-verified "
+        "(rounded Jaccard >= threshold, LEFT-join totality). Incoming "
+        "docs with a verified near-dup in the corpus are BLOCKED, the "
+        "rest admitted — the production shape for dedup-at-ingest, "
+        "where the corpus side reduces to its (tiny) band table and at "
+        "100 TB would be a bucketed, incrementally-maintained index "
+        "keyed on band_key rather than a recomputation. Near-dup "
+        "sibling of dedup_incremental_anti_join (exact fingerprints)."
+    ),
+    tags=("dedup", "lsh", "join"),
+)
+def dedup_incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, bands = _lsh_docs_bands(spark, sf_dir)
+    thr = F.broadcast(
+        docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("t"))
+    )
+    banded = bands.crossJoin(thr)
+    inc = banded.filter(F.col("doc_id") >= F.col("t")).select(
+        F.col("doc_id").alias("inc_id"), "band_id", "band_key"
+    )
+    ex = banded.filter(F.col("doc_id") < F.col("t")).select(
+        F.col("doc_id").alias("ex_id"), "band_id", "band_key"
+    )
+    cand = (
+        inc.join(ex, ["band_id", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    pairs = (
+        F.broadcast(cand)
+        .join(
+            docs.select(F.col("doc_id").alias("inc_id"), F.col("arr").alias("arr_a")),
+            "inc_id",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("ex_id"), F.col("arr").alias("arr_b")),
+            "ex_id",
+        )
+    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    union_n = F.size("arr_a") + F.size("arr_b") - common
+    ver = pairs.select(
+        "inc_id",
+        F.round(common * 1.0 / union_n, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+    n_incoming = (
+        docs.crossJoin(thr)
+        .filter(F.col("doc_id") >= F.col("t"))
+        .agg(F.count("*").alias("n_incoming"))
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidate_pairs"))
+    n_ver = ver.agg(
+        F.count("*").alias("n_verified_pairs"),
+        F.countDistinct("inc_id").alias("n_blocked"),
+    )
+    return (
+        n_incoming.crossJoin(n_cand)
+        .crossJoin(n_ver)
+        .select(
+            "n_incoming",
+            "n_candidate_pairs",
+            "n_verified_pairs",
+            "n_blocked",
+            (F.col("n_incoming") - F.col("n_blocked")).alias("n_admitted"),
+        )
     )
