@@ -1133,3 +1133,88 @@ def sample_bottomk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CHUNK_TOKENS = 128  # tokens per training chunk
+CHUNK_STRIDE = 96  # stride between chunk starts (32-token overlap)
+
+
+@register(
+    "pack_chunks_with_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len({_TOKENS.format(x='text')}) AS n_tok
+            FROM documents
+        ),
+        chunked AS (
+            SELECT doc_id, source, n_tok,
+                   CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                        ELSE CAST(ceil((n_tok - {CHUNK_TOKENS}) * 1.0
+                                       / {CHUNK_STRIDE}) AS BIGINT) + 1
+                   END AS n_chunks
+            FROM toks
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS corpus_tokens,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(least(n_tok, {CHUNK_TOKENS})
+                        + (n_chunks - 1) * {CHUNK_TOKENS}) AS BIGINT)
+                   AS emitted_tokens,
+               round(sum(least(n_tok, {CHUNK_TOKENS})
+                         + (n_chunks - 1) * {CHUNK_TOKENS}) * 1.0
+                     / sum(n_tok), 4) AS duplication_factor
+        FROM chunked
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        f"Sliding-window chunking for long documents: {CHUNK_TOKENS}-"
+        f"token chunks at stride {CHUNK_STRIDE} (a "
+        f"{CHUNK_TOKENS - CHUNK_STRIDE}-token overlap preserves "
+        "cross-boundary context) — the other half of dataloader prep "
+        "next to pack_sequences_greedy: packing merges SHORT docs into "
+        "windows, chunking splits LONG docs across them. Chunk counts "
+        "and the emitted-token mass are CLOSED FORMS of the doc's token "
+        "count (ceil arithmetic — no per-chunk explode needed for the "
+        "audit, so the plan is one map + one map-side-combinable agg "
+        "regardless of document length), and duplication_factor "
+        "reports the token-inflation cost, the number you tune stride "
+        "against. emitted = min(n, C) + (chunks-1) * C counts every "
+        "chunk at the full window — i.e. the final short chunk is "
+        "counted PADDED to C (what a fixed-shape batch actually "
+        "costs), so duplication_factor folds in both overlap and "
+        "final-chunk padding (invariant-tested against an explicit "
+        "sliding-window enumeration in test_chunk_count_closed_form)."
+    ),
+    tags=("datapipe", "text"),
+)
+def pack_chunks_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    n_chunks = F.when(n_tok <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.ceil((n_tok - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("long") + 1
+    )
+    emitted = (
+        F.least(n_tok, F.lit(CHUNK_TOKENS)).cast("long")
+        + (n_chunks - 1) * CHUNK_TOKENS
+    )
+    return (
+        docs.select(
+            "source",
+            n_tok.alias("n_tok"),
+            n_chunks.alias("n_chunks"),
+            emitted.alias("emitted"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("corpus_tokens"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("emitted").cast("long").alias("emitted_tokens"),
+            F.round(F.sum("emitted") / F.sum("n_tok"), 4).alias(
+                "duplication_factor"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -229,3 +229,27 @@ def test_salted_band_join_plan_and_parity(spark, parity_sf_dir):
         for r in dedup_simhash_near_pairs(spark, parity_sf_dir).collect()
     }
     assert salted == plain and len(salted) > 0
+
+
+def test_chunk_count_closed_form():
+    """The chunking audit uses a closed form instead of exploding
+    chunks; verify it against an explicit sliding-window enumeration
+    for every length up to 10x the window."""
+    from coviddatapipeline_spark.operators.datapipe import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    import math
+
+    for n in range(1, CHUNK_TOKENS * 10):
+        starts = [0]
+        while starts[-1] + CHUNK_TOKENS < n:
+            starts.append(starts[-1] + CHUNK_STRIDE)
+        expected = len(starts)
+        closed = 1 if n <= CHUNK_TOKENS else math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE) + 1
+        assert closed == expected, (n, closed, expected)
+        emitted = min(n, CHUNK_TOKENS) + (closed - 1) * CHUNK_TOKENS
+        # every chunk is CHUNK_TOKENS long except possibly the last
+        real = sum(min(CHUNK_TOKENS, n - s) for s in starts)
+        # emitted over-counts only the final short chunk's padding-free tail
+        assert emitted >= real and emitted - real < CHUNK_TOKENS
