@@ -878,3 +878,89 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("v")
     )
+
+
+@register(
+    "docpipe_quality_dup_profile",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   md5(lower({_NORM.format(x='text')})) AS fp,
+                   least(len({_TOKENS.format(x='text')}), 100) / 100.0
+                     * (0.5 + 0.5 * least(
+                           len(list_filter({_TOKENS.format(x='text')},
+                                           w -> list_contains({_SW_SQL}, w)))
+                           * 1.0 / len({_TOKENS.format(x='text')}), 0.4) / 0.4)
+                       AS quality
+            FROM documents
+        ),
+        grp AS (
+            SELECT fp, count(*) AS n_copies FROM scored GROUP BY fp
+        ),
+        bucketed AS (
+            SELECT least(CAST(floor(s.quality * 10) AS INT), 9) AS q_bucket,
+                   g.n_copies
+            FROM scored s JOIN grp g ON g.fp = s.fp
+        )
+        SELECT q_bucket,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS dup_rate
+        FROM bucketed
+        GROUP BY q_bucket
+        ORDER BY q_bucket
+    """,
+    doc=(
+        "Quality-vs-duplication profile: documents bucketed by the "
+        "heuristic quality score (fixed 0.1-wide buckets — a pure "
+        "function of the row, deliberately NOT deciles: global "
+        "quantile buckets would need a ranking pass, while fixed "
+        "buckets are map-only and comparable across corpora and "
+        "rounds) crossed with their exact-duplicate group size. The "
+        "classic curation insight this audits: boilerplate and spam "
+        "cluster in the low-quality buckets AND duplicate heavily, so "
+        "dup_rate falling as quality rises is the expected signature — "
+        "an inverted profile flags either a broken quality score or a "
+        "template-heavy 'high quality' source. Two map-side-combinable "
+        "shuffles (fingerprint groups, bucket rollup) plus one "
+        "fingerprint join-back."
+    ),
+    tags=("text", "dedup", "analytics"),
+)
+def docpipe_quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    ratio = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))) * 1.0 / n_tokens
+    quality = (
+        F.least(n_tokens, F.lit(100)) / 100.0
+        * (0.5 + 0.5 * F.least(ratio, F.lit(0.4)) / 0.4)
+    )
+    scored = docs.select(
+        F.md5(F.lower(_norm(F.col("text")))).alias("fp"),
+        quality.alias("quality"),
+    )
+    grp = scored.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    bucketed = scored.join(grp, "fp").select(
+        F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9)).alias(
+            "q_bucket"
+        ),
+        "n_copies",
+    )
+    return (
+        bucketed.groupBy("q_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("q_bucket")
+    )
