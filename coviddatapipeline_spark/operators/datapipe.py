@@ -1218,3 +1218,98 @@ def pack_chunks_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "split_unigram_kl_audit",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                        WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest({_TOKENS.format(x='text')}) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT split, word, count(*) AS c
+            FROM tagged WHERE split IN ('train', 'val')
+            GROUP BY split, word
+        ),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        v AS (SELECT count(*) AS vs FROM vocab),
+        tot AS (SELECT split, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY split),
+        probs AS (
+            SELECT vocab.word,
+                   (coalesce(tr.c, 0) + 1) * 1.0
+                       / ((SELECT n FROM tot WHERE split = 'train') + v.vs) AS p_train,
+                   (coalesce(va.c, 0) + 1) * 1.0
+                       / ((SELECT n FROM tot WHERE split = 'val') + v.vs) AS p_val
+            FROM vocab
+            CROSS JOIN v
+            LEFT JOIN (SELECT word, c FROM wc WHERE split = 'train') tr USING (word)
+            LEFT JOIN (SELECT word, c FROM wc WHERE split = 'val') va USING (word)
+        )
+        SELECT (SELECT n FROM tot WHERE split = 'train') AS n_train_tokens,
+               (SELECT n FROM tot WHERE split = 'val') AS n_val_tokens,
+               (SELECT vs FROM v) AS vocab_size,
+               round(sum(p_val * ln(p_val / p_train)), 4) AS kl_val_train
+        FROM probs
+    """,
+    doc=(
+        "Split distribution-shift audit: add-one-smoothed KL divergence "
+        "of the VAL split's word-unigram distribution from TRAIN's, "
+        "over their joint vocabulary — the eval-hygiene check that the "
+        "deterministic hash split actually produced exchangeable "
+        "samples (a near-zero KL; a large one means val measures a "
+        "different distribution than the model trains on, e.g. after a "
+        "per-source or time-based split). Composes the md5 split with "
+        "the token pipeline: one combinable (split, word) count, a "
+        "vocab-sized outer join-back, and scalar totals riding as "
+        "subquery folds. The same shape monitors train-vs-INCOMING "
+        "drift when pointed at an ingest batch instead of val."
+    ),
+    tags=("datapipe", "text", "audit"),
+)
+def split_unigram_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = docs.select(
+        split.alias("split"), F.explode(_tokens(F.col("text"))).alias("word")
+    ).filter(F.col("split").isin("train", "val"))
+    wc = tagged.groupBy("split", "word").agg(F.count("*").alias("c"))
+    vocab = wc.select("word").distinct()
+    v = F.broadcast(vocab.agg(F.count("*").alias("vs")))
+    tot = wc.groupBy("split").agg(F.sum("c").cast("long").alias("n"))
+    n_train = F.broadcast(
+        tot.filter(F.col("split") == "train").select(F.col("n").alias("n_train"))
+    )
+    n_val = F.broadcast(
+        tot.filter(F.col("split") == "val").select(F.col("n").alias("n_val"))
+    )
+    tr = wc.filter(F.col("split") == "train").select("word", F.col("c").alias("ct"))
+    va = wc.filter(F.col("split") == "val").select("word", F.col("c").alias("cv"))
+    probs = (
+        vocab.join(tr, "word", "left")
+        .join(va, "word", "left")
+        .crossJoin(v)
+        .crossJoin(n_train)
+        .crossJoin(n_val)
+        .select(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("n_train") + F.col("vs"))).alias("p_train"),
+            ((F.coalesce(F.col("cv"), F.lit(0)) + 1) / (F.col("n_val") + F.col("vs"))).alias("p_val"),
+            "n_train",
+            "n_val",
+            "vs",
+        )
+    )
+    return probs.agg(
+        F.max("n_train").alias("n_train_tokens"),
+        F.max("n_val").alias("n_val_tokens"),
+        F.max("vs").alias("vocab_size"),
+        F.round(F.sum(F.col("p_val") * F.log(F.col("p_val") / F.col("p_train"))), 4).alias(
+            "kl_val_train"
+        ),
+    )
