@@ -73,3 +73,34 @@ def test_rewritten_rankings_have_no_single_partition_stage(
     df = catalog.get(name).fn(spark, parity_sf_dir)
     assert_no_single_partition(df)
     assert audit(df)["single_partition_exchanges"] == 0
+
+
+def test_running_sum_decimal_exact_and_single_bucket(spark):
+    """ADVICE r02 fixes: (a) with num_buckets=1 the helper must
+    short-circuit the cutpoint scan (percentile_approx with an empty
+    probability array is degenerate) and still be correct; (b) for a
+    DECIMAL value column the broadcast prefix offsets must accumulate
+    in Decimal — every running-sum cell equals a Python-Decimal
+    accumulation EXACTLY, for both the single-bucket and the
+    multi-bucket path."""
+    from decimal import Decimal
+
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    df = spark.range(1, 201).select(
+        "id", (F.col("id") * 25).cast("decimal(20,2)").alias("v")
+    )
+    expected = []
+    acc = Decimal(0)
+    for i in range(1, 201):
+        acc += Decimal(i * 25)
+        expected.append(acc)
+
+    for nb in (1, 8):
+        ranked, total = with_global_running_sum(df, ["id"], "v", num_buckets=nb)
+        rows = ranked.orderBy("id").collect()
+        assert len(rows) == 200
+        for r, want in zip(rows, expected):
+            got = Decimal(str(r["run_sum"]))
+            assert got == want, (nb, r["id"], got, want)
+        assert float(total) == float(expected[-1])
