@@ -572,3 +572,120 @@ def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+def _trained_recall_oracle() -> str:
+    from coviddatapipeline_spark.operators.datapipe import km_cte_parts
+
+    ctes, last = km_cte_parts()
+    return f"""
+        WITH {ctes},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   aq.cluster = ac.cluster AS same_cell,
+                   list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id != c.vec_id
+            JOIN {last} aq ON aq.vec_id = q.vec_id
+            JOIN {last} ac ON ac.vec_id = c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS r
+                FROM scored
+            ) WHERE r <= {TOP_K}
+        ),
+        ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS r
+                FROM scored WHERE same_cell
+            ) WHERE r <= {TOP_K}
+        )
+        SELECT e.query_id,
+               round(count(i.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+        FROM exact e
+        LEFT JOIN ivf i ON e.query_id = i.query_id
+                       AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """
+
+
+@register(
+    "ann_recall_trained_vs_exact",
+    oracle=_trained_recall_oracle(),
+    doc=(
+        "Recall@k of the TRAINED-quantizer IVF probe "
+        "(ann_cosine_topk_ivf_trained's cells) against exact brute "
+        "force, per query — completes the ANN accuracy/cost matrix: "
+        "brute force (recall 1 by definition), label-seeded IVF "
+        "(ann_recall_ivf_vs_exact), and now the production-shaped "
+        "trained index, so the quantizer-quality question 'did Lloyd "
+        "training buy recall over the label stand-in?' is a driver-"
+        "checked number, not an assumption. Oracle chains the unrolled "
+        "training CTEs into the recall computation."
+    ),
+    tags=("similarity", "iterative", "audit"),
+)
+def ann_recall_trained_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, sf_dir)
+    assigned = km_assign(q, cent).select("vec_id", "cluster")
+    emb = _emb(spark, sf_dir)
+    qs = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cluster").alias("qcl"),
+            F.col("v").alias("qv"),
+        )
+    )
+    cand = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("ccl"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot("qv", "cv"))
+        .withColumn("same_cell", F.col("qcl") == F.col("ccl"))
+        .select("query_id", "neighbor_id", "cos", "same_cell")
+        .persist()  # feeds both the exact and the probed ranking
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        scored.filter(F.col("same_cell"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select(
+            F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+        )
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("query_id") == F.col("iq"))
+            & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("inb") / TOP_K, 4).alias("recall_at_k"))
+        .orderBy("query_id")
+    )
