@@ -229,3 +229,100 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "warehouse_snapshot_diff_cdc",
+    oracle="""
+        WITH v1 AS (
+            SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+            FROM customer
+        ),
+        v2 AS (
+            -- deterministic simulated next snapshot: every 7th key's
+            -- balance moves, every 13th key is deleted, and one new row
+            -- per nation appears with a key above the current max
+            SELECT k, CASE WHEN k % 7 = 0 THEN bal + 10.0 ELSE bal END AS bal,
+                   seg
+            FROM v1 WHERE k % 13 != 0
+            UNION ALL
+            SELECT (SELECT max(c_custkey) FROM customer) + n_nationkey + 1,
+                   1000.0 + n_nationkey, 'NEWSEG'
+            FROM nation
+        ),
+        classified AS (
+            SELECT coalesce(v1.k, v2.k) AS k,
+                   CASE WHEN v1.k IS NULL THEN 'insert'
+                        WHEN v2.k IS NULL THEN 'delete'
+                        WHEN v1.bal != v2.bal OR v1.seg != v2.seg THEN 'update'
+                        ELSE 'unchanged' END AS op
+            FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        )
+        SELECT op, count(*) AS n
+        FROM classified
+        GROUP BY op
+        ORDER BY op
+    """,
+    doc=(
+        "Snapshot-diff change-data-capture: two versions of the "
+        "customer dimension (the next snapshot simulated "
+        "deterministically — balance drift on every 7th key, deletes "
+        "on every 13th, one insert per nation) FULL-OUTER-joined on "
+        "the business key and every row classified "
+        "insert/update/delete/unchanged — the diff a warehouse computes "
+        "to turn full-table re-extracts into an incremental changelog "
+        "when the source system offers no CDC stream. One hash join on "
+        "the key plus a combinable count; at 100 TB both snapshots "
+        "would be bucketed on the key (sources.write_bucketed_table) "
+        "making the diff co-located and shuffle-free. Complements "
+        "scd2_customer_merge, which consumes exactly this changelog."
+    ),
+    tags=("warehouse", "join", "cdc"),
+)
+def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    max_k = F.broadcast(v1.agg(F.max("k").alias("mk")))
+    changed = v1.filter(F.col("k") % 13 != 0).select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.col("bal") + 10.0)
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+        "seg",
+    )
+    inserts = (
+        t(spark, sf_dir, "nation")
+        .crossJoin(max_k)
+        .select(
+            (F.col("mk") + F.col("n_nationkey") + 1).alias("k"),
+            (1000.0 + F.col("n_nationkey")).alias("bal"),
+            F.lit("NEWSEG").alias("seg"),
+        )
+    )
+    v2 = changed.unionByName(inserts)
+    a = v1.select(
+        F.col("k").alias("k1"), F.col("bal").alias("bal1"), F.col("seg").alias("seg1")
+    )
+    b = v2.select(
+        F.col("k").alias("k2"), F.col("bal").alias("bal2"), F.col("seg").alias("seg2")
+    )
+    op = (
+        F.when(F.col("k1").isNull(), F.lit("insert"))
+        .when(F.col("k2").isNull(), F.lit("delete"))
+        .when(
+            (F.col("bal1") != F.col("bal2")) | (F.col("seg1") != F.col("seg2")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, F.col("k1") == F.col("k2"), "full_outer")
+        .select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+        .orderBy("op")
+    )
