@@ -423,15 +423,18 @@ def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg_7day_revenue",
     oracle="""
         WITH daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
             FROM orders GROUP BY 1
         )
         SELECT strftime(d, '%Y-%m-%d') AS day,
-               round(rev, 2) AS revenue,
-               round(avg(rev) OVER (ORDER BY d
-                                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                                    AND CURRENT ROW), 2) AS ma7
+               round(cents / 100.0, 2) AS revenue,
+               ((2 * sum(cents) OVER w + count(*) OVER w)
+                // (2 * count(*) OVER w)) / 100.0 AS ma7
         FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                     AND CURRENT ROW)
         ORDER BY day
     """,
     doc=(
@@ -440,7 +443,18 @@ def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "over epoch-day ordering. The window input is the already-reduced "
         "daily table (one row/day), so the single-partition window is over "
         "thousands of rows regardless of fact-table size; partition by "
-        "coarser units (year) if the spine itself ever grows."
+        "coarser units (year) if the spine itself ever grows. All "
+        "accumulation is INTEGER CENTS and the moving average is "
+        "rounded IN INTEGER SPACE: ma7_cents = (2*sum + cnt) div "
+        "(2*cnt), i.e. round-half-up as pure integer arithmetic. The "
+        "sf0.001 sweep surfaced the full hazard ladder here — a double "
+        "sum flips cents on partial-sum order; Spark's avg() over "
+        "longs accumulates in double anyway; and when the true mean "
+        "lands on an exact half-cent (319288.975), Spark's round "
+        "(shortest-decimal-repr, HALF_UP) and DuckDB's round (binary "
+        "value, rounds DOWN — the stored double is ...97499…) disagree "
+        "by a cent. Integer rounding makes the tie-break identical by "
+        "construction; the final /100.0 divides identical longs."
     ),
     tags=("window", "timeseries"),
 )
@@ -448,15 +462,20 @@ def window_moving_avg_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     orders = t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
     )
     day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
     w = W.orderBy(day_num).rangeBetween(-6, 0)
+    framed = daily.withColumn("ws", F.sum("cents").over(w)).withColumn(
+        "wc", F.count("*").over(w)
+    )
     return (
-        daily.select(
+        framed.select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.round("rev", 2).alias("revenue"),
-            F.round(F.avg("rev").over(w), 2).alias("ma7"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            (F.expr("(2 * ws + wc) div (2 * wc)") / 100.0).alias("ma7"),
         )
         .orderBy("day")
     )
