@@ -179,26 +179,44 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
 @register(
     "events_user_gap_median_pandas",
     oracle="""
-        WITH gaps AS (
+        WITH g AS (
             SELECT user_id,
-                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                                                   ORDER BY ts, event_id)) AS gap_s
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
             FROM events
+        ),
+        nn AS (
+            SELECT user_id, gap_us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY gap_us) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM g WHERE gap_us IS NOT NULL
         )
         SELECT user_id,
-               round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
-               count(gap_s) AS n_gaps
-        FROM gaps
-        WHERE gap_s IS NOT NULL
+               ((2 * (sum(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                      + sum(CASE WHEN rn = (n + 2) // 2 THEN gap_us END))
+                 + 200) // 400) / 10000.0 AS median_gap_s,
+               count(*) AS n_gaps
+        FROM nn
         GROUP BY user_id
         ORDER BY user_id
     """,
     doc=(
         "Grouped-map Pandas UDF (applyInPandas): per-user median "
         "inter-event gap. The custom-operator escape hatch — per-group "
-        "imperative logic in Arrow-batched pandas — oracle-checked against "
-        "a pure-SQL formulation. Scale: one shuffle on user_id; each group "
-        "processed independently on its executor."
+        "imperative logic in Arrow-batched pandas — oracle-checked "
+        "against a pure-SQL formulation (lower/upper middle via "
+        "row_number, no quantile_cont interpolation). EXACT "
+        "arithmetic end-to-end: gaps are integer microseconds, the "
+        "even-count median keeps the two middle values as their "
+        "integer SUM (so the .5 average never becomes a float), and "
+        "the 4-decimal rounding happens in integer space "
+        "((2p + q) div 2q) before one final division — the sf0.1 "
+        "sweep caught a 1e-4 divergence when pandas' float median "
+        "and DuckDB's interpolated quantile rounded an exact "
+        "half-tie differently. Scale: one shuffle on user_id; each "
+        "group processed independently on its executor."
     ),
     tags=("events", "udf"),
 )
@@ -209,16 +227,23 @@ def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     # consumers have no package on the worker path).
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].astype("int64").diff().dropna() / 1_000_000_000.0
-        if gaps.empty:
+        # integer MICROseconds regardless of the ns/us unit Arrow hands
+        # over; all median math stays integral (see oracle doc)
+        t_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        gaps = t_us.diff().dropna().astype("int64")
+        n = len(gaps)
+        if n == 0:
             return pd.DataFrame(
                 {"user_id": [], "median_gap_s": [], "n_gaps": []}
             ).astype({"user_id": "int64", "median_gap_s": "float64", "n_gaps": "int64"})
+        g = gaps.sort_values().to_numpy()
+        med2_us = int(g[(n - 1) // 2]) + int(g[n // 2])  # 2x the median
+        e4 = (2 * med2_us + 200) // 400  # round-half-up to 1e-4 s
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "median_gap_s": [round(float(gaps.median()), 4)],
-                "n_gaps": [len(gaps)],
+                "median_gap_s": [e4 / 10000.0],
+                "n_gaps": [n],
             }
         )
 

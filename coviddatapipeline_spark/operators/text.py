@@ -232,13 +232,15 @@ def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         kept AS (SELECT * FROM scored WHERE quality >= 0.5),
         dedup AS (
-            SELECT * FROM kept
+            SELECT *, CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS q_e4
+            FROM kept
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         )
         SELECT lang, source,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(floor(avg(quality) * 10000 + 0.5) AS BIGINT) AS avg_quality_e4
+               CAST((2 * sum(q_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS avg_quality_e4
         FROM dedup
         GROUP BY lang, source
         ORDER BY lang, source
@@ -276,16 +278,25 @@ def docpipe_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = scored.filter(F.col("quality") >= 0.5)
     w = W.partitionBy("fp").orderBy("doc_id")
-    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # per-doc e4 fixed-point: floor(+0.5) on the SAME double both
+        # engines compute is deterministic; keeping it per-row means the
+        # group mean below is pure integer arithmetic — avg(double)
+        # accumulates in partial-sum order, and the sf0.1 sweep caught
+        # its last ulp flipping floor() across an integer boundary.
+        .withColumn("q_e4", F.floor(F.col("quality") * 10000 + 0.5).cast("long"))
+    )
     return (
         dedup.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # explicit HALF_UP via floor: quality sits on a 0.00005 grid,
-            # so round() ties differ between engines; floor(x*1e4+0.5) is
-            # deterministic on the same double in both.
-            F.floor(F.avg("quality") * 10000 + 0.5).cast("long").alias("avg_quality_e4"),
+            # integer round-half-up mean: (2*sum + n) div (2*n)
+            F.expr("(2 * sum(q_e4) + count(*)) div (2 * count(*))").alias(
+                "avg_quality_e4"
+            ),
         )
         .orderBy("lang", "source")
     )
