@@ -689,3 +689,181 @@ def ann_recall_trained_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("inb") / TOP_K, 4).alias("recall_at_k"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning + Matryoshka truncation audit
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.2  # prune when cosine to an earlier same-cell vector exceeds this
+NO_EARLIER = -2.0  # sentinel: first vector of its cell (cosine is always >= -1)
+
+
+@register(
+    "semdedup_cell_prune",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT b.vec_id, b.label,
+                   max(list_dot_product(a.v, b.v)) AS mx
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id, b.label
+        )
+        SELECT e.vec_id AS vec_id, e.label AS cell,
+               round(coalesce(p.mx, {NO_EARLIER}), 4) AS max_earlier_cos,
+               CAST(CASE WHEN coalesce(p.mx, {NO_EARLIER}) > {SEMDEDUP_TAU}
+                         THEN 1 ELSE 0 END AS INT) AS pruned
+        FROM e LEFT JOIN pairs p ON e.vec_id = p.vec_id
+        ORDER BY e.vec_id
+    """,
+    doc=(
+        "SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
+        "within each coarse cell (the quantizer assignment, as in the "
+        "IVF entries) a vector is pruned when an EARLIER vector of the "
+        "same cell is more similar than tau — removing embedding-level "
+        "near-duplicates that exact/MinHash text dedup cannot see. The "
+        "keep rule is the order-independent variant (any earlier "
+        "neighbor above tau prunes, whether or not that neighbor was "
+        "itself pruned): one equi-join on the cell key, pairwise work "
+        "Sigma(cell^2) NOT corpus^2 — at 100 TB the cell count (nlist) "
+        "is raised to bound cell size, exactly like the IVF index this "
+        "shares its partitioning with. The threshold compares the raw "
+        "double (identical left-fold dot product both engines); only "
+        "the reported cosine is rounded."
+    ),
+    tags=("similarity", "dedup", "embeddings"),
+)
+def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("label").alias("al"), F.col("v").alias("av"))
+    b = emb.select(F.col("vec_id").alias("vec_id"), F.col("label").alias("cell"), F.col("v").alias("bv"))
+    mx = (
+        a.join(b, (F.col("al") == F.col("cell")) & (F.col("aid") < F.col("vec_id")))
+        .withColumn("cos", _dot("av", "bv"))
+        .groupBy("vec_id", "cell")
+        .agg(F.max("cos").alias("mx"))
+    )
+    base = emb.select("vec_id", F.col("label").alias("cell"))
+    return (
+        base.join(mx.select("vec_id", "mx"), "vec_id", "left")
+        .withColumn("mxf", F.coalesce(F.col("mx"), F.lit(NO_EARLIER)))
+        .select(
+            "vec_id",
+            "cell",
+            F.round("mxf", 4).alias("max_earlier_cos"),
+            (F.col("mxf") > SEMDEDUP_TAU).cast("int").alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+TRUNC_DIM = 16  # Matryoshka audit: rank with the first 16 of 64 dims
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_full,
+                   list_dot_product(list_slice(q.embedding::DOUBLE[], 1, {TRUNC_DIM}),
+                                    list_slice(c.embedding::DOUBLE[], 1, {TRUNC_DIM}))
+                   / (sqrt(list_dot_product(list_slice(q.embedding::DOUBLE[], 1, {TRUNC_DIM}),
+                                            list_slice(q.embedding::DOUBLE[], 1, {TRUNC_DIM})))
+                      * sqrt(list_dot_product(list_slice(c.embedding::DOUBLE[], 1, {TRUNC_DIM}),
+                                              list_slice(c.embedding::DOUBLE[], 1, {TRUNC_DIM})))) AS cos_trunc
+            FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_full DESC, neighbor_id) AS r
+                FROM scored
+            ) WHERE r <= {TOP_K}
+        ),
+        trunc AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_trunc DESC, neighbor_id) AS r
+                FROM scored
+            ) WHERE r <= {TOP_K}
+        )
+        SELECT e.query_id,
+               round(count(t.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+        FROM exact e
+        LEFT JOIN trunc t ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
+    doc=(
+        "Matryoshka-truncation audit (Kusupati et al. 2022, public): "
+        "recall@k when ranking with only the FIRST 16 of 64 embedding "
+        "dims (renormalized cosine) against the full-dim exact top-k — "
+        "the measured accuracy side of the 4x bandwidth/compute saving "
+        "that dimension truncation buys a 100 TB retrieval tier. Same "
+        "scored-pair frame feeds both rankings (one pass over the "
+        "pairs); truncated cosine = dot/(|q||c|) on list_slice, every "
+        "step an identical IEEE double op on both engines, ties broken "
+        "on neighbor_id."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+
+    def tr(col: str) -> Column:
+        return F.slice(F.col(col), 1, TRUNC_DIM)
+
+    def norm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(tr(col), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_full", _dot("qv", "cv"))
+        .withColumn(
+            "cos_trunc",
+            F.aggregate(
+                F.zip_with(tr("qv"), tr("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (norm("qv") * norm("cv")),
+        )
+        .select("query_id", "neighbor_id", "cos_full", "cos_trunc")
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), F.col("neighbor_id"))
+    wt = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    trunc = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= TOP_K)
+        .select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    )
+    return (
+        exact.join(
+            trunc,
+            (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("tn") * 1.0 / TOP_K, 4).alias("recall_at_k"))
+        .orderBy("query_id")
+    )

@@ -1,0 +1,252 @@
+"""Deterministic mergeable sketches: Count-Min heavy hitters and a
+Bloom-filter join prefilter, both bit-identical across Spark and DuckDB.
+
+The registry already carries the similarity sketches (MinHash, SimHash,
+hyperplane LSH) and the cardinality sketch (HLL, rows-only because
+engine implementations differ). These two close the set with the
+FREQUENCY sketch (Count-Min: the streaming heavy-hitter structure — a
+fixed d x w integer grid, map-side combinable, mergeable across
+micro-batches and executors) and the MEMBERSHIP sketch (Bloom: the
+runtime pre-filter Spark itself injects for selective joins via
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` — built here
+explicitly so the false-positive economics are a measured number, not a
+config flag).
+
+Cross-engine determinism: every hash is the repo's canonical
+md5-prefix-to-int derivation (Spark ``conv(substr(md5(x),1,8),16,10)``
+== DuckDB ``CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)``), so the
+grids, bit positions, and therefore every estimate and count are exact
+integers on both engines — no float anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.queries.catalog import register
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch over the events stream key (user_id)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 64  # counters per row (deliberately small so collisions are real)
+CMS_TOP = 10
+
+
+def _h(prefix: Column, width: int) -> Column:
+    """md5-prefix hash of a pre-built string column into [0, width)."""
+    return F.conv(F.substring(F.md5(prefix), 1, 8), 16, 10).cast("long") % width
+
+
+_H_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT) % {w}"
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+        WITH keys AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+            FROM events GROUP BY user_id
+        ),
+        hashes AS (
+            SELECT user_id, exact_count, j,
+                   {_H_SQL.format(x="concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))", w=CMS_WIDTH)} AS bucket
+            FROM keys, (SELECT unnest([0, 1, 2, 3]) AS j)
+        ),
+        grid AS (
+            SELECT j, bucket, CAST(sum(exact_count) AS BIGINT) AS cnt
+            FROM hashes GROUP BY j, bucket
+        ),
+        est AS (
+            SELECT h.user_id, min(g.cnt) AS cms_estimate
+            FROM hashes h JOIN grid g ON g.j = h.j AND g.bucket = h.bucket
+            GROUP BY h.user_id
+        ),
+        ranked AS (
+            SELECT k.user_id, e.cms_estimate, k.exact_count,
+                   e.cms_estimate - k.exact_count AS overestimate,
+                   row_number() OVER (ORDER BY e.cms_estimate DESC, k.user_id) AS rank
+            FROM keys k JOIN est e ON k.user_id = e.user_id
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, user_id, cms_estimate,
+               exact_count, overestimate
+        FROM ranked WHERE rank <= {CMS_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005, "
+        f"public): event counts per user_id summarized into a "
+        f"{CMS_DEPTH}x{CMS_WIDTH} integer grid (bucket = md5(j:key) mod "
+        f"{CMS_WIDTH}), per-key estimate = min over the {CMS_DEPTH} row "
+        f"counters, top-{CMS_TOP} keys by estimate reported against their "
+        f"exact counts so the collision overestimate is a checked number. "
+        f"The grid is the 100 TB object: fixed {CMS_DEPTH * CMS_WIDTH} "
+        f"cells, built with one map-side-combinable groupBy and mergeable "
+        f"by cell-wise addition across executors, micro-batches, or days "
+        f"— the frequency analogue of the mergeable corpus MinHash. The "
+        f"estimate join touches the DISTINCT-key table (not the event "
+        f"stream) against the broadcast-sized grid. All integer md5 "
+        f"arithmetic; zero floats."
+    ),
+    tags=("sketch", "events", "agg"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    hashes = keys.select(
+        "user_id", "exact_count", F.explode(js).alias("j")
+    ).withColumn(
+        "bucket",
+        _h(
+            F.concat(
+                F.col("j").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+            ),
+            CMS_WIDTH,
+        ),
+    )
+    grid = hashes.groupBy("j", "bucket").agg(F.sum("exact_count").alias("cnt"))
+    est = (
+        hashes.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"), F.first("exact_count").alias("exact_count"))
+    )
+    w = W.orderBy(F.col("cms_estimate").desc(), F.col("user_id"))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= CMS_TOP)
+        .select(
+            "rank",
+            "user_id",
+            "cms_estimate",
+            "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter: build on urgent orders, probe customers
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 2048
+BLOOM_K = 3
+
+
+@register(
+    "bloom_join_prefilter_audit",
+    oracle=f"""
+        WITH build AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   {_H_SQL.format(x="concat(CAST(i AS VARCHAR), '#', CAST(o_custkey AS VARCHAR))", w=BLOOM_BITS)} AS pos
+            FROM build, (SELECT unnest([0, 1, 2]) AS i)
+        ),
+        probe AS (
+            SELECT c.c_custkey, c.c_mktsegment, i,
+                   {_H_SQL.format(x="concat(CAST(i AS VARCHAR), '#', CAST(c_custkey AS VARCHAR))", w=BLOOM_BITS)} AS pos
+            FROM customer c, (SELECT unnest([0, 1, 2]) AS i)
+        ),
+        verdict AS (
+            SELECT p.c_custkey, p.c_mktsegment,
+                   CASE WHEN count(b.pos) = {BLOOM_K} THEN 1 ELSE 0 END AS passed
+            FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+            GROUP BY p.c_custkey, p.c_mktsegment
+        )
+        SELECT v.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS probes,
+               CAST(sum(v.passed) AS BIGINT) AS passed,
+               CAST(sum(CASE WHEN bu.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_members,
+               CAST(sum(CASE WHEN v.passed = 1 AND bu.o_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+               CAST(sum(CASE WHEN v.passed = 1 AND bu.o_custkey IS NULL
+                             THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS fp_rate_e4
+        FROM verdict v LEFT JOIN build bu ON v.c_custkey = bu.o_custkey
+        GROUP BY v.c_mktsegment
+        ORDER BY v.c_mktsegment
+    """,
+    doc=(
+        f"Bloom-filter join prefilter, measured (Bloom 1970, public; the "
+        f"structure behind Spark's runtime bloom-filter join pruning): "
+        f"the urgent-order customer keys are folded into an m={BLOOM_BITS}"
+        f"-bit / k={BLOOM_K}-hash filter (bit = md5(i#key) mod m, the "
+        f"filter materialized as its set-bit positions — a DISTINCT over "
+        f"<= k*|build| small integers, broadcastable by construction "
+        f"like the real bitset), every customer is probed (member iff "
+        f"all {BLOOM_K} bits set), and the verdict is joined against "
+        f"exact membership to report true members, false positives, and "
+        f"the e4 false-positive rate per market segment — integer "
+        f"division, no floats. At 100 TB this is the shape that turns a "
+        f"shuffle join into scan-side pruning: the build side collapses "
+        f"to {BLOOM_BITS} bits shipped to every scan task, and the "
+        f"measured fp_rate_e4 is the number that justifies (or vetoes) "
+        f"the m/k sizing."
+    ),
+    tags=("sketch", "join", "tpch"),
+)
+def bloom_join_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    ks = F.array([F.lit(i) for i in range(BLOOM_K)])
+
+    def pos(key: Column) -> Column:
+        return _h(
+            F.concat(F.col("i").cast("string"), F.lit("#"), key.cast("string")),
+            BLOOM_BITS,
+        )
+
+    bits = (
+        build.select(F.explode(ks).alias("i"), "o_custkey")
+        .select(pos(F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .select("c_custkey", "c_mktsegment", F.explode(ks).alias("i"))
+        .select("c_custkey", "c_mktsegment", pos(F.col("c_custkey")).alias("pos"))
+    )
+    matched = F.broadcast(bits.withColumn("hit", F.lit(1)))
+    verdict = (
+        probe.join(matched, "pos", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg((F.count("hit") == BLOOM_K).cast("int").alias("passed"))
+    )
+    member = F.broadcast(build.withColumn("is_member", F.lit(1)))
+    joined = verdict.join(
+        member, verdict.c_custkey == member.o_custkey, "left"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("probes"),
+            F.sum("passed").alias("passed"),
+            F.sum(F.when(F.col("is_member") == 1, 1).otherwise(0)).alias(
+                "true_members"
+            ),
+            F.sum(
+                F.when((F.col("passed") == 1) & F.col("is_member").isNull(), 1).otherwise(0)
+            ).alias("false_positives"),
+        )
+        .withColumn(
+            "fp_rate_e4",
+            F.expr("CAST((false_positives * 10000) DIV probes AS BIGINT)"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "coviddatapipeline_spark.operators.graph",
     "coviddatapipeline_spark.operators.timeseries",
     "coviddatapipeline_spark.operators.linalg",
+    "coviddatapipeline_spark.operators.sketch",
 )
 
 
