@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from coviddatapipeline_spark.operators.common import t
-from coviddatapipeline_spark.operators.text import _TOKENS, _tokens
+from coviddatapipeline_spark.operators.text import _SW_SQL, _TOKENS, _tokens, STOPWORDS
 from coviddatapipeline_spark.queries.catalog import register
 
 # md5-derived uniform bucket in [0, 100): the cross-engine deterministic
@@ -1312,4 +1312,106 @@ def split_unigram_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("p_val") * F.log(F.col("p_val") / F.col("p_train"))), 4).alias(
             "kl_val_train"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted Bernoulli downsampling (importance sampling, integer-exact)
+# ---------------------------------------------------------------------------
+
+_WS_SALT = "wsamp:"  # decorrelates this sampler's coin from every other md5 use
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   len({_TOKENS.format(x='text')}) AS n_tok,
+                   len(list_filter({_TOKENS.format(x='text')},
+                                   w -> list_contains({_SW_SQL}, w))) AS n_stop
+            FROM documents
+        ),
+        weighted AS (
+            SELECT doc_id, source,
+                   least(n_tok, 100) * 50
+                   + least((n_stop * 12500) // n_tok, 5000) AS w_e4,
+                   CAST(concat('0x', substr(md5(concat('{_WS_SALT}',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 10000 AS coin
+            FROM scored
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(w_e4) AS BIGINT) AS expected_kept_e4,
+               CAST(count(CASE WHEN coin < w_e4 THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN coin < w_e4 THEN doc_id END) AS BIGINT)
+                   AS kept_id_sum,
+               CAST(count(CASE WHEN coin < w_e4 THEN 1 END) * 10000
+                    // count(*) AS BIGINT) AS kept_rate_e4
+        FROM weighted
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Quality-WEIGHTED Bernoulli downsampling — the importance-"
+        "sampling counterpart of the uniform samplers (bottom-k, "
+        "budget, balanced): each document is kept with probability "
+        "proportional to an integer quality weight (length saturation "
+        "+ stopword density, the text_quality_score shape recomputed "
+        "entirely in integer arithmetic: weight and coin are both "
+        "exact e4 integers, so the accept decision has NO float "
+        "boundary anywhere — the lesson of the round-3 rounding-tie "
+        "class applied at design time). The coin is a salted "
+        "md5(doc_id) residue: content-blind, reproducible across "
+        "runs/engines/partitionings, and independent of every other "
+        "sampler's hash stream by the salt. Map-only per-row math + "
+        "one combinable groupBy — the 100 TB shape; expected_kept_e4 "
+        "vs n_kept exposes realized-vs-expected sampling error, "
+        "kept_id_sum is the same-docs checksum."
+    ),
+    tags=("datapipe", "sampling", "text"),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    weighted = scored.select(
+        "doc_id",
+        "source",
+        (
+            F.least(F.col("n_tok"), F.lit(100)) * 50
+            + F.least(F.expr("(n_stop * 12500) DIV n_tok"), F.lit(5000))
+        ).alias("w_e4"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("coin"),
+    )
+    kept = F.col("coin") < F.col("w_e4")
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w_e4").alias("expected_kept_e4"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
+        )
+        .withColumn(
+            "kept_rate_e4", F.expr("CAST((n_kept * 10000) DIV n_docs AS BIGINT)")
+        )
+        .orderBy("source")
     )
