@@ -1,0 +1,90 @@
+"""Structural invariants + plan shape for the sketch family
+(Count-Min, Bloom) and the semantic-pruning entries — properties the
+hash-parity oracle cannot express (they hold for ANY data, not just
+this round's testdata)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coviddatapipeline_spark.operators import sketch, similarity
+from coviddatapipeline_spark.plans import assert_no_cartesian, audit
+
+
+def test_cms_never_underestimates(spark, parity_sf_dir):
+    """Count-Min's one-sided error guarantee: the estimate is exact
+    count + non-negative collision mass, for every reported key."""
+    rows = sketch.sketch_cms_heavy_hitters(spark, parity_sf_dir).collect()
+    assert rows, "heavy-hitter report must be non-empty"
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.overestimate == r.cms_estimate - r.exact_count, r
+
+
+def test_cms_plan_broadcasts_grid(spark, parity_sf_dir):
+    """The d x w grid is metadata-sized; the estimate join must be a
+    broadcast hash join, never a shuffle of the key table against it."""
+    df = sketch.sketch_cms_heavy_hitters(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    assert audit(df)["broadcast_joins"] >= 1
+
+
+def test_bloom_no_false_negatives(spark, parity_sf_dir):
+    """Bloom's defining guarantee: every true member passes the filter
+    — passed must decompose exactly into members + false positives."""
+    rows = sketch.bloom_join_prefilter_audit(spark, parity_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.passed == r.true_members + r.false_positives, r
+        assert 0 <= r.fp_rate_e4 <= 10000, r
+
+
+def test_bloom_plan_broadcasts_bits(spark, parity_sf_dir):
+    """The set-bit position table stands in for the real bitset: like
+    the bits it models, it must be broadcast to the probe side."""
+    df = sketch.bloom_join_prefilter_audit(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    assert audit(df)["broadcast_joins"] >= 1
+
+
+def test_semdedup_prune_semantics(spark, parity_sf_dir):
+    """pruned <=> threshold exceeded; exactly one cell-opening vector
+    per cell carries the no-earlier-neighbor sentinel."""
+    df = similarity.semdedup_cell_prune(spark, parity_sf_dir)
+    assert_no_cartesian(df)  # the pair join must ride the cell equi-key
+    rows = df.collect()
+    n_cells = len({r.cell for r in rows})
+    sentinels = [r for r in rows if r.max_earlier_cos == similarity.NO_EARLIER]
+    assert len(sentinels) == n_cells  # the lowest vec_id of each cell
+    for r in rows:
+        if r.pruned:
+            assert r.max_earlier_cos > similarity.SEMDEDUP_TAU - 1e-4, r
+        else:
+            assert r.max_earlier_cos <= similarity.SEMDEDUP_TAU + 1e-4, r
+
+
+def test_matryoshka_recall_bounds(spark, parity_sf_dir):
+    """Recall is a ratio of top-k overlaps: in [0, 1] for every query,
+    and the report covers every query vector exactly once."""
+    rows = similarity.ann_matryoshka_recall(spark, parity_sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0, r
+
+
+def test_weighted_bernoulli_mass_matches_expectation(spark, parity_sf_dir):
+    """The realized keep count must land near its expected integer mass
+    (binomial concentration), and the kept rate must be the exact
+    integer division of the counts — plus: weights in [0, 10000]."""
+    from coviddatapipeline_spark.operators import datapipe
+
+    rows = datapipe.sample_weighted_bernoulli(spark, parity_sf_dir).collect()
+    assert rows
+    tot_docs = sum(r.n_docs for r in rows)
+    tot_kept = sum(r.n_kept for r in rows)
+    tot_expected = sum(r.expected_kept_e4 for r in rows) / 10000.0
+    assert 0 < tot_kept < tot_docs  # weighted, not all-or-nothing
+    # 5-sigma binomial bound with worst-case p=0.5 variance
+    assert abs(tot_kept - tot_expected) <= 5 * (tot_docs * 0.25) ** 0.5 + 1
+    for r in rows:
+        assert r.kept_rate_e4 == (r.n_kept * 10000) // r.n_docs, r
