@@ -867,3 +867,119 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("tn") * 1.0 / TOP_K, 4).alias("recall_at_k"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ building block)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64 dims -> 8 subspaces x 8 dims
+PQ_SUBDIM = 8
+
+
+@register(
+    "pq_codebook_assign",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        seed AS (SELECT label, min(vec_id) AS mid FROM e GROUP BY label),
+        med AS (
+            SELECT e.label AS code, s,
+                   list_slice(e.v, s * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS m
+            FROM e JOIN seed ON e.vec_id = seed.mid,
+                 (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s)
+        ),
+        vs AS (
+            SELECT vec_id, s,
+                   list_slice(v, s * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS a
+            FROM e, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s)
+        ),
+        dist AS (
+            SELECT vs.vec_id, vs.s, med.code,
+                   list_dot_product(a, a) - 2 * list_dot_product(a, m)
+                   + list_dot_product(m, m) AS d2
+            FROM vs JOIN med ON vs.s = med.s
+        ),
+        chosen AS (
+            SELECT vec_id, s, code, d2,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS r
+            FROM dist
+        )
+        SELECT s, code,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(sum(CAST(floor(d2 * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_err_e4,
+               CAST(sum(CAST(floor(d2 * 10000 + 0.5) AS BIGINT)) // count(*)
+                    AS BIGINT) AS avg_err_e4
+        FROM chosen WHERE r = 1
+        GROUP BY s, code
+        ORDER BY s, code
+    """,
+    doc=(
+        "Product-quantization code assignment (Jegou et al. 2011, "
+        "public — the PQ half of IVF-PQ): the 64-dim space splits into "
+        f"{PQ_SUBSPACES} x {PQ_SUBDIM}-dim subspaces, each vector's "
+        "subspace slice is assigned to its nearest sub-codeword, and "
+        "the per-(subspace, code) population + quantization error "
+        "report the codebook balance and reconstruction loss a PQ "
+        "index is sized by. Codewords here are medoid-seeded (the "
+        "lowest-vec_id vector per label — exactly the label-seeded "
+        "stand-in the IVF entries use before ivf_kmeans_lloyd trains "
+        "real centroids; a trained PQ runs that same Lloyd loop per "
+        "subspace). Distances expand to three dot products so both "
+        "engines evaluate the identical left-fold arithmetic — the d2 "
+        "doubles are bit-equal cross-engine, which makes the e4 floor "
+        "and the argmin tie-break (d2, code) exact, not approximately "
+        "stable. Shape at 100 TB: the codebook is subspaces x codes "
+        "rows (broadcast literal), assignment is map-only per vector — "
+        "the same scan that writes PQ codes into an index shard."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    svals = F.array([F.lit(s) for s in range(PQ_SUBSPACES)])
+
+    def sub(col: str) -> Column:
+        return F.slice(F.col(col), F.col("s") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+
+    # medoid per label via a per-cell window (no self-join lineage)
+    wseed = W.partitionBy("label").orderBy("vec_id")
+    med = (
+        emb.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("code"), F.col("v").alias("mv"))
+        .select("code", F.explode(svals).alias("s"), "mv")
+        .select("code", "s", sub("mv").alias("m"))
+    )
+    vs = emb.select("vec_id", F.explode(svals).alias("s"), "v").select(
+        "vec_id", "s", sub("v").alias("a")
+    )
+
+    def ldp(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    dist = (
+        vs.join(F.broadcast(med), "s")
+        .withColumn("d2", ldp("a", "a") - 2 * ldp("a", "m") + ldp("m", "m"))
+        .select("vec_id", "s", "code", "d2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy(F.col("d2"), F.col("code"))
+    chosen = (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .withColumn("err_e4", F.floor(F.col("d2") * 10000 + 0.5).cast("long"))
+    )
+    return (
+        chosen.groupBy("s", "code")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum("err_e4").alias("sum_err_e4"),
+        )
+        .withColumn(
+            "avg_err_e4", F.expr("CAST(sum_err_e4 DIV n_assigned AS BIGINT)")
+        )
+        .orderBy("s", "code")
+    )

@@ -326,3 +326,57 @@ def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("op")
     )
+
+
+@register(
+    "warehouse_partition_skew_audit",
+    oracle="""
+        WITH p AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part, count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(min(n) AS BIGINT) AS min_rows,
+               CAST(max(n) AS BIGINT) AS max_rows,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               CAST((max(n) * count(*) * 10000) // sum(n) AS BIGINT) AS skew_e4,
+               CAST((max(n) * 10000) // sum(n) AS BIGINT) AS max_share_e4
+        FROM p
+    """,
+    doc=(
+        "Partition-sizing audit for a date-partitioned fact write: rows "
+        "per month partition, reduced to the numbers a table layout is "
+        "judged by — partition count, min/max rows, max/avg skew factor "
+        "and the largest partition's share (both e4 integer division, "
+        "exact on both engines). A skew_e4 far above 10000 means the "
+        "partition scheme concentrates writes (and later scans) on one "
+        "task's worth of files; the fix is a finer key or bucketing, "
+        "and THIS number is the before/after evidence. One map-side-"
+        "combinable count per partition + a constant-size final fold — "
+        "the audit costs one scan at any corpus size."
+    ),
+    tags=("warehouse", "agg"),
+)
+def warehouse_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("part"))
+        .agg(F.count("*").alias("n"))
+    )
+    return p.agg(
+        F.count("*").alias("n_partitions"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").alias("total_rows"),
+    ).select(
+        "n_partitions",
+        "min_rows",
+        "max_rows",
+        "total_rows",
+        F.expr("CAST((max_rows * n_partitions * 10000) DIV total_rows AS BIGINT)").alias(
+            "skew_e4"
+        ),
+        F.expr("CAST((max_rows * 10000) DIV total_rows AS BIGINT)").alias(
+            "max_share_e4"
+        ),
+    )
