@@ -983,3 +983,177 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s", "code")
     )
+
+
+@register(
+    "pq_adc_topk_recall",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        seed AS (SELECT label, min(vec_id) AS mid FROM e GROUP BY label),
+        med AS (
+            SELECT e.label AS code, s,
+                   list_slice(e.v, s * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS m
+            FROM e JOIN seed ON e.vec_id = seed.mid,
+                 (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s)
+        ),
+        vs AS (
+            SELECT vec_id, s,
+                   list_slice(v, s * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS a
+            FROM e, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s)
+        ),
+        dist AS (
+            SELECT vs.vec_id, vs.s, med.code,
+                   list_dot_product(a, a) - 2 * list_dot_product(a, m)
+                   + list_dot_product(m, m) AS d2
+            FROM vs JOIN med ON vs.s = med.s
+        ),
+        codes AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, code) AS r
+                FROM dist
+            ) WHERE r = 1
+        ),
+        lut AS (
+            SELECT vec_id AS query_id, s, code,
+                   CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS lut_e6
+            FROM dist WHERE vec_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(l.lut_e6) AS BIGINT) AS adc_e6
+            FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+            WHERE c.vec_id != l.query_id
+            GROUP BY l.query_id, c.vec_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc_e6, neighbor_id) AS r
+                FROM adc
+            ) WHERE r <= {TOP_K}
+        ),
+        truth AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.v)
+                   + list_dot_product(c.v, c.v) AS d2
+            FROM e q JOIN e c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, neighbor_id) AS r
+                FROM truth
+            ) WHERE r <= {TOP_K}
+        )
+        SELECT x.query_id,
+               round(count(a.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+        FROM exact x
+        LEFT JOIN approx a ON x.query_id = a.query_id
+                          AND x.neighbor_id = a.neighbor_id
+        GROUP BY x.query_id
+        ORDER BY x.query_id
+    """,
+    doc=(
+        "Asymmetric-distance PQ search (the ADC half of IVF-PQ, Jegou "
+        "et al. 2011): each query precomputes a subspaces x codes "
+        "lookup table of partial distances to every codeword, a "
+        "candidate's approximate distance is the SUM of 8 table "
+        "lookups selected by its stored PQ code — no candidate vector "
+        "is ever read, which is the whole point: at 100 TB the index "
+        "shard holds 8-byte codes instead of 256-byte vectors, the "
+        "LUT is queries x codes x subspaces (broadcast), and scoring "
+        "is an equi-join on (subspace, code) + an integer sum. LUT "
+        "entries are e6-quantized integers (as production PQ engines "
+        "quantize their LUTs to int8/int16), which also makes the "
+        "cross-engine ranking exact: identical-code candidates tie "
+        "exactly and break on neighbor_id, with no float-sum order "
+        "anywhere. Reported as recall@k against exact L2 — the "
+        "accuracy number that prices the 32x memory saving."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    svals = F.array([F.lit(s) for s in range(PQ_SUBSPACES)])
+
+    def sub(col: str) -> Column:
+        return F.slice(F.col(col), F.col("s") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+
+    def ldp(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    wseed = W.partitionBy("label").orderBy("vec_id")
+    med = (
+        emb.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("code"), F.col("v").alias("mv"))
+        .select("code", F.explode(svals).alias("s"), "mv")
+        .select("code", "s", sub("mv").alias("m"))
+    )
+    vs = emb.select("vec_id", F.explode(svals).alias("s"), "v").select(
+        "vec_id", "s", sub("v").alias("a")
+    )
+    dist = (
+        vs.join(F.broadcast(med), "s")
+        .withColumn("d2", ldp("a", "a") - 2 * ldp("a", "m") + ldp("m", "m"))
+        .select("vec_id", "s", "code", "d2")
+    )
+    wmin = W.partitionBy("vec_id", "s").orderBy(F.col("d2"), F.col("code"))
+    codes = (
+        dist.withColumn("r", F.row_number().over(wmin))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = (
+        dist.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            F.floor(F.col("d2") * 1000000 + 0.5).cast("long").alias("lut_e6"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("lut_e6").alias("adc_e6"))
+    )
+    wapprox = W.partitionBy("query_id").orderBy(F.col("adc_e6"), F.col("neighbor_id"))
+    approx = (
+        adc.withColumn("r", F.row_number().over(wapprox))
+        .filter(F.col("r") <= TOP_K)
+        .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    truth = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", ldp("qv", "qv") - 2 * ldp("qv", "cv") + ldp("cv", "cv"))
+    )
+    wexact = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        truth.withColumn("r", F.row_number().over(wexact))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"))
+        .orderBy("query_id")
+    )
