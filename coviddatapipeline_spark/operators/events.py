@@ -772,3 +772,87 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay sizing: global out-of-orderness profile
+# ---------------------------------------------------------------------------
+
+_LATE_EDGES_S = (0, 1, 10, 60, 600)  # bucket edges in seconds
+
+
+@register(
+    "events_lateness_watermark_profile",
+    oracle="""
+        WITH x AS (
+            SELECT epoch_us(ts) AS ts_us,
+                   max(epoch_us(ts)) OVER (ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING) AS run_max
+            FROM events
+        ),
+        l AS (SELECT run_max - ts_us AS late_us FROM x),
+        b AS (
+            SELECT CASE WHEN late_us = 0 THEN 0
+                        WHEN late_us <= 1000000 THEN 1
+                        WHEN late_us <= 10000000 THEN 2
+                        WHEN late_us <= 60000000 THEN 3
+                        WHEN late_us <= 600000000 THEN 4
+                        ELSE 5 END AS bucket_ord,
+                   late_us
+            FROM l
+        )
+        SELECT bucket_ord,
+               CASE bucket_ord WHEN 0 THEN 'in_order'
+                               WHEN 1 THEN 'le_1s'
+                               WHEN 2 THEN 'le_10s'
+                               WHEN 3 THEN 'le_60s'
+                               WHEN 4 THEN 'le_600s'
+                               ELSE 'gt_600s' END AS lateness_bucket,
+               count(*) AS n,
+               CAST(max(late_us) AS BIGINT) AS max_late_us
+        FROM b
+        GROUP BY bucket_ord
+        ORDER BY bucket_ord
+    """,
+    doc=(
+        "Watermark-delay sizing profile: per event, lateness = (max "
+        "event-time seen so far in stream order) - own event-time — the "
+        "out-of-orderness a Structured Streaming watermark must absorb; "
+        "the histogram over {in-order, <=1s, <=10s, <=60s, <=600s, "
+        ">600s} with per-bucket max is exactly the evidence that picks "
+        "``withWatermark``'s delay (and prices what the tail buckets "
+        "would drop). The prefix max runs through "
+        "ranking.with_global_running_max — range-bucketed, never an "
+        "``Exchange SinglePartition`` funnel — and everything is integer "
+        "microseconds, so the histogram is exact on both engines. The "
+        "oracle's single-node window states the same semantics "
+        "declaratively."
+    ),
+    tags=("events", "streaming", "window"),
+)
+def events_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_running_max
+
+    ev = events(spark, sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    run = with_global_running_max(ev, ["event_id"], "ts_us", out="run_max")
+    late = run.select((F.col("run_max") - F.col("ts_us")).alias("late_us"))
+    edges_us = [e * 1_000_000 for e in _LATE_EDGES_S]
+    bucket = (
+        F.when(F.col("late_us") == edges_us[0], 0)
+        .when(F.col("late_us") <= edges_us[1], 1)
+        .when(F.col("late_us") <= edges_us[2], 2)
+        .when(F.col("late_us") <= edges_us[3], 3)
+        .when(F.col("late_us") <= edges_us[4], 4)
+        .otherwise(5)
+    )
+    labels = ["in_order", "le_1s", "le_10s", "le_60s", "le_600s", "gt_600s"]
+    label = F.element_at(F.array([F.lit(x) for x in labels]), F.col("bucket_ord") + 1)
+    return (
+        late.withColumn("bucket_ord", bucket)
+        .groupBy("bucket_ord")
+        .agg(F.count("*").alias("n"), F.max("late_us").alias("max_late_us"))
+        .select("bucket_ord", label.alias("lateness_bucket"), "n", "max_late_us")
+        .orderBy("bucket_ord")
+    )

@@ -207,3 +207,66 @@ def with_global_running_sum(
         .drop(_BKT, _OFF)
     )
     return ranked, grand
+
+
+def with_global_running_max(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    out: str = "run_max",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global running max (inclusive) of ``value`` in ``keys``
+    order without a single-partition window — the prefix-max sibling of
+    :func:`with_global_running_sum`, same three steps: range buckets
+    from cutpoints on the leading key, a metadata-sized per-bucket max
+    collect whose driver-side prefix becomes the broadcast offsets, and
+    bucket-LOCAL running-max windows combined with
+    ``greatest(prior-buckets-max, local running max)``. Unlike the sum
+    variant no numeric tower is needed: max is exact in any type."""
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key_cols = [F.col(k) for k in keys]
+    lead = _monotone_numeric(df, keys[0])
+
+    if num_buckets <= 1:
+        cuts = []
+    else:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts_row = df.select(
+            F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
+        ).first()
+        cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
+
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
+    else:
+        bucket = F.lit(0).alias(_BKT)
+    with_bkt = df.withColumn(_BKT, bucket)
+
+    maxes = sorted(
+        (r[0], r[1])
+        for r in with_bkt.groupBy(_BKT).agg(F.max(value).alias("m")).collect()
+    )
+    # offset(bucket) = max over all STRICTLY EARLIER buckets (None for
+    # the first — greatest() skips nulls, so the local max stands alone)
+    offsets, run = [], None
+    for bkt, m in maxes:
+        offsets.append((bkt, run))
+        if m is not None and (run is None or m > run):
+            run = m
+    vtype = df.schema[value].dataType.simpleString()
+    off_df = spark.createDataFrame(
+        offsets or [(0, None)], f"{_BKT} int, {_OFF} {vtype}"
+    )
+
+    local = F.max(F.col(value)).over(
+        W.partitionBy(_BKT).orderBy(*key_cols).rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        with_bkt.join(F.broadcast(off_df), _BKT)
+        .withColumn(out, F.greatest(F.col(_OFF), local))
+        .drop(_BKT, _OFF)
+    )

@@ -104,3 +104,35 @@ def test_running_sum_decimal_exact_and_single_bucket(spark):
             got = Decimal(str(r["run_sum"]))
             assert got == want, (nb, r["id"], got, want)
         assert float(total) == float(expected[-1])
+
+
+def test_running_max_matches_window_and_stays_partitioned(spark, parity_sf_dir):
+    """with_global_running_max must equal the single-partition window's
+    answer exactly (on a permuted, duplicate-heavy key-value set) for
+    both the single- and multi-bucket paths — and the registered
+    lateness profile built on it must compile without an
+    Exchange SinglePartition funnel."""
+    from coviddatapipeline_spark.operators.events import (
+        events_lateness_watermark_profile,
+    )
+    from coviddatapipeline_spark.operators.ranking import with_global_running_max
+    from coviddatapipeline_spark.plans import assert_no_single_partition
+
+    df = spark.range(1, 501).select(
+        "id", ((F.col("id") * 37) % 97).cast("long").alias("v")
+    )
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(
+                W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    for nb in (1, 8):
+        got = with_global_running_max(df, ["id"], "v", out="m", num_buckets=nb)
+        for r in got.collect():
+            assert r["m"] == want[r["id"]], (nb, r["id"])
+
+    assert_no_single_partition(events_lateness_watermark_profile(spark, parity_sf_dir))
