@@ -341,3 +341,59 @@ def stream_daily_mix_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_grid(
+    spark: SparkSession,
+    input_dir: str,
+    grid_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """Streaming twin of ``sketch_cms_heavy_hitters``'s grid build: the
+    d x w Count-Min grid is maintained as an update-mode streaming
+    aggregation over (j, bucket) — each event lands in d cells, the
+    engine's state keeps the running cell counts, and each micro-batch
+    dynamic-partition-overwrites exactly the cells that changed. The
+    grid is the WHOLE streaming state (d*w longs, bounded forever —
+    the reason CMS is a streaming structure at all); frequency
+    estimates for any probe key then read the parquet grid without
+    touching the event history. Cell-wise counts over a growing stream
+    equal the batch grid exactly — asserted in
+    tests/test_streaming.py."""
+    from coviddatapipeline_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, _h
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (
+        stream.select(F.col("user_id"), F.explode(js).alias("j"))
+        .withColumn(
+            "bucket",
+            _h(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                ),
+                CMS_WIDTH,
+            ),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("j", "bucket")
+            .parquet(grid_path)
+        )
+
+    return (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -450,3 +450,94 @@ def test_stream_daily_mix_drift_matches_batch(spark, tmp_path, parity_sf_dir):
         for r in events_daily_kl_drift(spark, parity_sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_grid_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The streamed Count-Min grid (update-mode cell maintenance over
+    two incremental drains) must equal the batch-built grid cell-for-
+    cell — integer counts, exact equality — proving the sketch merges
+    across micro-batches; and probe-key estimates read from the
+    streamed grid must match the registered batch operator's estimates."""
+    from coviddatapipeline_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _h,
+        sketch_cms_heavy_hitters,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_cms_grid
+
+    root = str(tmp_path)
+    in_dir, grid, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "grid"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    ev = events(spark, parity_sf_dir).select("event_id", "ts", "user_id")
+    mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        import glob
+        import shutil
+
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(ev.filter(F.col("event_id") <= mid), "p1")
+    stream_cms_grid(spark, in_dir, grid, ckpt, ev.schema).awaitTermination(120)
+    stage(ev.filter(F.col("event_id") > mid), "p2")
+    stream_cms_grid(spark, in_dir, grid, ckpt, ev.schema).awaitTermination(120)
+
+    streamed = {
+        (r.j, r.bucket): r.cnt for r in spark.read.parquet(grid).collect()
+    }
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    batch = {
+        (r.j, r.bucket): r.cnt
+        for r in (
+            ev.select("user_id", F.explode(js).alias("j"))
+            .withColumn(
+                "bucket",
+                _h(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    CMS_WIDTH,
+                ),
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert streamed == batch
+
+    # probe the streamed grid with the batch top-10 keys: the estimate
+    # (min over depth rows) must match the registered operator's number
+    grid_df = spark.read.parquet(grid)
+    top = sketch_cms_heavy_hitters(spark, parity_sf_dir).collect()
+    probes = spark.createDataFrame(
+        [(r.user_id,) for r in top], "user_id long"
+    ).select("user_id", F.explode(js).alias("j"))
+    probes = probes.withColumn(
+        "bucket",
+        _h(
+            F.concat(
+                F.col("j").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+            ),
+            CMS_WIDTH,
+        ),
+    )
+    est = {
+        r.user_id: r.est
+        for r in probes.join(grid_df, ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    }
+    for r in top:
+        assert est[r.user_id] == r.cms_estimate, r
