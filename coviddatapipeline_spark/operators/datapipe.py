@@ -1415,3 +1415,87 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mix epoch schedule (integer-exact training-mix planning)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_TOKENS = 1_000_000  # target tokens per training epoch plan
+
+
+@register(
+    "mix_epoch_schedule",
+    oracle=f"""
+        WITH c AS (
+            SELECT source,
+                   CAST(sum(len({_TOKENS.format(x='text')})) AS BIGINT) AS corpus_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, corpus_tokens,
+                   CAST(floor(sqrt(corpus_tokens)) AS BIGINT) AS weight_isqrt
+            FROM c
+        ),
+        tot AS (SELECT CAST(sum(weight_isqrt) AS BIGINT) AS wsum FROM w)
+        SELECT w.source, w.corpus_tokens, w.weight_isqrt,
+               CAST(({MIX_BUDGET_TOKENS} * w.weight_isqrt) // tot.wsum AS BIGINT)
+                   AS target_tokens,
+               CAST((({MIX_BUDGET_TOKENS} * w.weight_isqrt) // tot.wsum) * 100
+                    // w.corpus_tokens AS BIGINT) AS epochs_e2,
+               CAST(CASE WHEN (({MIX_BUDGET_TOKENS} * w.weight_isqrt) // tot.wsum)
+                              * 100 // w.corpus_tokens > 100
+                         THEN 1 ELSE 0 END AS INT) AS upsampled
+        FROM w CROSS JOIN tot
+        ORDER BY w.source
+    """,
+    doc=(
+        "Temperature-mix epoch schedule: the planning step that turns "
+        "per-source corpus sizes into 'how many epochs of each source "
+        "does a token budget buy'. Source weights follow alpha=0.5 "
+        "temperature sampling (the multilingual-pretraining standard "
+        "that upweights small sources relative to proportional "
+        "sampling), computed as INTEGER sqrt — floor(sqrt(tokens)) is "
+        "exact on both engines since corpus counts sit far below "
+        "2^53 — so target tokens, epoch counts (e2 fixed point), and "
+        "the upsampled flag are all integer division with no float "
+        "share anywhere, the same discipline as the weighted sampler. "
+        "Complements mix_source_temperature_weights (which reports the "
+        "float shares): THIS is the artifact a dataloader consumes. "
+        "One combinable token-count shuffle; the schedule itself is "
+        "sources-sized metadata joined back as a broadcast scalar."
+    ),
+    tags=("datapipe", "sampling", "text"),
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("corpus_tokens"))
+    )
+    w = c.withColumn(
+        "weight_isqrt", F.floor(F.sqrt(F.col("corpus_tokens"))).cast("long")
+    )
+    tot = w.agg(F.sum("weight_isqrt").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"CAST(({MIX_BUDGET_TOKENS} * weight_isqrt) DIV wsum AS BIGINT)"),
+        )
+        .withColumn(
+            "epochs_e2",
+            F.expr("CAST((target_tokens * 100) DIV corpus_tokens AS BIGINT)"),
+        )
+        .withColumn("upsampled", (F.col("epochs_e2") > 100).cast("int"))
+        .select(
+            "source",
+            "corpus_tokens",
+            "weight_isqrt",
+            "target_tokens",
+            "epochs_e2",
+            "upsampled",
+        )
+        .orderBy("source")
+    )

@@ -1157,3 +1157,70 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "graph_semantic_clusters",
+    oracle=f"""
+        WITH RECURSIVE scored AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        ),
+        knn AS (SELECT vec_id AS a, neighbor_id AS b FROM ranked WHERE rank <= {KNN_K}),
+        edges AS (
+            SELECT a, b FROM knn UNION SELECT b AS a, a AS b FROM knn
+        ),
+        nodes AS (SELECT DISTINCT a AS v FROM edges),
+        reach(src, dst) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        labels AS (
+            SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src
+        )
+        SELECT vec_id, component,
+               count(*) OVER (PARTITION BY component) AS n_in_cluster
+        FROM labels
+        ORDER BY vec_id
+    """,
+    doc=(
+        "Semantic-cluster discovery: connected components over the "
+        "within-cell kNN graph — the clustering step of graph-based "
+        "corpus organization (SemDeDup prunes inside these clusters; "
+        "curriculum/mixture tooling samples across them). Reuses the "
+        "two scale-safe cores end to end: the kNN edges come from the "
+        "cell-bounded equi-join (sum(cell^2), never N^2) and the "
+        "closure runs the alternating large-star/small-star algorithm "
+        "(O(log^2 n) rounds, diameter-independent) — the SAME "
+        "star_components used for near-dup text clustering, now on an "
+        "embedding graph. Cluster size rides along via a component-"
+        "partitioned window. Oracle: recursive-CTE transitive closure "
+        "over the identically-ranked kNN edges."
+    ),
+    tags=("similarity", "graph", "iterative"),
+)
+def graph_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.dedup import star_components
+
+    knn = knn_graph_within_cell(spark, sf_dir).select(
+        F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
+    )
+    labels = star_components(knn).select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    wsz = W.partitionBy("component")
+    return (
+        labels.withColumn("n_in_cluster", F.count("*").over(wsz))
+        .select("vec_id", "component", "n_in_cluster")
+        .orderBy("vec_id")
+    )
