@@ -856,3 +856,70 @@ def events_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataF
         .select("bucket_ord", label.alias("lateness_bucket"), "n", "max_late_us")
         .orderBy("bucket_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capacity planning: exact per-minute rate percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rate_percentiles_exact",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS minute, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt, minute) AS rn FROM m
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        sel AS (
+            SELECT 1 AS ord, 'p50' AS stat, (n * 50 + 99) // 100 AS k FROM nn
+            UNION ALL SELECT 2, 'p95', (n * 95 + 99) // 100 FROM nn
+            UNION ALL SELECT 3, 'p99', (n * 99 + 99) // 100 FROM nn
+            UNION ALL SELECT 4, 'max', n FROM nn
+        )
+        SELECT sel.ord, sel.stat, CAST(r.cnt AS BIGINT) AS events_per_minute
+        FROM sel JOIN r ON r.rn = sel.k
+        ORDER BY sel.ord
+    """,
+    doc=(
+        "Exact per-minute ingest-rate percentiles (p50/p95/p99/max) — "
+        "the capacity-planning numbers behind trigger intervals, "
+        "maxFilesPerTrigger/maxOffsetsPerTrigger sizing, and alert "
+        "thresholds; approx_percentile is the cheap 100 TB default, "
+        "THIS is the exact reference it is validated against. "
+        "Selection is rank-based in pure integers (k = ceil(p*n/100) "
+        "computed as (p*n+99) div 100, value = the row at global rank "
+        "k under the unique (count, minute) order), so no "
+        "interpolation and no float percentile semantics to diverge "
+        "cross-engine — the lower-selection discipline the per-user "
+        "median entry established. The global rank comes from "
+        "ranking.with_global_row_number (cutpoint buckets, no "
+        "single-partition funnel); the minute table it ranks is "
+        "calendar-bounded, not stream-sized."
+    ),
+    tags=("events", "agg", "window"),
+)
+def events_rate_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    m = (
+        events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked, n = with_global_row_number(m, ["cnt", "minute"], out="rn")
+    sel = [
+        (1, "p50", (n * 50 + 99) // 100),
+        (2, "p95", (n * 95 + 99) // 100),
+        (3, "p99", (n * 99 + 99) // 100),
+        (4, "max", n),
+    ]
+    sel_df = m.sparkSession.createDataFrame(sel, "ord int, stat string, k long")
+    return (
+        ranked.join(F.broadcast(sel_df), ranked.rn == sel_df.k)
+        .select("ord", "stat", F.col("cnt").alias("events_per_minute"))
+        .orderBy("ord")
+    )

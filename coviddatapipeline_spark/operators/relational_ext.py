@@ -648,3 +648,48 @@ def supplier_balance_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+KEYSET_CURSOR_TS = "1998-06-15 00:00:00"
+KEYSET_CURSOR_KEY = 0
+KEYSET_PAGE = 100
+
+
+@register(
+    "pagination_keyset",
+    oracle=f"""
+        SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '{KEYSET_CURSOR_TS}'
+           OR (o_orderdate = TIMESTAMP '{KEYSET_CURSOR_TS}'
+               AND o_orderkey > {KEYSET_CURSOR_KEY})
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT {KEYSET_PAGE}
+    """,
+    doc=(
+        "Keyset (cursor) pagination — the scale-correct sibling of "
+        "pagination_offset_limit: the page starts WHERE the sort key "
+        "exceeds the last-seen cursor, not at a row offset. OFFSET n "
+        "must produce-and-discard n rows on every page (page p costs "
+        "O(p * page_size) at any engine); the keyset predicate is an "
+        "ordinary range filter the parquet scan prunes with row-group "
+        "statistics — page cost stays O(page_size + log) forever, "
+        "which is why every large-result API paginates this way. The "
+        "tuple comparison is spelled as the OR-expanded form both "
+        "engines push down; ordering is unique on (date, key) so the "
+        "page is deterministic."
+    ),
+    tags=("relational", "scan"),
+)
+def pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = F.to_timestamp(F.lit(KEYSET_CURSOR_TS))
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") > cur)
+            | ((F.col("o_orderdate") == cur) & (F.col("o_orderkey") > KEYSET_CURSOR_KEY))
+        )
+        .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(KEYSET_PAGE)
+    )

@@ -182,3 +182,15 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path, parity_sf_dir):
     plan = executed_plan(q)
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
     assert q.count() == orders.filter("o_totalprice > 100000").count()
+
+
+def test_keyset_pagination_predicate_reaches_scan(spark, parity_sf_dir):
+    """The keyset cursor must compile to a scan-level filter (that is
+    the whole point vs OFFSET): the OR-expanded tuple comparison shows
+    up in PushedFilters on o_orderdate, so parquet row-group stats can
+    prune pages the cursor has already passed."""
+    from coviddatapipeline_spark.operators.relational_ext import pagination_keyset
+    from coviddatapipeline_spark.plans import audit
+
+    a = audit(pagination_keyset(spark, parity_sf_dir))
+    assert "o_orderdate" in a["pushed_filters"], a["pushed_filters"]
