@@ -380,3 +380,94 @@ def warehouse_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFram
             "max_share_e4"
         ),
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+        WITH updates AS (
+            SELECT c_custkey, c_mktsegment,
+                   round(c_acctbal + 100, 2) AS bal
+            FROM customer WHERE c_custkey % {SCD2_UPDATE_MOD} = 0
+        ),
+        dim AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+                   DATE '2000-01-01' AS valid_from,
+                   CASE WHEN c_custkey % {SCD2_UPDATE_MOD} = 0
+                        THEN DATE '2000-02-01' END AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, bal,
+                   DATE '2000-02-01', NULL
+            FROM updates
+        ),
+        pit AS (
+            SELECT 'before' AS as_of, seg, bal FROM dim
+            WHERE valid_from <= DATE '2000-01-15'
+              AND (valid_to IS NULL OR DATE '2000-01-15' < valid_to)
+            UNION ALL
+            SELECT 'after' AS as_of, seg, bal FROM dim
+            WHERE valid_from <= DATE '2000-03-01'
+              AND (valid_to IS NULL OR DATE '2000-03-01' < valid_to)
+        )
+        SELECT as_of, seg AS segment,
+               count(*) AS n_rows,
+               round(sum(bal), 2) AS sum_acctbal
+        FROM pit GROUP BY as_of, seg
+        ORDER BY as_of, segment
+    """,
+    doc=(
+        "SCD2 point-in-time ('as of') query — the read side of the "
+        "SCD2 merge: the dimension is materialized WITH validity "
+        "intervals (old versions of changed keys close at the batch "
+        "date, new versions open there), and the same table answers "
+        "'state as of T' for any T via the interval predicate "
+        "valid_from <= T < coalesce(valid_to, infinity) — time travel "
+        "without engine support, the query every audit/backfill/"
+        "retraining-reproducibility request turns into. Two probe "
+        "instants (one before, one after the change batch) are audited "
+        "per segment; the 'before' totals must equal the pre-merge "
+        "dimension and 'after' must reflect exactly the update batch — "
+        "version isolation checked end to end. Each probe is a filter "
+        "+ combinable aggregate (no join against the asof list, so no "
+        "nested-loop plan); at scale the dimension is partitioned by "
+        "business key and the interval filter prunes by row-group "
+        "stats on valid_from."
+    ),
+    tags=("warehouse", "reshape", "agg"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    d0, d1 = F.lit("2000-01-01").cast("date"), F.lit("2000-02-01").cast("date")
+    changed = F.col("c_custkey") % SCD2_UPDATE_MOD == 0
+    old = customer.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        d0.alias("valid_from"),
+        F.when(changed, d1).alias("valid_to"),
+    )
+    new = customer.filter(changed).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("bal"),
+        d1.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = old.unionByName(new)
+
+    def asof(label: str, day: str) -> DataFrame:
+        d = F.lit(day).cast("date")
+        return dim.filter(
+            (F.col("valid_from") <= d)
+            & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
+        ).select(F.lit(label).alias("as_of"), "seg", "bal")
+
+    return (
+        asof("before", "2000-01-15")
+        .unionByName(asof("after", "2000-03-01"))
+        .groupBy("as_of", F.col("seg").alias("segment"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("bal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("as_of", "segment")
+    )
