@@ -217,6 +217,24 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- round-3 second-sitting additions: sketch + PQ + semantic ops --
+    # Informational timings (one run each — these are not A/B demos, just
+    # the wall-time footprint of the new families at the bench SF).
+    try:
+        from coviddatapipeline_spark.queries import catalog as _cat
+
+        _q = _cat.queries()
+        for name in (
+            "sketch_cms_heavy_hitters",
+            "bloom_join_prefilter_audit",
+            "pq_adc_topk_recall",
+            "semdedup_cell_prune",
+            "events_lateness_watermark_profile",
+        ):
+            timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
+    except Exception as e:
+        print(f"# new-family timings skipped: {e}", file=sys.stderr)
+
     return out
 
 
