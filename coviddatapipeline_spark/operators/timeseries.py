@@ -468,3 +468,90 @@ def kl_drift_from_cells(cells: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval counting: open-order backlog over time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog_sweepline",
+    oracle="""
+        WITH ls AS (
+            SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        o AS (
+            SELECT CAST(o_orderdate AS DATE) AS od, ls.last_ship
+            FROM orders JOIN ls ON o_orderkey = ls.l_orderkey
+        ),
+        deltas AS (
+            SELECT od AS day, 1 AS delta FROM o
+            UNION ALL
+            SELECT last_ship + 1 AS day, -1 AS delta FROM o
+        ),
+        daily AS (
+            SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM deltas GROUP BY day
+        ),
+        run AS (
+            SELECT day,
+                   CAST(sum(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS open_orders
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m') AS month,
+               CAST(max(open_orders) AS BIGINT) AS max_open,
+               CAST(min(open_orders) AS BIGINT) AS min_open,
+               CAST(arg_max(open_orders, day) AS BIGINT) AS month_end_open
+        FROM run
+        GROUP BY month
+        ORDER BY month
+    """,
+    doc=(
+        "Open-order backlog over time by SWEEP-LINE: an order is open "
+        "from its order date until its last lineitem ships, and the "
+        "per-day open count is computed by event DIFFERENCING — +1 at "
+        "open, -1 the day after close, then a prefix sum over the "
+        "calendar — instead of the naive day-x-interval stabbing join "
+        "(O(days * orders), the shape that kills 'how many in flight' "
+        "dashboards at volume). Cost: one per-order max, one hash "
+        "join, one per-day combinable aggregate, and a prefix sum over "
+        "the CALENDAR-bounded daily table via "
+        "ranking.with_global_running_sum (cutpoint buckets, no "
+        "single-partition funnel); every count is an exact integer. "
+        "Reported per month: peak, trough, and month-end backlog "
+        "(arg_max/max_by on the unique day order)."
+    ),
+    tags=("timeseries", "window", "join"),
+)
+def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    ls = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        .join(ls, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("od", "last_ship")
+    )
+    deltas = o.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionByName(
+        o.select(F.date_add("last_ship", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    run, _ = with_global_running_sum(daily, ["day"], "d", out="open_dec")
+    run = run.withColumn("open_orders", F.col("open_dec").cast("long"))
+    return (
+        run.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.max("open_orders").alias("max_open"),
+            F.min("open_orders").alias("min_open"),
+            F.max_by("open_orders", "day").alias("month_end_open"),
+        )
+        .orderBy("month")
+    )
