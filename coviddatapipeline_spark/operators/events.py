@@ -923,3 +923,88 @@ def events_rate_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("ord", "stat", F.col("cnt").alias("events_per_minute"))
         .orderBy("ord")
     )
+
+
+@register(
+    "events_session_survival",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        ),
+        d AS (
+            SELECT user_id, session_id,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(CASE WHEN dur_us >= 60000000 THEN 1 END) AS BIGINT) AS ge_1m,
+               CAST(count(CASE WHEN dur_us >= 300000000 THEN 1 END) AS BIGINT) AS ge_5m,
+               CAST(count(CASE WHEN dur_us >= 900000000 THEN 1 END) AS BIGINT) AS ge_15m,
+               CAST(count(CASE WHEN dur_us >= 60000000 THEN 1 END) * 10000
+                    // count(*) AS BIGINT) AS share_1m_e4,
+               CAST(count(CASE WHEN dur_us >= 300000000 THEN 1 END) * 10000
+                    // count(*) AS BIGINT) AS share_5m_e4,
+               CAST(count(CASE WHEN dur_us >= 900000000 THEN 1 END) * 10000
+                    // count(*) AS BIGINT) AS share_15m_e4
+        FROM d
+    """,
+    doc=(
+        "Session-duration survival curve: the fraction of 30-min-gap "
+        "sessions lasting at least 1/5/15 minutes — the engagement "
+        "tail (a survival function sampled at fixed horizons) product "
+        "analytics reads next to the session counts the sessionization "
+        "entry reports. Same lag + cumulative-flag session frame "
+        "(user-partitioned windows, one shuffle), durations in exact "
+        "integer microseconds, shares in e4 integer division — no "
+        "float anywhere. At scale the only data-sized work is the "
+        "per-(user, session) min/max reduction, map-side combinable "
+        "after the session tag."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev = F.lag("ts").over(w_order)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    d = (
+        ev.withColumn("is_new_session", new_sess)
+        .withColumn("session_id", F.sum("is_new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
+        )
+    )
+    ge = lambda us: F.count(F.when(F.col("dur_us") >= us, 1))
+    return d.agg(
+        F.count("*").alias("n_sessions"),
+        ge(60_000_000).alias("ge_1m"),
+        ge(300_000_000).alias("ge_5m"),
+        ge(900_000_000).alias("ge_15m"),
+    ).select(
+        "n_sessions",
+        "ge_1m",
+        "ge_5m",
+        "ge_15m",
+        F.expr("CAST((ge_1m * 10000) DIV n_sessions AS BIGINT)").alias("share_1m_e4"),
+        F.expr("CAST((ge_5m * 10000) DIV n_sessions AS BIGINT)").alias("share_5m_e4"),
+        F.expr("CAST((ge_15m * 10000) DIV n_sessions AS BIGINT)").alias(
+            "share_15m_e4"
+        ),
+    )

@@ -693,3 +693,90 @@ def pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(KEYSET_PAGE)
     )
+
+
+@register(
+    "stats_chi2_brand_type",
+    oracle="""
+        WITH o AS (
+            SELECT p_brand AS b, p_type AS t, CAST(count(*) AS BIGINT) AS obs
+            FROM part GROUP BY 1, 2
+        ),
+        rt AS (SELECT b, CAST(sum(obs) AS BIGINT) AS rb FROM o GROUP BY b),
+        ct AS (SELECT t, CAST(sum(obs) AS BIGINT) AS ctt FROM o GROUP BY t),
+        nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+        grid AS (
+            SELECT rt.b, ct.t, rt.rb, ct.ctt, nn.n,
+                   coalesce(o.obs, 0) AS obs
+            FROM rt CROSS JOIN ct CROSS JOIN nn
+            LEFT JOIN o ON o.b = rt.b AND o.t = ct.t
+        ),
+        terms AS (
+            SELECT n,
+                   CAST(floor(((obs - rb * ctt * 1.0 / n)
+                               * (obs - rb * ctt * 1.0 / n))
+                              / (rb * ctt * 1.0 / n) * 10000 + 0.5)
+                        AS BIGINT) AS term_e4
+            FROM grid
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_rows_cat,
+               (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_cols_cat,
+               (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+                   * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof,
+               CAST(sum(term_e4) AS BIGINT) AS chi2_e4
+        FROM terms
+    """,
+    doc=(
+        "Chi-square test of independence between part brand and part "
+        "type — the hypothesis test the stats family lacked (moments, "
+        "regression, MAD are all estimation): expected cell counts "
+        "come from the row/column marginals, each cell contributes "
+        "(obs-exp)^2/exp, and a chi2 far above dof rejects 'brand and "
+        "type are assorted independently' — the check behind "
+        "stratification and mix-design assumptions. Shape at scale: "
+        "one combinable contingency count over the data, then ALL "
+        "remaining work happens on the R x C marginal grid (150 "
+        "broadcast-sized rows, zero-observed cells included via the "
+        "marginal cross join). Cross-engine exactness: each cell term "
+        "is a deterministic double from integer marginals (identical "
+        "expression both engines), quantized to e4 per cell, then "
+        "integer-summed — no float-sum ordering."
+    ),
+    tags=("relational", "agg"),
+)
+def stats_chi2_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("b"), F.col("p_type").alias("tt"))
+        .agg(F.count("*").alias("obs"))
+    )
+    rt = o.groupBy("b").agg(F.sum("obs").alias("rb"))
+    ct = o.groupBy("tt").agg(F.sum("obs").alias("ctt"))
+    nn = o.agg(F.sum("obs").alias("n"))
+    grid = (
+        F.broadcast(rt)
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(nn))
+        .join(o, ["b", "tt"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    e = F.col("rb") * F.col("ctt") * F.lit(1.0) / F.col("n")
+    term_e4 = F.floor(
+        ((F.col("obs") - e) * (F.col("obs") - e)) / e * 10000 + 0.5
+    ).cast("long")
+    nr = rt.agg(F.count("*").alias("n_rows_cat"))
+    nc = ct.agg(F.count("*").alias("n_cols_cat"))
+    return (
+        grid.withColumn("term_e4", term_e4)
+        .agg(F.max("n").alias("n"), F.sum("term_e4").alias("chi2_e4"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n",
+            "n_rows_cat",
+            "n_cols_cat",
+            ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1)).alias("dof"),
+            "chi2_e4",
+        )
+    )
