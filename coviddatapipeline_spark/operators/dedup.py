@@ -189,6 +189,21 @@ def _minhash_sql() -> str:
     """
 
 
+def mh_from_docs(docs: DataFrame) -> DataFrame:
+    """The 12-column MinHash signature table from the persisted shingle
+    frame (array-native min over each affine rehash of the base
+    hashes) — extracted so the LSH pipeline and the banding-curve
+    audit derive signatures from ONE definition."""
+
+    def _minhash(i: int):
+        a, b = _MH_A[i], _MH_B[i]
+        return F.array_min(
+            F.transform("bases", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P)
+        ).alias(f"h{i}")
+
+    return docs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+
+
 def _lsh_docs_bands(spark: SparkSession, sf_dir: str):
     """(docs, bands) for the MinHash-LSH family: docs carries the
     distinct shingle array + per-shingle base hashes (persisted — feeds
@@ -215,13 +230,7 @@ def _lsh_docs_bands(spark: SparkSession, sf_dir: str):
         .persist()
     )
 
-    def _minhash(i: int):
-        a, b = _MH_A[i], _MH_B[i]
-        return F.array_min(
-            F.transform("bases", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P)
-        ).alias(f"h{i}")
-
-    mh = docs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+    mh = mh_from_docs(docs)
     # all band keys in one pass (array + explode of N_BANDS structs)
     band_structs = F.array(
         *[
@@ -1700,4 +1709,164 @@ def dedup_incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             "n_blocked",
             (F.col("n_incoming") - F.col("n_blocked")).alias("n_admitted"),
         )
+    )
+
+
+# --- LSH banding operating curve -------------------------------------------
+
+_BANDING_SCHEMES = (("b1r12", 1, 12), ("b4r3", 4, 3), ("b6r2", 6, 2))
+
+
+def _banding_curve_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    parts = []
+    for label, b, r in _BANDING_SCHEMES:
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band_id, "
+            f"md5(concat({', '.join(f'h{j * r + k}' for k in range(r))})) AS band_key "
+            f"FROM mh"
+            for j in range(b)
+        )
+        parts.append(f"bands_{label} AS ({bands})")
+        parts.append(
+            f"""cand_{label} AS (
+                SELECT DISTINCT '{label}' AS scheme, a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands_{label} a JOIN bands_{label} b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            )"""
+        )
+    all_cand = " UNION ALL ".join(f"SELECT * FROM cand_{l}" for l, _, _ in _BANDING_SCHEMES)
+    matches = " + ".join(
+        f"(CASE WHEN m1.h{i} = m2.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    scheme_rows = ", ".join(f"('{l}')" for l, _, _ in _BANDING_SCHEMES)
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        {", ".join(parts)},
+        all_cand AS ({all_cand}),
+        est AS (
+            SELECT c.scheme, {matches} AS matches
+            FROM all_cand c
+            JOIN mh m1 ON m1.doc_id = c.doc_a
+            JOIN mh m2 ON m2.doc_id = c.doc_b
+        ),
+        agg AS (
+            SELECT scheme,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(matches) AS BIGINT) AS sum_matches,
+                   CAST(count(CASE WHEN matches * 2 >= {N_HASHES} THEN 1 END)
+                        AS BIGINT) AS n_est_ge_half
+            FROM est GROUP BY scheme
+        )
+        SELECT s.scheme,
+               coalesce(a.n_candidates, 0) AS n_candidates,
+               CASE WHEN coalesce(a.n_candidates, 0) = 0 THEN 0
+                    ELSE (a.sum_matches * 10000) // ({N_HASHES} * a.n_candidates)
+               END AS mean_est_e4,
+               coalesce(a.n_est_ge_half, 0) AS n_est_ge_half
+        FROM (VALUES {scheme_rows}) s(scheme)
+        LEFT JOIN agg a ON a.scheme = s.scheme
+        ORDER BY s.scheme
+    """
+
+
+@register(
+    "dedup_lsh_banding_curve",
+    oracle=_banding_curve_oracle(),
+    doc=(
+        "LSH banding operating curve measured on the corpus: the SAME "
+        "12 MinHash signatures re-banded three ways — 1 band x 12 rows "
+        "(strictest: candidates must agree on every hash), the "
+        "production 4x3, and 6 bands x 2 rows (loosest) — with, per "
+        "scheme, the candidate-pair count, the mean estimated Jaccard "
+        "of candidates (matching-hash fraction, e4 integer), and how "
+        "many candidates estimate >= 0.5. This is the b/r tuning table "
+        "behind every LSH deployment (P(candidate) = 1-(1-s^r)^b): "
+        "looser banding buys recall with candidate volume, and THIS "
+        "entry prices that trade on real data instead of the formula. "
+        "Signatures are computed once (shared mh_from_docs definition "
+        "with the pipeline) and re-banding is free — band keys are "
+        "md5 of signature slices — so the whole audit costs three "
+        "band-bucket self-joins (each Sigma bucket^2) plus a "
+        "candidates x signatures join; every reported number is "
+        "exact integer arithmetic."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, _ = _lsh_docs_bands(spark, sf_dir)
+    mh = mh_from_docs(docs).persist()
+    cands = None
+    for label, b, r in _BANDING_SCHEMES:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.md5(
+                        F.concat(*[F.col(f"h{j * r + k}") for k in range(r)])
+                    ).alias("band_key"),
+                )
+                for j in range(b)
+            ]
+        )
+        bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+            "doc_id",
+            F.col("bk.band_id").alias("band_id"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+        )
+        bb = bands.select(
+            F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+        )
+        c = (
+            a.join(bb, ["band_id", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(F.lit(label).alias("scheme"), "doc_a", "doc_b")
+            .distinct()
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    m1 = mh.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    m2 = mh.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        cands.join(m1, "doc_a").join(m2, "doc_b").withColumn("matches", matches)
+    )
+    agg = est.groupBy("scheme").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum("matches").alias("sum_matches"),
+        F.count(F.when(F.col("matches") * 2 >= N_HASHES, 1)).alias("n_est_ge_half"),
+    )
+    schemes = docs.sparkSession.createDataFrame(
+        [(l,) for l, _, _ in _BANDING_SCHEMES], "scheme string"
+    )
+    return (
+        schemes.join(agg, "scheme", "left")
+        .select(
+            "scheme",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            F.when(
+                F.coalesce(F.col("n_candidates"), F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(
+                F.expr(f"CAST((sum_matches * 10000) DIV ({N_HASHES} * n_candidates) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("mean_est_e4"),
+            F.coalesce(F.col("n_est_ge_half"), F.lit(0)).alias("n_est_ge_half"),
+        )
+        .orderBy("scheme")
     )
