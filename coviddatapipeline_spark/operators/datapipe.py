@@ -1499,3 +1499,70 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_frame_dup_crossdoc",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   md5(substr(text, i * {FRAME_STRIDE} + 1, {FRAME_STRIDE})) AS fh
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(greatest(ceil(len(text) * 1.0 / {FRAME_STRIDE}) - 1, 0)
+                          AS BIGINT))) AS u(i)
+            WHERE len(text) > 0
+        ),
+        by_hash AS (
+            SELECT fh,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM frames GROUP BY fh
+        ),
+        ranked AS (
+            SELECT fh, n_docs, n_occ,
+                   row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, fh) AS rank
+            FROM by_hash WHERE n_docs >= 2
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, fh, n_docs, n_occ
+        FROM ranked WHERE rank <= 20
+        ORDER BY rank
+    """,
+    doc=(
+        "Cross-document frame-level dedup: the per-frame content "
+        "hashes (mm_frame_hashes' fingerprinting pass) inverted into a "
+        "hash -> documents index, reporting the top-20 frames shared "
+        "by the most documents — intros, watermark cards, and "
+        "boilerplate segments that appear across many videos and "
+        "should be stripped or stored once (content-addressable "
+        "chunk dedup, the video sibling of exact text dedup). One "
+        "map-side frame hash per chunk, one combinable groupBy on the "
+        "hash, a top-k over the >=2-doc survivors; at 100 TB the "
+        "inverted index is the object a dedup store maintains "
+        "incrementally, and a viral frame is exactly the hot-key case "
+        "the df-cap/salting machinery of the shingle index handles."
+    ),
+    tags=("multimodal", "dedup"),
+)
+def mm_frame_dup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_frames = F.ceil(F.length("text") / F.lit(FRAME_STRIDE)).cast("long")
+    frames = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("i"), "text"
+    ).select(
+        "doc_id",
+        F.md5(
+            F.substring(F.col("text"), F.col("i") * FRAME_STRIDE + 1, FRAME_STRIDE)
+        ).alias("fh"),
+    )
+    by_hash = frames.groupBy("fh").agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_occ")
+    )
+    w = W.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("fh"))
+    return (
+        by_hash.filter(F.col("n_docs") >= 2)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "fh", "n_docs", "n_occ")
+        .orderBy("rank")
+    )

@@ -1870,3 +1870,86 @@ def dedup_lsh_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+@register(
+    "dedup_candidate_containment",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (
+            SELECT doc_id, {", ".join(f"min(({_MH_A[i]} * {_BASE_SQL} + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(N_HASHES))}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(concat(h{3*b}, h{3*b+1}, h{3*b+2})) AS band_key FROM mh" for b in range(N_BANDS))}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS shared
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               coalesce(s.shared, 0) AS shared,
+               CAST(coalesce(s.shared, 0) * 10000 // x.n AS BIGINT) AS cont_a_e4,
+               CAST(coalesce(s.shared, 0) * 10000 // y.n AS BIGINT) AS cont_b_e4,
+               CAST(coalesce(s.shared, 0) * 10000
+                    // (x.n + y.n - coalesce(s.shared, 0)) AS BIGINT) AS jaccard_e4
+        FROM cand c
+        LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+        JOIN sizes x ON x.doc_id = c.doc_a
+        JOIN sizes y ON y.doc_id = c.doc_b
+        ORDER BY c.doc_a, c.doc_b
+    """,
+    doc=(
+        "Containment scoring for LSH candidates: alongside symmetric "
+        "Jaccard, report |A∩B|/|A| and |A∩B|/|B| — the ASYMMETRIC "
+        "near-dup measure that catches a small document embedded in a "
+        "large one (quote farms, concatenated dumps), which Jaccard "
+        "dilutes toward zero as the size ratio grows (Broder's "
+        "containment, public). Candidates come from the same 4x3 band "
+        "join as the pipeline (never all pairs); intersection counts "
+        "ride the shingle inverted index with LEFT-join totality (a "
+        "band-collision candidate with zero shared shingles keeps a "
+        "0-containment row — the estimator-audit lesson); every score "
+        "is e4 integer division. At 100 TB this is the verification "
+        "stage's scoring kernel, one broadcast-candidate join wider "
+        "than Jaccard alone."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, bands = _lsh_docs_bands(spark, sf_dir)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    scored = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
+        .withColumn("na", F.size("arr_a").cast("long"))
+        .withColumn("nb", F.size("arr_b").cast("long"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.expr("CAST((shared * 10000) DIV na AS BIGINT)").alias("cont_a_e4"),
+        F.expr("CAST((shared * 10000) DIV nb AS BIGINT)").alias("cont_b_e4"),
+        F.expr("CAST((shared * 10000) DIV (na + nb - shared) AS BIGINT)").alias(
+            "jaccard_e4"
+        ),
+    ).orderBy("doc_a", "doc_b")
