@@ -1224,3 +1224,162 @@ def graph_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "component", "n_in_cluster")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe cost/recall curve
+# ---------------------------------------------------------------------------
+
+NPROBES = (1, 2, 4, 10)  # 10 cells total -> nprobe=10 is the exhaustive scan
+
+
+@register(
+    "ann_ivf_nprobe_curve",
+    oracle=f"""
+        WITH pe AS (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS x,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        cent AS (SELECT label, pos, avg(x) AS cx FROM pe GROUP BY 1, 2),
+        centroids AS (
+            SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label
+        ),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+        qc AS (
+            SELECT q.vec_id AS query_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.embedding::DOUBLE[], c.centroid)
+                                DESC, c.label) AS cell_rank
+            FROM q, centroids c
+        ),
+        ps AS (SELECT unnest([{", ".join(str(p) for p in NPROBES)}]) AS nprobe),
+        probes AS (
+            SELECT ps.nprobe, qc.query_id, qc.label
+            FROM ps JOIN qc ON qc.cell_rank <= ps.nprobe
+        ),
+        scored AS (
+            SELECT p.nprobe, p.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(q2.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+            FROM probes p
+            JOIN embeddings e ON e.label = p.label
+            JOIN q q2 ON q2.vec_id = p.query_id
+            WHERE e.vec_id != p.query_id
+        ),
+        top5 AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+                SELECT nprobe, query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY nprobe, query_id
+                                          ORDER BY cos DESC, neighbor_id) AS r
+                FROM scored
+            ) WHERE r <= {TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM top5 WHERE nprobe = {max(NPROBES)}
+        ),
+        hits AS (
+            SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+            FROM top5 t JOIN exact e
+              ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+            GROUP BY t.nprobe
+        ),
+        cost AS (
+            SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scored FROM scored GROUP BY nprobe
+        )
+        SELECT c.nprobe,
+               CAST(c.n_scored // {N_QUERIES} AS BIGINT) AS avg_candidates,
+               CAST(h.n_hits * 10000 // ({TOP_K} * {N_QUERIES}) AS BIGINT)
+                   AS mean_recall_e4
+        FROM cost c JOIN hits h ON h.nprobe = c.nprobe
+        ORDER BY c.nprobe
+    """,
+    doc=(
+        "IVF nprobe cost/recall curve — the ANN counterpart of the LSH "
+        "banding curve: for nprobe in (1, 2, 4, all-cells), the average "
+        "candidate count per query (the COST an IVF deployment pays, "
+        "N*nprobe/nlist dot products instead of N) against mean "
+        "recall@k vs the exhaustive scan (which IS the nprobe=nlist "
+        "row, so the curve is self-calibrating and its last point must "
+        "read 10000). Cells ranked per query by centroid dot product "
+        "exactly as the registered multiprobe entry; the probe fan-out "
+        "is ONE frame tagged by nprobe (no per-setting rescan — "
+        "smaller probes are prefixes of larger ones, and the scored "
+        "frame feeds cost, ranking, and the exact baseline in a single "
+        "pass). Recall and cost reduce to integer division; ranking "
+        "ties break on neighbor_id."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pe = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = pe.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    centroids = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("s"))
+        .select("label", F.transform("s", lambda st: st["cx"]).alias("centroid"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wcell = W.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("label")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", _dot("qv", "centroid"))
+        .withColumn("cell_rank", F.row_number().over(wcell))
+        .select("query_id", "qv", "label", "cell_rank")
+    )
+    ps = q.sparkSession.createDataFrame([(p,) for p in NPROBES], "nprobe int")
+    probes = F.broadcast(ps).join(qc, qc.cell_rank <= ps.nprobe).select(
+        "nprobe", "query_id", "qv", "label"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, probes.label == c.clabel)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot("qv", "cv"))
+        .select("nprobe", "query_id", "neighbor_id", "cos")
+        .persist()
+    )
+    wrank = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    top5 = (
+        scored.withColumn("r", F.row_number().over(wrank))
+        .filter(F.col("r") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+        .persist()
+    )
+    exact = top5.filter(F.col("nprobe") == max(NPROBES)).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    hits = (
+        top5.join(
+            F.broadcast(exact),
+            (F.col("query_id") == F.col("eq")) & (F.col("neighbor_id") == F.col("en")),
+        )
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    cost = scored.groupBy("nprobe").agg(F.count("*").alias("n_scored"))
+    return (
+        cost.join(hits, "nprobe")
+        .select(
+            "nprobe",
+            F.expr(f"CAST(n_scored DIV {N_QUERIES} AS BIGINT)").alias("avg_candidates"),
+            F.expr(
+                f"CAST((n_hits * 10000) DIV ({TOP_K} * {N_QUERIES}) AS BIGINT)"
+            ).alias("mean_recall_e4"),
+        )
+        .orderBy("nprobe")
+    )

@@ -975,3 +975,82 @@ def docpipe_quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_bucket")
     )
+
+
+@register(
+    "text_longdoc_token_share",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({_TOKENS.format(x='text')}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT n_tok,
+                   row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+            FROM toks
+        ),
+        nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_tok) AS BIGINT) AS total FROM toks
+        ),
+        sel AS (
+            SELECT 1 AS ord, 'top_1pct' AS tier, (n * 1 + 99) // 100 AS k FROM nn
+            UNION ALL SELECT 2, 'top_5pct', (n * 5 + 99) // 100 FROM nn
+            UNION ALL SELECT 3, 'top_10pct', (n * 10 + 99) // 100 FROM nn
+        )
+        SELECT sel.ord, sel.tier,
+               CAST(sel.k AS BIGINT) AS n_docs,
+               CAST(sum(r.n_tok) AS BIGINT) AS tier_tokens,
+               CAST(sum(r.n_tok) * 10000 // max(nn.total) AS BIGINT) AS token_share_e4
+        FROM sel JOIN ranked r ON r.rn <= sel.k
+        CROSS JOIN nn
+        GROUP BY sel.ord, sel.tier, sel.k
+        ORDER BY sel.ord
+    """,
+    doc=(
+        "Long-document token concentration: what share of corpus "
+        "tokens lives in the top 1/5/10 percent longest documents — "
+        "the number that decides chunking strategy, packing window, "
+        "and whether long-doc truncation silently deletes a large "
+        "corpus fraction (heavy-tailed corpora routinely hide 20-40%% "
+        "of tokens in the top few percent). Exact by construction: "
+        "global rank on (length desc, doc_id) via the cutpoint-"
+        "bucketed row number, tier cutoffs k = ceil(p*n/100) in "
+        "integer arithmetic, shares in e4 integer division against "
+        "the exact token total. Cost: one token-count map, the "
+        "three-job ranking pass, one combinable tier aggregate."
+    ),
+    tags=("text", "window", "agg"),
+)
+def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    # rank on NEGATED length (helper ranks ascending on the lead key)
+    neg = toks.withColumn("neg_tok", -F.col("n_tok"))
+    ranked, n = with_global_row_number(neg, ["neg_tok", "doc_id"], out="rn")
+    total = toks.agg(F.sum("n_tok").alias("total")).collect()[0]["total"]
+    sel = [
+        (1, "top_1pct", (n * 1 + 99) // 100),
+        (2, "top_5pct", (n * 5 + 99) // 100),
+        (3, "top_10pct", (n * 10 + 99) // 100),
+    ]
+    sel_df = toks.sparkSession.createDataFrame(sel, "ord int, tier string, k long")
+    return (
+        F.broadcast(sel_df)
+        .join(ranked, ranked.rn <= sel_df.k)
+        .groupBy("ord", "tier", "k")
+        .agg(F.sum("n_tok").alias("tier_tokens"))
+        .select(
+            "ord",
+            "tier",
+            F.col("k").alias("n_docs"),
+            "tier_tokens",
+            F.expr(f"CAST((tier_tokens * 10000) DIV {int(total)} AS BIGINT)").alias(
+                "token_share_e4"
+            ),
+        )
+        .orderBy("ord")
+    )
