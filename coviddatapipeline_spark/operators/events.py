@@ -1008,3 +1008,90 @@ def events_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_15m_e4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed temporal range join (neighbor counting)
+# ---------------------------------------------------------------------------
+
+NEIGHBOR_WINDOW_US = 60_000_000  # +/- 60 s
+
+
+@register(
+    "events_temporal_neighbor_join",
+    oracle=f"""
+        WITH us AS (
+            SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        ),
+        pairs AS (
+            SELECT a.event_id, CAST(count(*) AS BIGINT) AS nb
+            FROM us a JOIN us b
+              ON b.tus BETWEEN a.tus - {NEIGHBOR_WINDOW_US}
+                           AND a.tus + {NEIGHBOR_WINDOW_US}
+             AND b.user_id <> a.user_id
+            GROUP BY a.event_id
+        ),
+        per AS (
+            SELECT e.event_id, CAST(coalesce(p.nb, 0) AS BIGINT) AS neighbor_count
+            FROM us e LEFT JOIN pairs p ON e.event_id = p.event_id
+        )
+        SELECT neighbor_count, CAST(count(*) AS BIGINT) AS n_events
+        FROM per GROUP BY neighbor_count
+        ORDER BY neighbor_count
+    """,
+    doc=(
+        "Temporal range join by minute bucketing: for every event, the "
+        "number of OTHER users' events within +/-60 s (the co-activity "
+        "signal behind bot-ring and flash-crowd detection), reported as "
+        "the neighbor-count histogram. The naive form is an inequality "
+        "theta-join — a nested-loop O(n^2) plan no engine saves you "
+        "from; here each event maps to its epoch-minute bucket, probes "
+        "the three adjacent buckets via a 3-way explode, and the join is "
+        "a plain EQUI-join on the bucket key (cost n x window-density, "
+        "shuffle-partitionable on the bucket like any hash join) with "
+        "the exact |dt| <= 60 s refinement applied post-join. Zero-"
+        "neighbor events survive via the left join-back, so the "
+        "histogram is total. This is the generic interval/range-join "
+        "recipe (bucket width = range width => candidates live in "
+        "adjacent buckets only) that also powers the as-of and interval-"
+        "stabbing entries at 100 TB. Plan-tested: no cartesian, no "
+        "broadcast-nested-loop."
+    ),
+    tags=("events", "join", "range"),
+)
+def events_temporal_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    bucket = F.expr(f"tus DIV {NEIGHBOR_WINDOW_US}")
+    right = us.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("tus").alias("b_tus"),
+        bucket.alias("bucket"),
+    )
+    probes = us.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    pairs = (
+        probes.join(right, "bucket")
+        .filter(
+            (F.col("b_user_id") != F.col("user_id"))
+            & (F.abs(F.col("b_tus") - F.col("tus")) <= NEIGHBOR_WINDOW_US)
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("nb"))
+    )
+    per = us.join(pairs, "event_id", "left").select(
+        "event_id", F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("neighbor_count")
+    )
+    return (
+        per.groupBy("neighbor_count")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("neighbor_count")
+    )

@@ -250,3 +250,177 @@ def bloom_join_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with exact integer registers (oracle-backed)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6)
+# alpha_64 = 0.7213 / (1 + 1.079/64) = 0.70934..., fixed at e6; the
+# numerator constant below is ALPHA_E6 * m^2 = 709341 * 4096.
+HLL_ALPHA_M2_E6 = 709341 * HLL_M * HLL_M
+# 32-bit md5 hash: low 6 bits pick the register, the remaining 26 bits
+# feed rho; an all-zero remainder scores rho = 27 (= 26 + 1).
+HLL_RHO_ZERO = 27
+
+
+@register(
+    "sketch_hll_cardinality",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM orders
+        ),
+        rho AS (
+            SELECT grp, h % {HLL_M} AS bucket,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_ZERO}
+                        ELSE {HLL_RHO_ZERO} - length(printf('%b', h // {HLL_M}))
+                   END AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT grp, bucket, max(rho) AS m_j FROM rho GROUP BY grp, bucket
+        ),
+        regs_all AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT 'ALL' AS grp, bucket, max(m_j) AS m_j FROM regs GROUP BY bucket
+        ),
+        rmax AS (SELECT grp, max(m_j) AS r_max FROM regs_all GROUP BY grp),
+        agg AS (
+            SELECT r.grp, x.r_max, count(*) AS nonzero,
+                   CAST(sum(CAST(1 AS BIGINT) << (x.r_max - r.m_j)) AS BIGINT)
+                       AS present_sum
+            FROM regs_all r JOIN rmax x ON r.grp = x.grp
+            GROUP BY r.grp, x.r_max
+        ),
+        scaled AS (
+            SELECT grp, r_max, nonzero,
+                   present_sum
+                   + ({HLL_M} - nonzero) * (CAST(1 AS BIGINT) << r_max)
+                       AS sum_scaled
+            FROM agg
+        ),
+        est AS (
+            SELECT grp, r_max, nonzero, sum_scaled,
+                   CAST(({HLL_ALPHA_M2_E6} * (CAST(1 AS BIGINT) << r_max))
+                        // (sum_scaled * 1000000) AS BIGINT) AS hll_estimate
+            FROM scaled
+        ),
+        exact AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        )
+        SELECT e.grp AS priority,
+               CAST(s.nonzero AS BIGINT) AS nonzero_registers,
+               CAST(s.r_max AS BIGINT) AS r_max,
+               CAST(s.sum_scaled AS BIGINT) AS sum_scaled,
+               s.hll_estimate,
+               e.exact_distinct,
+               CAST(abs(s.hll_estimate - e.exact_distinct) AS BIGINT) AS abs_err,
+               CAST(abs(s.hll_estimate - e.exact_distinct) * 10000
+                    // e.exact_distinct AS BIGINT) AS rel_err_e4
+        FROM est s JOIN exact e ON s.grp = e.grp
+        ORDER BY priority
+    """,
+    doc=(
+        f"HyperLogLog cardinality with EXACT integer registers (Flajolet "
+        f"et al. 2007, public): distinct customers per order priority, "
+        f"plus an 'ALL' row whose registers come from MERGING the five "
+        f"per-group register tables (max per bucket) — the mergeability "
+        f"that makes HLL the distributed COUNT DISTINCT structure. A "
+        f"32-bit md5 hash splits into a {HLL_M}-way register index and a "
+        f"26-bit rho stream; registers are a map-side-combinable "
+        f"groupBy-max, so the full pass over orders reduces to "
+        f"groups x {HLL_M} integers with no distinct shuffle. The raw "
+        f"estimate alpha*m^2/sum(2^-M_j) is computed as exact integer "
+        f"arithmetic over a common denominator 2^r_max (every 2^-M_j "
+        f"becomes the integer 2^(r_max-M_j), zero registers contribute "
+        f"2^r_max), with alpha at e6 — no float, no libm, both engines "
+        f"bit-identical. Reported against exact count(DISTINCT) with e4 "
+        f"relative error, so the sketch's accuracy at this register "
+        f"budget is a checked number. Complements the rows-only "
+        f"approx_count_distinct entry with a hash-checkable HLL."
+    ),
+    tags=("sketch", "agg", "tpch"),
+)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    hashed = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    rho = hashed.select(
+        "grp",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.when(F.expr(f"h DIV {HLL_M}") == 0, F.lit(HLL_RHO_ZERO))
+        .otherwise(F.lit(HLL_RHO_ZERO) - F.length(F.bin(F.expr(f"h DIV {HLL_M}"))))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("grp", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("ALL").alias("grp"), "bucket", "m_j")
+    )
+    regs_all = regs.select("grp", "bucket", "m_j").unionByName(merged)
+    rmax = regs_all.groupBy("grp").agg(F.max("m_j").alias("r_max"))
+    agg = (
+        regs_all.join(F.broadcast(rmax), "grp")
+        .groupBy("grp", "r_max")
+        .agg(
+            F.count("*").alias("nonzero"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), r_max - m_j)")).alias(
+                "present_sum"
+            ),
+        )
+        .withColumn(
+            "sum_scaled",
+            F.col("present_sum")
+            + (F.lit(HLL_M) - F.col("nonzero"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), r_max)"),
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                f"CAST(({HLL_ALPHA_M2_E6} * shiftleft(CAST(1 AS BIGINT), r_max))"
+                f" DIV (sum_scaled * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    exact = (
+        orders.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .unionByName(
+            orders.agg(
+                F.countDistinct("o_custkey").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+        )
+    )
+    return (
+        agg.join(F.broadcast(exact), "grp")
+        .select(
+            F.col("grp").alias("priority"),
+            F.col("nonzero").cast("long").alias("nonzero_registers"),
+            F.col("r_max").cast("long").alias("r_max"),
+            F.col("sum_scaled").cast("long").alias("sum_scaled"),
+            "hll_estimate",
+            "exact_distinct",
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            .cast("long")
+            .alias("abs_err"),
+            F.expr(
+                "CAST(abs(hll_estimate - exact_distinct) * 10000"
+                " DIV exact_distinct AS BIGINT)"
+            ).alias("rel_err_e4"),
+        )
+        .orderBy("priority")
+    )

@@ -88,3 +88,40 @@ def test_weighted_bernoulli_mass_matches_expectation(spark, parity_sf_dir):
     assert abs(tot_kept - tot_expected) <= 5 * (tot_docs * 0.25) ** 0.5 + 1
     for r in rows:
         assert r.kept_rate_e4 == (r.n_kept * 10000) // r.n_docs, r
+
+
+def test_hll_invariants(spark, parity_sf_dir):
+    """HLL structural invariants for any data: registers bounded by
+    [1, 27] via r_max, nonzero <= m, sum_scaled >= nonzero (each present
+    register contributes >= 1 at the common denominator), and the ALL
+    row's r_max is the max over group rows (register merge is max)."""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = (
+        all_queries()["sketch_hll_cardinality"].fn(spark, parity_sf_dir).collect()
+    )
+    groups = [r for r in rows if r["priority"] != "ALL"]
+    alls = [r for r in rows if r["priority"] == "ALL"]
+    assert len(alls) == 1 and groups
+    for r in rows:
+        assert 1 <= r["r_max"] <= 27
+        assert 0 < r["nonzero_registers"] <= sketch.HLL_M
+        assert r["sum_scaled"] >= r["nonzero_registers"]
+        assert r["hll_estimate"] > 0
+    assert alls[0]["r_max"] == max(r["r_max"] for r in groups)
+    assert alls[0]["nonzero_registers"] >= max(
+        r["nonzero_registers"] for r in groups
+    )
+
+
+def test_temporal_neighbor_join_is_equi_join(spark, parity_sf_dir):
+    """The minute-bucketed +/-60s neighbor join must plan as an
+    equi-join on the bucket key — no cartesian, no nested loop."""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    df = all_queries()["events_temporal_neighbor_join"].fn(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    from coviddatapipeline_spark.operators.common import events
+
+    assert total == events(spark, parity_sf_dir).count()
