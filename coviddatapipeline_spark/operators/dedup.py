@@ -1953,3 +1953,135 @@ def dedup_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_e4"
         ),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching with edit distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linkage_blocked_fuzzy_match",
+    oracle="""
+        WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+        dirty AS (
+            SELECT name,
+                   CAST(concat('0x', substr(md5(name), 1, 8)) AS BIGINT)
+                       % length(name) + 1 AS pos
+            FROM clean
+        ),
+        corrupted AS (
+            SELECT name AS true_name,
+                   concat(substr(name, 1, pos - 1), substr(name, pos + 1))
+                       AS dirty_name
+            FROM dirty
+        ),
+        cand AS (
+            SELECT DISTINCT d.true_name, d.dirty_name, c.name AS cand_name
+            FROM corrupted d JOIN clean c
+              ON string_split(d.dirty_name, ' ')[1] = string_split(c.name, ' ')[1]
+            UNION
+            SELECT DISTINCT d.true_name, d.dirty_name, c.name
+            FROM corrupted d JOIN clean c
+              ON string_split(d.dirty_name, ' ')[-1] = string_split(c.name, ' ')[-1]
+        ),
+        scored AS (
+            SELECT true_name, dirty_name, cand_name,
+                   levenshtein(dirty_name, cand_name) AS dist,
+                   row_number() OVER (
+                       PARTITION BY dirty_name
+                       ORDER BY levenshtein(dirty_name, cand_name), cand_name
+                   ) AS rk
+            FROM cand
+        ),
+        best AS (SELECT * FROM scored WHERE rk = 1),
+        verdict AS (
+            SELECT d.true_name,
+                   CAST(coalesce(b.dist, -1) AS BIGINT) AS edit_distance,
+                   CASE WHEN b.cand_name = d.true_name THEN 1 ELSE 0 END
+                       AS correct
+            FROM corrupted d LEFT JOIN best b ON d.dirty_name = b.dirty_name
+        )
+        SELECT edit_distance,
+               CAST(count(*) AS BIGINT) AS n_names,
+               CAST(sum(correct) AS BIGINT) AS n_correct
+        FROM verdict
+        GROUP BY edit_distance
+        ORDER BY edit_distance
+    """,
+    doc=(
+        "Record linkage by blocking + edit distance (Fellegi-Sunter "
+        "lineage, public): every distinct part name is deterministically "
+        "corrupted (one character deleted at an md5-chosen position — "
+        "the in-query dirty feed, like the CDC snapshot simulation), "
+        "then resolved back against the clean dimension WITHOUT a "
+        "cartesian compare: candidates are the union of two equi-join "
+        "blocking passes (shared first token, shared last token), "
+        "scored with Levenshtein distance — an identical integer on "
+        "both engines — and the best candidate per dirty record wins "
+        "(min distance, name tie-break). Reported as a distance "
+        "histogram with per-distance correct-resolution counts; "
+        "deletions that hit the token separator defeat both blocks and "
+        "surface as the -1 sentinel row — the blocking-miss rate that "
+        "multi-pass blocking is sized against. The pair count is "
+        "sum-of-block-squares, never |dirty| x |clean|; at 100 TB the "
+        "blocks shuffle-partition like any equi-join, which is the "
+        "entire point of blocking."
+    ),
+    tags=("dedup", "linkage", "join"),
+)
+def linkage_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    corrupted = clean.select(
+        F.col("name").alias("true_name"),
+        F.expr(
+            "concat(substr(name, 1, CAST(conv(substr(md5(name), 1, 8), 16, 10)"
+            " AS BIGINT) % length(name)),"
+            " substr(name, CAST(conv(substr(md5(name), 1, 8), 16, 10) AS BIGINT)"
+            " % length(name) + 2))"
+        ).alias("dirty_name"),
+    )
+    d_first = F.split(F.col("dirty_name"), " ").getItem(0)
+    d_last = F.element_at(F.split(F.col("dirty_name"), " "), -1)
+    c_first = F.split(F.col("cand_name"), " ").getItem(0)
+    c_last = F.element_at(F.split(F.col("cand_name"), " "), -1)
+    cand_src = clean.select(F.col("name").alias("cand_name"))
+    by_first = corrupted.withColumn("blk", d_first).join(
+        cand_src.withColumn("blk", c_first), "blk"
+    )
+    by_last = corrupted.withColumn("blk", d_last).join(
+        cand_src.withColumn("blk", c_last), "blk"
+    )
+    cand = (
+        by_first.select("true_name", "dirty_name", "cand_name")
+        .unionByName(by_last.select("true_name", "dirty_name", "cand_name"))
+        .distinct()
+    )
+    from pyspark.sql import Window as _W
+
+    scored = cand.withColumn(
+        "dist", F.levenshtein(F.col("dirty_name"), F.col("cand_name"))
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("dirty_name").orderBy("dist", "cand_name")
+        ),
+    )
+    best = scored.filter(F.col("rk") == 1).select(
+        "dirty_name", "cand_name", "dist"
+    )
+    verdict = corrupted.join(best, "dirty_name", "left").select(
+        "true_name",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("edit_distance"),
+        F.when(F.col("cand_name") == F.col("true_name"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return (
+        verdict.groupBy("edit_distance")
+        .agg(
+            F.count("*").alias("n_names"),
+            F.sum("correct").cast("long").alias("n_correct"),
+        )
+        .orderBy("edit_distance")
+    )

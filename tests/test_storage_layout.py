@@ -194,3 +194,41 @@ def test_keyset_pagination_predicate_reaches_scan(spark, parity_sf_dir):
 
     a = audit(pagination_keyset(spark, parity_sf_dir))
     assert "o_orderdate" in a["pushed_filters"], a["pushed_filters"]
+
+
+def test_zorder_beats_linear_on_point_skip(spark, parity_sf_dir):
+    """The Z-order layout must strictly beat the time-linear layout on
+    the cross-axis point probe (more files skipped) — the property that
+    makes the re-clustering job worth running, asserted on real data.
+    (Average bbox area is reported, not asserted: with few large files
+    z-order trades one-axis tightness for both-axis boundedness, so the
+    area comparison flips with file size while the skip win does not.)"""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = {
+        r["layout"]: r
+        for r in all_queries()["zorder_layout_skipping_audit"]
+        .fn(spark, parity_sf_dir)
+        .collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["n_files"] == lin["n_files"]
+    assert z["x_skip_frac_e4"] > lin["x_skip_frac_e4"]
+    assert z["max_bbox_area"] <= (1 << 4) * (1 << 4)
+
+
+def test_linkage_blocking_is_equi_join(spark, parity_sf_dir):
+    """The fuzzy-match candidate generation must be blocked equi-joins,
+    never a cartesian compare of dirty x clean."""
+    from coviddatapipeline_spark.plans import assert_no_cartesian
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    df = all_queries()["linkage_blocked_fuzzy_match"].fn(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    # every resolved name with distance >= 0 is counted once; correct
+    # resolutions only occur at distance >= 0
+    for r in rows:
+        assert r["n_correct"] <= r["n_names"]
+        if r["edit_distance"] == -1:
+            assert r["n_correct"] == 0
