@@ -280,3 +280,192 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("bigram", "c_xy", F.round("pmi_raw", 4).alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of lexical and semantic lists
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LIST = 50  # depth of each input ranking
+RRF_OUT = 20
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+        WITH dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            WHERE term IN {_Q_SQL}
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        bm25 AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN avgdl CROSS JOIN n
+            GROUP BY tf.doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                       AS lex_rank
+            FROM bm25
+            QUALIFY lex_rank <= {RRF_LIST}
+        ),
+        qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        sem_scored AS (
+            SELECT c.vec_id AS doc_id,
+                   list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos
+            FROM embeddings c CROSS JOIN qv q
+            WHERE c.vec_id <> 0
+        ),
+        sem AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+            FROM sem_scored
+            QUALIFY sem_rank <= {RRF_LIST}
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                   CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+                   CAST(CASE WHEN l.lex_rank IS NULL THEN 0
+                             ELSE 1000000 // ({RRF_K} + l.lex_rank) END
+                        + CASE WHEN s.sem_rank IS NULL THEN 0
+                               ELSE 1000000 // ({RRF_K} + s.sem_rank) END
+                        AS BIGINT) AS rrf_score_e6
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf_score_e6,
+               CAST(row_number() OVER (ORDER BY rrf_score_e6 DESC, doc_id)
+                    AS BIGINT) AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= {RRF_OUT}
+        ORDER BY fused_rank
+    """,
+    doc=(
+        f"Hybrid retrieval by reciprocal-rank fusion (Cormack et al. "
+        f"2009, public; the default fusion in every hybrid-search "
+        f"stack): the BM25 lexical top-{RRF_LIST} for the fixed query "
+        f"and the embedding-cosine top-{RRF_LIST} for the corpus query "
+        f"vector (vec_id 0, doc_id == vec_id linkage) are fused with "
+        f"score = sum over lists of 1/({RRF_K} + rank) — computed as "
+        f"the e6 integer 1000000 DIV ({RRF_K}+rank), so fusion and the "
+        f"final ranking carry no float anywhere; docs present in only "
+        f"one list keep the other rank as 0 and score only from where "
+        f"they appeared. Both input rankings are match-sized before any "
+        f"window (BM25 docs that hit the query terms; the single-query "
+        f"cosine scan), and the fusion itself is a {RRF_LIST}-row full "
+        f"outer join — driver-free, broadcastable, and at 100 TB the "
+        f"per-query cost is two top-k lists plus an O(k) merge, which "
+        f"is why RRF is the production fusion rather than score "
+        f"normalization (no cross-list calibration needed)."
+    ),
+    tags=("text", "similarity", "join"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+    lex = (
+        bm25.withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.round(F.col("score"), 6).desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("lex_rank") <= RRF_LIST)
+        .select("doc_id", "lex_rank")
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    # Corpus-sized ranking: prune to per-bucket top-RRF_LIST first (the
+    # global top-RRF_LIST is necessarily inside every bucket's local
+    # top-RRF_LIST), so the final unpartitioned window only ever sees
+    # <= RRF_LIST * 32 rows — no single-partition Exchange over data.
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", cos)
+        .withColumn("bkt", F.col("vec_id") % 32)
+    )
+    pruned = scored.withColumn(
+        "lrk",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy(F.col("cos").desc(), "vec_id")
+        ),
+    ).filter(F.col("lrk") <= RRF_LIST)
+    sem = (
+        pruned.withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), "vec_id")),
+        )
+        .filter(F.col("sem_rank") <= RRF_LIST)
+        .select(F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_score_e6",
+            (
+                F.when(F.col("lex_rank") == 0, 0).otherwise(
+                    F.expr(f"1000000 DIV ({RRF_K} + lex_rank)")
+                )
+                + F.when(F.col("sem_rank") == 0, 0).otherwise(
+                    F.expr(f"1000000 DIV ({RRF_K} + sem_rank)")
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score_e6").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("fused_rank") <= RRF_OUT)
+        .orderBy("fused_rank")
+    )

@@ -1054,3 +1054,103 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps-law audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_growth_curve",
+    oracle=f"""
+        WITH src AS (
+            SELECT doc_id, CAST(substr(source, 4) AS INT) AS source_idx,
+                   {_TOKENS.format(x="text")} AS toks
+            FROM documents
+        ),
+        pers AS (
+            SELECT source_idx,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+            FROM src GROUP BY source_idx
+        ),
+        firsts AS (
+            SELECT term, min(source_idx) AS first_idx
+            FROM (SELECT source_idx, unnest(toks) AS term FROM src)
+            GROUP BY term
+        ),
+        nw AS (
+            SELECT first_idx AS source_idx,
+                   CAST(count(*) AS BIGINT) AS new_words
+            FROM firsts GROUP BY first_idx
+        ),
+        joined AS (
+            SELECT p.source_idx, p.n_docs, p.n_tokens,
+                   CAST(coalesce(nw.new_words, 0) AS BIGINT) AS new_words
+            FROM pers p LEFT JOIN nw ON p.source_idx = nw.source_idx
+        )
+        SELECT source_idx, n_docs, n_tokens, new_words,
+               CAST(sum(new_words) OVER (ORDER BY source_idx) AS BIGINT)
+                   AS cum_vocab,
+               CAST(new_words * 10000 // n_tokens AS BIGINT)
+                   AS new_word_rate_e4
+        FROM joined
+        ORDER BY source_idx
+    """,
+    doc=(
+        "Vocabulary growth curve across sources in ingest order (Heaps "
+        "1978, public): each word is attributed to the first source "
+        "(minimum source index) that contributes it, and per source the "
+        "curve reports documents, tokens, NEW vocabulary, cumulative "
+        "vocabulary, and the e4 new-word rate — the saturation signal "
+        "that tells a crawl pipeline when another source of the same "
+        "kind stops buying vocabulary coverage (and, inverted, flags a "
+        "source whose new-word spike means a different domain or "
+        "garbage). Two combinable shuffles (per-word min, per-source "
+        "counts); the running sum is a window over exactly "
+        "|sources| rows — the aggregate table, never the corpus. All "
+        "counts exact integers; the rate is integer division."
+    ),
+    tags=("text", "agg", "corpus"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("source_idx"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    pers = docs.groupBy("source_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("n_tokens"),
+    )
+    firsts = (
+        docs.select("source_idx", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("source_idx").alias("first_idx"))
+    )
+    nw = firsts.groupBy(F.col("first_idx").alias("source_idx")).agg(
+        F.count("*").alias("new_words")
+    )
+    joined = pers.join(nw, "source_idx", "left").select(
+        "source_idx",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("new_words"), F.lit(0)).cast("long").alias("new_words"),
+    )
+    # |sources| rows only — the window runs over the aggregate table.
+    return joined.select(
+        "source_idx",
+        "n_docs",
+        "n_tokens",
+        "new_words",
+        F.sum("new_words")
+        .over(_W.orderBy("source_idx").rowsBetween(_W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_vocab"),
+        F.expr("CAST(new_words * 10000 DIV n_tokens AS BIGINT)").alias(
+            "new_word_rate_e4"
+        ),
+    ).orderBy("source_idx")

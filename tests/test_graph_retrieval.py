@@ -114,3 +114,49 @@ def test_no_cartesian_in_new_join_ops(spark, parity_sf_dir):
         # any BNLJ present must be a broadcast of a scalar aggregate,
         # never a join between two scan-sized relations
         assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+
+
+def test_rrf_fusion_invariants(spark, parity_sf_dir):
+    """RRF output: dense fused ranking 1..20, every score decomposes
+    exactly into the two integer reciprocal-rank terms, and any doc
+    ranked in both lists outscores a doc ranked in neither's top list
+    positions at equal ranks."""
+    from coviddatapipeline_spark.operators import retrieval as R
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = all_queries()["hybrid_rrf_fusion"].fn(spark, parity_sf_dir).collect()
+    assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] > 0:
+            expect += 1000000 // (R.RRF_K + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            expect += 1000000 // (R.RRF_K + r["sem_rank"])
+        assert r["rrf_score_e6"] == expect
+        assert r["lex_rank"] > 0 or r["sem_rank"] > 0
+
+
+def test_vocab_growth_totals(spark, parity_sf_dir):
+    """The growth curve's final cumulative vocabulary must equal the
+    corpus-wide distinct word count, and new_words must sum to it."""
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.operators.common import t
+    from coviddatapipeline_spark.operators.text import _tokens
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = (
+        all_queries()["text_vocab_growth_curve"].fn(spark, parity_sf_dir).collect()
+    )
+    total_vocab = (
+        t(spark, parity_sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_vocab"] == total_vocab
+    assert sum(r["new_words"] for r in rows) == total_vocab
+    cum = 0
+    for r in rows:
+        cum += r["new_words"]
+        assert r["cum_vocab"] == cum
