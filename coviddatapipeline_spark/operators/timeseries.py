@@ -555,3 +555,209 @@ def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer autocorrelation and CUSUM change-point scan
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 7, 30)
+_ACF_LAGS_SQL = "(" + ", ".join(str(k) for k in ACF_LAGS) + ")"
+
+# Shared oracle preamble: zero-filled calendar of daily order counts,
+# demeaned WITHOUT division — y_t = n * x_t - S is integer-exact and
+# shares sign and correlation structure with (x_t - mean).
+_DAILY_DEMEANED_SQL = """
+    bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS mind,
+               CAST(max(o_orderdate) AS DATE) AS maxd
+        FROM orders
+    ),
+    cal AS (
+        SELECT CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ),
+    counts AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+        FROM orders GROUP BY 1
+    ),
+    filled AS (
+        SELECT c.day, CAST(coalesce(k.x, 0) AS BIGINT) AS x,
+               date_diff('day', b.mind, c.day) AS idx
+        FROM cal c LEFT JOIN counts k ON c.day = k.day, bounds b
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        FROM filled
+    ),
+    y AS (
+        SELECT f.idx, f.day, t.n, t.n * f.x - t.s AS y
+        FROM filled f CROSS JOIN tot t
+    )
+"""
+
+
+@register(
+    "timeseries_acf_daily_orders",
+    oracle=f"""
+        WITH {_DAILY_DEMEANED_SQL},
+        den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        pairs AS (
+            SELECT k.lag, a.y AS ya, b.y AS yb
+            FROM y a
+            JOIN (SELECT unnest([1, 7, 30]) AS lag) k ON true
+            JOIN y b ON b.idx = a.idx + k.lag
+        ),
+        num AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(ya * yb) AS BIGINT) AS num
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(num.lag AS BIGINT) AS lag,
+               (SELECT n FROM tot) AS n_days,
+               num.n_pairs,
+               CAST((CASE WHEN num.num < 0 THEN -1 ELSE 1 END)
+                    * (abs(num.num) * 10000 // den.den) AS BIGINT) AS acf_e4
+        FROM num CROSS JOIN den
+        ORDER BY lag
+    """,
+    doc=(
+        f"Autocorrelation of the daily order count at lags "
+        f"{ACF_LAGS} — the seasonality detector (lag-7 flags weekly "
+        f"cycles, lag-30 monthly) run entirely in exact integers: the "
+        f"calendar is zero-filled (a missing day IS a zero "
+        f"observation), the series is demeaned without division via "
+        f"y_t = n*x_t - S (integer, same correlation structure), and "
+        f"r_k = sum(y_t y_t+k)/sum(y_t^2) is reported at e4 with an "
+        f"explicit sign factor so truncating division agrees across "
+        f"engines on negative numerators. Each lag is an equi-join of "
+        f"the daily table against itself shifted by k (a 3-way lag "
+        f"explode, one join) — everything after the one per-day "
+        f"combinable aggregate runs on the calendar-bounded table, "
+        f"never the order stream. No float, no libm, no window over "
+        f"data."
+    ),
+    tags=("timeseries", "stats", "agg"),
+)
+def timeseries_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t
+
+    orders = t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    )
+    cal = b.select(
+        F.explode(F.sequence("mind", "maxd")).alias("day"), "mind"
+    )
+    counts = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    filled = cal.join(counts, "day", "left").select(
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        F.datediff("day", "mind").cast("long").alias("idx"),
+    )
+    tot = filled.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    y = filled.crossJoin(F.broadcast(tot)).select(
+        "idx", "n", (F.col("n") * F.col("x") - F.col("s")).alias("y")
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    lags = F.array(*[F.lit(k) for k in ACF_LAGS])
+    probes = y.select(
+        "idx", F.col("y").alias("ya"), F.explode(lags).alias("lag")
+    ).withColumn("bidx", F.col("idx") + F.col("lag"))
+    pairs = probes.join(
+        y.select(F.col("idx").alias("bidx"), F.col("y").alias("yb")), "bidx"
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"), F.sum(F.col("ya") * F.col("yb")).alias("num")
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_days"))))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+                " * (abs(num) * 10000 DIV den) AS BIGINT)"
+            ).alias("acf_e4"),
+        )
+        .orderBy("lag")
+    )
+
+
+CUSUM_TOP = 3
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle=f"""
+        WITH {_DAILY_DEMEANED_SQL},
+        run AS (
+            SELECT day,
+                   CAST(sum(y) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cusum
+            FROM y
+        ),
+        ranked AS (
+            SELECT day, cusum,
+                   row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rank
+            FROM run
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, day, cusum,
+               (SELECT n FROM tot) AS n_days
+        FROM ranked WHERE rank <= {CUSUM_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"CUSUM change-point scan over daily order volume (Page 1954, "
+        f"public): the cumulative sum of the integer-demeaned daily "
+        f"count (y_t = n*x_t - S, so the walk returns to exactly 0 at "
+        f"the end) peaks in magnitude AT the level-shift point — the "
+        f"top-{CUSUM_TOP} |cusum| days are the candidate change points "
+        f"a retraining/alerting pipeline inspects first. The prefix sum "
+        f"runs through ranking.with_global_running_sum (cutpoint "
+        f"buckets, no single-partition funnel over data); the ranking "
+        f"window sees only the calendar-bounded daily table. Every "
+        f"value is an exact integer — the statistic cannot drift "
+        f"between engines or partitionings."
+    ),
+    tags=("timeseries", "stats", "window"),
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    orders = t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    )
+    cal = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"), "mind")
+    counts = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    filled = cal.join(counts, "day", "left").select(
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        F.datediff("day", "mind").cast("long").alias("idx"),
+    )
+    tot = filled.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    y = filled.crossJoin(F.broadcast(tot)).select(
+        "day", "idx", "n", (F.col("n") * F.col("x") - F.col("s")).alias("y")
+    )
+    run, _ = with_global_running_sum(y, ["idx"], "y", out="cusum_raw")
+    run = run.withColumn("cusum", F.col("cusum_raw").cast("long"))
+    w = W.orderBy(F.abs(F.col("cusum")).desc(), "day")
+    return (
+        run.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= CUSUM_TOP)
+        .select("rank", "day", "cusum", F.col("n").cast("long").alias("n_days"))
+        .orderBy("rank")
+    )

@@ -323,3 +323,36 @@ def test_split_leakage_pairs_match_lsh(spark, parity_sf_dir):
             assert r["n_leaking"] == 0
         else:
             assert r["n_leaking"] == r["n_pairs"]
+
+
+def test_acf_bounds_and_structure(spark, parity_sf_dir):
+    """ACF invariants for any series: |r_k| <= 1 (e4 magnitude <=
+    10000), n_pairs = n_days - lag, and the lag set is exactly the
+    registered one."""
+    from coviddatapipeline_spark.operators import timeseries as TS
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = (
+        all_queries()["timeseries_acf_daily_orders"].fn(spark, parity_sf_dir).collect()
+    )
+    assert tuple(r["lag"] for r in rows) == TS.ACF_LAGS
+    for r in rows:
+        assert abs(r["acf_e4"]) <= 10000
+        assert r["n_pairs"] == r["n_days"] - r["lag"]
+
+
+def test_cusum_walk_returns_to_zero(spark, parity_sf_dir):
+    """With y_t = n*x_t - S the full cusum walk ends at exactly zero,
+    so every reported |cusum| peak is interior; ranks are 1..top and
+    magnitudes are non-increasing."""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = (
+        all_queries()["timeseries_cusum_changepoint"]
+        .fn(spark, parity_sf_dir)
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    mags = [abs(r["cusum"]) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    assert all(m > 0 for m in mags)
