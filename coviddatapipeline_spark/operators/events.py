@@ -1095,3 +1095,90 @@ def events_temporal_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_events"))
         .orderBy("neighbor_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact sliding-window distinct: DAU / WAU / stickiness
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        bounds AS (SELECT min(day) AS mind, max(day) AS maxd FROM du),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        contrib AS (
+            SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS tday
+            FROM du, (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS k)
+        ),
+        wau AS (
+            SELECT c.tday AS day, CAST(count(DISTINCT c.user_id) AS BIGINT)
+                       AS wau
+            FROM contrib c, bounds b
+            WHERE c.tday BETWEEN b.mind AND b.maxd
+            GROUP BY c.tday
+        )
+        SELECT w.day,
+               CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+               w.wau,
+               CAST(coalesce(d.dau, 0) * 10000 // w.wau AS BIGINT)
+                   AS stickiness_e4
+        FROM wau w LEFT JOIN dau d ON w.day = d.day
+        ORDER BY w.day
+    """,
+    doc=(
+        f"Exact distinct-over-sliding-window without re-scanning the "
+        f"window: daily active users, trailing-{WAU_DAYS}-day active "
+        f"users, and the DAU/WAU stickiness ratio (e4 integer). The "
+        f"naive form re-aggregates {WAU_DAYS} days of raw events per "
+        f"output day ({WAU_DAYS}x read amplification, and count "
+        f"DISTINCT cannot ride a rolling window frame because distinct "
+        f"is not subtractable); here the event stream is first reduced "
+        f"to distinct (user, day) — the only full-data shuffle — and "
+        f"each activity day then contributes to its {WAU_DAYS} "
+        f"covering window-end days via a constant explode, so the WAU "
+        f"count is an ordinary distinct-aggregate over a table "
+        f"{WAU_DAYS}x the (user, day) reduction, never the raw stream. "
+        f"Window-end days outside the observed range are dropped, so "
+        f"every reported row has a fully-formed-or-truncated-left "
+        f"window exactly like the oracle. All integers."
+    ),
+    tags=("events", "agg", "window"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = du.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    ks = F.array(*[F.lit(k) for k in range(WAU_DAYS)])
+    contrib = du.select(
+        "user_id", F.explode(ks).alias("k"), "day"
+    ).select("user_id", F.date_add("day", F.col("k")).alias("tday")).distinct()
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("tday") >= F.col("mind")) & (F.col("tday") <= F.col("maxd")))
+        .groupBy(F.col("tday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr(
+                "CAST(coalesce(dau, 0) * 10000 DIV wau AS BIGINT)"
+            ).alias("stickiness_e4"),
+        )
+        .orderBy("day")
+    )

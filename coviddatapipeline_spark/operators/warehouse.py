@@ -651,3 +651,87 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics (optimizer stats as a query)
+# ---------------------------------------------------------------------------
+
+# (column, duckdb min/max formatter, spark min/max formatter) — doubles
+# go through C printf so both engines render identical strings; dates
+# normalize to yyyy-MM-dd.
+_STATS_COLS = (
+    ("o_orderkey", "CAST({v} AS VARCHAR)", "CAST({v} AS STRING)"),
+    ("o_custkey", "CAST({v} AS VARCHAR)", "CAST({v} AS STRING)"),
+    ("o_orderstatus", "{v}", "{v}"),
+    ("o_totalprice", "printf('%.2f', {v})", "format_string('%.2f', {v})"),
+    ("o_orderdate", "CAST(CAST({v} AS DATE) AS VARCHAR)", "CAST(CAST({v} AS DATE) AS STRING)"),
+    ("o_orderpriority", "{v}", "{v}"),
+)
+
+
+def _stats_oracle() -> str:
+    parts = []
+    for col, fmt, _ in _STATS_COLS:
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+                   {fmt.format(v=f"min({col})")} AS min_val,
+                   {fmt.format(v=f"max({col})")} AS max_val
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register(
+    "table_stats_analyze_audit",
+    oracle=_stats_oracle(),
+    doc=(
+        "ANALYZE TABLE as a query: per-column row count, null count, "
+        "exact NDV, and normalized min/max for every orders column — "
+        "the statistics a cost-based optimizer joins-reorders and "
+        "broadcast-plans from, computed here so stats collection is an "
+        "auditable operator rather than engine magic. Spark side is ONE "
+        "scan: a single multi-aggregate row (Catalyst expands the "
+        "count-distincts) unpivoted with stack() into the stats table — "
+        "at 100 TB you pay one pass, not one pass per column; doubles "
+        "render through C printf on both engines so min/max strings are "
+        "bit-identical, dates normalize to yyyy-MM-dd. Exact NDV is the "
+        "reference; the HLL entry is the cheap path when a 2% error is "
+        "acceptable."
+    ),
+    tags=("warehouse", "agg", "stats"),
+)
+def table_stats_analyze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for col, _, sfmt in _STATS_COLS:
+        aggs.append((F.count("*") - F.count(col)).alias(f"{col}__nulls"))
+        aggs.append(F.countDistinct(col).alias(f"{col}__ndv"))
+        aggs.append(F.expr(sfmt.format(v=f"min({col})")).alias(f"{col}__min"))
+        aggs.append(F.expr(sfmt.format(v=f"max({col})")).alias(f"{col}__max"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__ndv, {col}__min, {col}__max"
+        for col, _, _ in _STATS_COLS
+    )
+    return (
+        one.select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr(
+                f"stack({len(_STATS_COLS)}, {stack_args})"
+                " AS (column_name, n_nulls, ndv, min_val, max_val)"
+            ),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("ndv").cast("long").alias("ndv"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column_name")
+    )
