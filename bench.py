@@ -230,6 +230,13 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             "pq_adc_topk_recall",
             "semdedup_cell_prune",
             "events_lateness_watermark_profile",
+            # round-3 third sitting
+            "sketch_hll_cardinality",
+            "events_temporal_neighbor_join",
+            "zorder_layout_skipping_audit",
+            "hybrid_rrf_fusion",
+            "events_dau_wau_stickiness",
+            "timeseries_cusum_changepoint",
         ):
             timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
     except Exception as e:
