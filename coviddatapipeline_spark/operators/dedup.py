@@ -2085,3 +2085,80 @@ def linkage_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_canonical_select",
+    oracle=_cc_cte()
+    + """
+        , sized AS (
+            SELECT l.component, l.doc_id, d.n_chars
+            FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT component, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM sized
+        ),
+        agg AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM sized GROUP BY component
+        )
+        SELECT a.component, a.cluster_size,
+               r.doc_id AS canonical_doc,
+               CAST(r.n_chars AS BIGINT) AS canonical_chars,
+               CAST(a.cluster_size - 1 AS BIGINT) AS n_dropped
+        FROM agg a JOIN ranked r ON a.component = r.component AND r.rk = 1
+        ORDER BY a.component
+    """,
+    doc=(
+        "The dedup pipeline's FINAL step: after LSH pair detection and "
+        "star-CC clustering, each near-dup cluster keeps exactly one "
+        "canonical document — longest text (n_chars), doc_id tie-break, "
+        "the 'keep the most complete copy' policy production dedup "
+        "defaults to — and the rest are dropped. Composes the "
+        "registered MinHash-LSH pairs and the alternating-star "
+        "component core end-to-end, then one metadata join to the "
+        "documents table and a per-component argmax window (partitioned "
+        "by component — the window never sees more rows than the "
+        "largest cluster). Reports per cluster: size, canonical doc, "
+        "its length, and the drop count — the table a curation run "
+        "writes to its manifest. Oracle extends the recursive-CTE "
+        "closure with the same deterministic selection."
+    ),
+    tags=("dedup", "iterative", "join"),
+)
+def dedup_cluster_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = star_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ).select(F.col("node").alias("doc_id"), "component")
+    sized = comp.join(
+        t(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    ranked = sized.withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
+    )
+    agg = sized.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        agg.join(ranked.filter(F.col("rk") == 1), "component")
+        .select(
+            "component",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )

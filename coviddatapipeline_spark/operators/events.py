@@ -1182,3 +1182,107 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: top 3-step clickstream paths
+# ---------------------------------------------------------------------------
+
+PATH_TOP = 10
+
+
+@register(
+    "events_session_path_mining",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        ),
+        steps AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM sess
+            WINDOW w AS (PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT concat(e1, '>', e2, '>', e3) AS path,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+        SELECT CAST(row_number() OVER (ORDER BY p.n DESC, p.path) AS BIGINT)
+                   AS rank,
+               p.path, p.n,
+               CAST(p.n * 10000 // t.total AS BIGINT) AS share_e4
+        FROM paths p CROSS JOIN tot t
+        QUALIFY rank <= {PATH_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"Clickstream path mining: the top-{PATH_TOP} 3-step event-type "
+        f"paths WITHIN sessions (30-min gap sessionization, then two "
+        f"leads over the (user, session) window — a path never crosses "
+        f"a session boundary because the window partition ends there). "
+        f"This is the n-gram generalization of the Markov transition "
+        f"matrix entry: where that estimates one-step dynamics, paths "
+        f"expose the actual funnels users walk. One shuffle on user_id "
+        f"(sessionize + leads ride the same partitioning), one "
+        f"combinable path count; the ranking window sees only the "
+        f"path-vocabulary table (<= |event_types|^3 rows). Share is e4 "
+        f"integer division of exact counts."
+    ),
+    tags=("events", "window", "sequence"),
+)
+def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev = F.lag("ts").over(w_order)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", new_sess).withColumn(
+        "session_id", F.sum("is_new").over(w_cum)
+    )
+    w_path = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w_path).alias("e2"),
+        F.lead("event_type", 2).over(w_path).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = steps.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").alias("n"))
+    tot = paths.agg(F.sum("n").alias("total"))
+    w_rank = W.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= PATH_TOP)
+        .select(
+            "rank",
+            "path",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 10000 DIV total AS BIGINT)").alias("share_e4"),
+        )
+        .orderBy("rank")
+    )

@@ -253,3 +253,34 @@ def test_chunk_count_closed_form():
         real = sum(min(CHUNK_TOKENS, n - s) for s in starts)
         # emitted over-counts only the final short chunk's padding-free tail
         assert emitted >= real and emitted - real < CHUNK_TOKENS
+
+
+def test_canonical_select_covers_components(spark, parity_sf_dir):
+    """Every near-dup component keeps exactly one canonical doc, the
+    canonical is a member, cluster sizes are >= 2 impossible to assert
+    (singletons only when a pair collapses) — but size >= 1, dropped =
+    size - 1, and the component ids match the registered CC entry."""
+    comp = {
+        r["component"]
+        for r in ALL["dedup_near_dup_components"].fn(spark, parity_sf_dir).collect()
+    }
+    rows = (
+        ALL["dedup_cluster_canonical_select"].fn(spark, parity_sf_dir).collect()
+    )
+    assert {r["component"] for r in rows} == comp
+    for r in rows:
+        assert r["cluster_size"] >= 1
+        assert r["n_dropped"] == r["cluster_size"] - 1
+        assert r["canonical_chars"] >= 0
+
+
+def test_path_mining_shares_and_ranks(spark, parity_sf_dir):
+    """Path ranks are dense from 1, counts non-increasing, every path
+    is three '>'-joined event types, and shares are consistent."""
+    rows = ALL["events_session_path_mining"].fn(spark, parity_sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+        assert 0 <= r["share_e4"] <= 10000
