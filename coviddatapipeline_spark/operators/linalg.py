@@ -180,3 +180,91 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding vector data-quality audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_vector_quality_audit",
+    oracle="""
+        WITH norms AS (
+            SELECT label, len(embedding) AS dim,
+                   CAST(floor(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[]) * 10000
+                              + 0.5) AS BIGINT) AS norm2_e4
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(dim) AS BIGINT) AS min_dim,
+               CAST(max(dim) AS BIGINT) AS max_dim,
+               CAST(sum(CASE WHEN norm2_e4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_vectors,
+               CAST(min(norm2_e4) AS BIGINT) AS min_norm2_e4,
+               CAST(max(norm2_e4) AS BIGINT) AS max_norm2_e4,
+               CAST(sum(norm2_e4) // count(*) AS BIGINT) AS mean_norm2_e4
+        FROM norms
+        GROUP BY label
+        ORDER BY label
+    """,
+    doc=(
+        "Vector-column data quality — the checks an embedding ingest "
+        "runs before indexing: per quantizer cell (label), vector "
+        "count, dimension consistency (min_dim = max_dim or the batch "
+        "is mixed-model garbage), zero-vector count (failed encoder "
+        "outputs that poison cosine), and the squared-norm range/mean — "
+        "unit-normalized corpora must sit at norm2 ~= 1, drift flags a "
+        "normalization bug. Norm2 is the same sequential-fold dot "
+        "product both engines already share, quantized per vector via "
+        "floor(x*1e4+0.5) BEFORE aggregation so min/max/mean are "
+        "integer statistics with no float-sum ordering. Map-only plus "
+        "one combinable groupBy — the shape that audits a trillion "
+        "vectors."
+    ),
+    tags=("similarity", "agg", "quality"),
+)
+def emb_vector_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    norm2 = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norms = emb.withColumn(
+        "norm2_e4",
+        F.floor(norm2 * 10000 + F.lit(0.5)).cast("long"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            F.sum(F.when(F.col("norm2_e4") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("zero_vectors"),
+            F.min("norm2_e4").alias("min_norm2_e4"),
+            F.max("norm2_e4").alias("max_norm2_e4"),
+            F.expr("CAST(sum(norm2_e4) DIV count(*) AS BIGINT)").alias(
+                "mean_norm2_e4"
+            ),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "min_dim",
+            "max_dim",
+            "zero_vectors",
+            "min_norm2_e4",
+            "max_norm2_e4",
+            "mean_norm2_e4",
+        )
+        .orderBy("label")
+    )

@@ -735,3 +735,109 @@ def table_stats_analyze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: join-view delta application
+# ---------------------------------------------------------------------------
+
+IVM_CUTOFF = "2000-01-01"
+# Per-row integer cents via floor(x*100 + 0.5): one IEEE multiply and
+# one floor, identical on both engines — no round() tie semantics, no
+# float accumulation (the sum is over BIGINTs).
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "ivm_join_view_delta",
+    oracle=f"""
+        WITH j AS (
+            SELECT n.n_name AS nation, o.o_orderkey, o.o_orderdate,
+                   {_CENTS} AS cents
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT nation,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST(count(DISTINCT CASE WHEN o_orderdate < DATE '{IVM_CUTOFF}'
+                                        THEN o_orderkey END) AS BIGINT)
+                   AS base_orders,
+               CAST(count(DISTINCT CASE WHEN o_orderdate >= DATE '{IVM_CUTOFF}'
+                                        THEN o_orderkey END) AS BIGINT)
+                   AS delta_orders
+        FROM j
+        GROUP BY nation
+        ORDER BY nation
+    """,
+    doc=(
+        f"Incremental view maintenance for the revenue-by-nation join "
+        f"view: orders split at {IVM_CUTOFF} into a materialized base "
+        f"and an arriving delta, and the Spark side computes the view "
+        f"INCREMENTALLY — base aggregate plus delta aggregate, merged "
+        f"with a full-outer coalesce — which is the V(D ∪ ΔD) = V(D) + "
+        f"ΔV identity that lets a 100 TB view absorb a day's orders by "
+        f"joining only the delta against the dimensions instead of "
+        f"recomputing history (the groupBy-SUM view is self-"
+        f"maintainable; the oracle recomputes from scratch, so any "
+        f"error in the delta algebra hash-fails). Revenue is exact "
+        f"integer cents per lineitem (floor(x*100+0.5), one IEEE "
+        f"multiply + floor — identical both engines, BIGINT sums), so "
+        f"the base+delta sum and the full recompute cannot differ by "
+        f"float ordering. Per nation: merged revenue and base/delta "
+        f"order counts."
+    ),
+    tags=("warehouse", "join", "incremental"),
+)
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_CENTS).alias("cents")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view_agg(o: DataFrame) -> DataFrame:
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(cust, o.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum("cents").alias("cents"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+    base = view_agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = view_agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = base.select(
+        "nation",
+        F.col("cents").alias("b_cents"),
+        F.col("n_orders").alias("base_orders"),
+    ).join(
+        delta.select(
+            "nation",
+            F.col("cents").alias("d_cents"),
+            F.col("n_orders").alias("delta_orders"),
+        ),
+        "nation",
+        "full_outer",
+    )
+    return merged.select(
+        "nation",
+        (
+            F.coalesce(F.col("b_cents"), F.lit(0))
+            + F.coalesce(F.col("d_cents"), F.lit(0))
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.coalesce(F.col("base_orders"), F.lit(0)).cast("long").alias("base_orders"),
+        F.coalesce(F.col("delta_orders"), F.lit(0))
+        .cast("long")
+        .alias("delta_orders"),
+    ).orderBy("nation")
