@@ -889,3 +889,96 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map applyInPandas: two-table grouped kernel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_fulfillment_pandas",
+    oracle="""
+        WITH per_order AS (
+            SELECT o.o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+                   CAST(coalesce(
+                       max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE))), -1)
+                       AS BIGINT) AS max_delay_days
+            FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        )
+        SELECT max_delay_days,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(n_items) AS BIGINT) AS n_items
+        FROM per_order
+        GROUP BY max_delay_days
+        ORDER BY max_delay_days
+    """,
+    doc=(
+        "Cogrouped-map Pandas kernel (groupBy(...).cogroup(...)."
+        "applyInPandas — the two-table sibling of the grouped-map "
+        "entry): orders and lineitems are co-partitioned on the order "
+        "key, and each (order-batch, lineitem-batch) pair reaches one "
+        "Arrow-fed pandas kernel that computes per-order fulfillment "
+        "lag (days from order date to the LAST ship date; -1 for "
+        "orders with no lineitems, which arrive with an empty right "
+        "frame — the case the API exists for, since a plain join "
+        "drops or null-fans it). The kernel output is then reduced to "
+        "the delay histogram so the checked surface is aggregate. "
+        "Scale shape: one co-partitioned shuffle (identical to a "
+        "sort-merge join's), kernel state bounded by the largest "
+        "single group; use this API only when the per-group logic "
+        "genuinely needs imperative pandas — the oracle shows this "
+        "particular kernel IS expressible as a join+agg, which is why "
+        "the entry exists as API-surface parity, not as the "
+        "recommended plan. Cites reference dags/ETL.py:96-102 "
+        "(row-wise per-record transform loop) as the semantics being "
+        "re-expressed group-wise."
+    ),
+    tags=("join", "pandas", "api"),
+)
+def cogroup_fulfillment_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    lines = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+
+    def fulfil(key, odf: "pd.DataFrame", ldf: "pd.DataFrame") -> "pd.DataFrame":
+        # one row per order key; empty ldf => never shipped
+        if odf.empty:
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_items": [], "max_delay_days": []}
+            )
+        if ldf.empty:
+            delay = -1
+        else:
+            delay = int((ldf["sd"].max() - odf["od"].iloc[0]).days)
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_items": [int(len(ldf))],
+                "max_delay_days": [delay],
+            }
+        )
+
+    per_order = (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            fulfil, schema="o_orderkey long, n_items long, max_delay_days long"
+        )
+    )
+    return (
+        per_order.groupBy("max_delay_days")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_items"),
+        )
+        .orderBy("max_delay_days")
+    )

@@ -66,3 +66,4 @@ def asof_join(
     return enriched.filter(F.col("_side") == 1).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
     )
+

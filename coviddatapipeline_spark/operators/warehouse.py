@@ -841,3 +841,77 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_orders"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) at e4; sums to exactly 10000.
+BENFORD_E4 = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+_BENFORD_CASE = (
+    "CASE " + " ".join(f"WHEN digit = {d} THEN {e}" for d, e in BENFORD_E4.items()) + " END"
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        SELECT c.digit, c.n,
+               CAST(c.n * 10000 // t.total AS BIGINT) AS share_e4,
+               CAST({_BENFORD_CASE} AS BIGINT) AS benford_e4,
+               CAST(abs(c.n * 10000 // t.total - ({_BENFORD_CASE}))
+                    AS BIGINT) AS abs_dev_e4
+        FROM counts c CROSS JOIN tot t
+        ORDER BY c.digit
+    """,
+    doc=(
+        "Benford's-law first-digit audit on order totals (Newcomb 1881 "
+        "/ Benford 1938, public; the fraud/synthetic-data screen "
+        "auditors run on financial columns): observed first-digit "
+        "shares at e4 against the log10(1+1/d) expectation (e4 integer "
+        "constants summing to exactly 10000), with per-digit absolute "
+        "deviation. A synthetic uniform price generator shows up "
+        "instantly as a flat ~1111-per-digit profile — which is itself "
+        "the honest finding on this testdata, and exactly what the "
+        "audit exists to flag. One map (string first digit — no log, "
+        "no float), one 9-row combinable count, broadcast total; "
+        "integer division everywhere."
+    ),
+    tags=("warehouse", "quality", "agg"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 10000 DIV total AS BIGINT)").alias("share_e4"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_e4"),
+            F.expr(
+                f"CAST(abs(n * 10000 DIV total - ({_BENFORD_CASE})) AS BIGINT)"
+            ).alias("abs_dev_e4"),
+        )
+        .orderBy("digit")
+    )
