@@ -435,3 +435,111 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(MB_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection: co-purchase affinity with lift
+# ---------------------------------------------------------------------------
+
+AFFINITY_TOP = 20
+
+
+@register(
+    "graph_copurchase_affinity",
+    oracle=f"""
+        WITH cp AS (
+            SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        nc AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+               FROM orders),
+        deg AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_buyers
+            FROM cp GROUP BY l_partkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM cp a JOIN cp b
+              ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.part_a, p.part_b, p.support,
+                   CAST(p.support * n.n_cust * 10000
+                        // (da.n_buyers * db.n_buyers) AS BIGINT) AS lift_e4,
+                   row_number() OVER (ORDER BY p.support DESC,
+                                      p.part_a, p.part_b) AS rank
+            FROM pairs p
+            JOIN deg da ON p.part_a = da.l_partkey
+            JOIN deg db ON p.part_b = db.l_partkey
+            CROSS JOIN nc n
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, part_a, part_b, support, lift_e4
+        FROM scored WHERE rank <= {AFFINITY_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"Market-basket affinity by bipartite projection (Agrawal "
+        f"association-rule lineage, public): the customer-part "
+        f"purchase graph projects onto part pairs sharing a buyer — "
+        f"support = co-buying customers (the DISTINCT (customer, "
+        f"part) reduction first, so a customer buying a part ten "
+        f"times counts once), lift = support * N / (buyers_a * "
+        f"buyers_b) at e4, the measure that separates 'popular with "
+        f"everything' from genuine affinity. Top-{AFFINITY_TOP} by "
+        f"support. The projection self-join runs on the customer "
+        f"equi-key — per-customer quadratic, globally "
+        f"sum-of-basket-squares, the same bounded-block shape as the "
+        f"LSH band join (a viral basket is the skew case; the salted "
+        f"band helper applies unchanged). Degrees join back "
+        f"broadcast-sized; the ranking window sees only the pair "
+        f"aggregate."
+    ),
+    tags=("graph", "join", "agg"),
+)
+def graph_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    nc = orders.agg(F.countDistinct("o_custkey").alias("n_cust"))
+    deg = cp.groupBy("l_partkey").agg(F.count("*").alias("n_buyers"))
+    a = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("part_a"))
+    b = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ck")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_a"),
+                                   F.col("n_buyers").alias("deg_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("part_b"),
+                                   F.col("n_buyers").alias("deg_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "lift_e4",
+            F.expr("CAST(support * n_cust * 10000 DIV (deg_a * deg_b) AS BIGINT)"),
+        )
+    )
+    w = _W.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AFFINITY_TOP)
+        .select("rank", "part_a", "part_b",
+                F.col("support").cast("long").alias("support"), "lift_e4")
+        .orderBy("rank")
+    )

@@ -915,3 +915,94 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity governance audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # the conventional re-identification threshold
+
+
+@register(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                            AS BIGINT)) AS BIGINT) AS l_div
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        ),
+        tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_rows FROM classes)
+        SELECT t.n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(c.class_size) AS BIGINT) AS k_anonymity,
+               CAST(sum(CASE WHEN c.class_size < {KANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS classes_below_k,
+               CAST(sum(CASE WHEN c.class_size < {KANON_K}
+                             THEN c.class_size ELSE 0 END) AS BIGINT)
+                   AS rows_below_k,
+               CAST(sum(CASE WHEN c.class_size < {KANON_K}
+                             THEN c.class_size ELSE 0 END) * 10000
+                    // t.n_rows AS BIGINT) AS reid_risk_e4,
+               CAST(min(c.l_div) AS BIGINT) AS min_l_diversity
+        FROM classes c CROSS JOIN tot t
+        GROUP BY t.n_rows
+    """,
+    doc=(
+        f"Privacy-governance audit (Sweeney 2002 k-anonymity, "
+        f"Machanavajjhala 2007 l-diversity, both public): customers "
+        f"grouped by the quasi-identifier pair (nation, market "
+        f"segment) — k-anonymity is the SMALLEST equivalence class, "
+        f"the number that says how many people a released row could "
+        f"be; classes below k={KANON_K} are counted with their row "
+        f"mass and e4 re-identification exposure, and l-diversity is "
+        f"the minimum count of distinct sensitive values (account-"
+        f"balance thousand-buckets) within any class — a k-anonymous "
+        f"class with one sensitive value still leaks. One combinable "
+        f"groupBy over the QI key plus a broadcast total; the audit "
+        f"output is one row regardless of input scale, which is what "
+        f"lets it gate every release of a 100 TB dataset. All exact "
+        f"integers."
+    ),
+    tags=("warehouse", "quality", "privacy"),
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct(
+                F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+            ).alias("l_div"),
+        )
+    )
+    tot = classes.agg(F.sum("class_size").alias("n_rows"))
+    below = F.when(F.col("class_size") < KANON_K, F.col("class_size")).otherwise(0)
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy("n_rows")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("class_size").alias("k_anonymity"),
+            F.sum(F.when(F.col("class_size") < KANON_K, 1).otherwise(0)).alias(
+                "classes_below_k"
+            ),
+            F.sum(below).alias("rows_below_k"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("k_anonymity").cast("long").alias("k_anonymity"),
+            F.col("classes_below_k").cast("long").alias("classes_below_k"),
+            F.col("rows_below_k").cast("long").alias("rows_below_k"),
+            F.expr("CAST(rows_below_k * 10000 DIV n_rows AS BIGINT)").alias(
+                "reid_risk_e4"
+            ),
+            F.col("min_l_diversity").cast("long").alias("min_l_diversity"),
+        )
+    )
