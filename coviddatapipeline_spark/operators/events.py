@@ -1104,6 +1104,39 @@ def events_temporal_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame
 WAU_DAYS = 7
 
 
+def dau_wau_from_daily_users(du: DataFrame) -> DataFrame:
+    """Shared kernel: (user_id, day) distinct-activity pairs -> the
+    DAU/WAU/stickiness table. Used by the batch operator and by the
+    streaming twin (pipeline.streaming.stream_dau_wau), so both paths
+    are the same column algebra by construction."""
+    du = du.distinct()
+    bounds = du.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    ks = F.array(*[F.lit(k) for k in range(WAU_DAYS)])
+    contrib = du.select(
+        "user_id", F.explode(ks).alias("k"), "day"
+    ).select("user_id", F.date_add("day", F.col("k")).alias("tday")).distinct()
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("tday") >= F.col("mind")) & (F.col("tday") <= F.col("maxd")))
+        .groupBy(F.col("tday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr(
+                "CAST(coalesce(dau, 0) * 10000 DIV wau AS BIGINT)"
+            ).alias("stickiness_e4"),
+        )
+        .orderBy("day")
+    )
+
+
+
 @register(
     "events_dau_wau_stickiness",
     oracle=f"""
@@ -1153,35 +1186,10 @@ WAU_DAYS = 7
     tags=("events", "agg", "window"),
 )
 def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    du = (
-        events(spark, sf_dir)
-        .select("user_id", F.col("ts").cast("date").alias("day"))
-        .distinct()
+    du = events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("day")
     )
-    bounds = du.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
-    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
-    ks = F.array(*[F.lit(k) for k in range(WAU_DAYS)])
-    contrib = du.select(
-        "user_id", F.explode(ks).alias("k"), "day"
-    ).select("user_id", F.date_add("day", F.col("k")).alias("tday")).distinct()
-    wau = (
-        contrib.crossJoin(F.broadcast(bounds))
-        .filter((F.col("tday") >= F.col("mind")) & (F.col("tday") <= F.col("maxd")))
-        .groupBy(F.col("tday").alias("day"))
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    return (
-        wau.join(dau, "day", "left")
-        .select(
-            "day",
-            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
-            F.col("wau").cast("long").alias("wau"),
-            F.expr(
-                "CAST(coalesce(dau, 0) * 10000 DIV wau AS BIGINT)"
-            ).alias("stickiness_e4"),
-        )
-        .orderBy("day")
-    )
+    return dau_wau_from_daily_users(du)
 
 
 # ---------------------------------------------------------------------------

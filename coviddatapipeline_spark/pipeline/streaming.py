@@ -397,3 +397,52 @@ def stream_cms_grid(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dau_wau(
+    spark: SparkSession,
+    input_dir: str,
+    pairs_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """Streaming twin of ``events_dau_wau_stickiness``: each micro-batch
+    reduces its events to DISTINCT (user_id, day) activity pairs — the
+    only reduction whose size matters, done while the data is small —
+    and appends them to a batch-id-partitioned pair log (dynamic
+    overwrite of the batch's own partition = idempotent under replay,
+    same exactly-once recipe as the gold pipeline). The DAU/WAU table
+    is then recomputed from the compacted pair log with the SAME kernel
+    the batch operator uses (operators.events.dau_wau_from_daily_users),
+    so streamed and batch outputs are the same column algebra by
+    construction. The pair log is bounded by |users| x |days| — the
+    stream's raw volume never accumulates.
+    """
+    from coviddatapipeline_spark.operators.events import dau_wau_from_daily_users
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    ts_col = F.col("ts").cast("timestamp")
+    pairs = stream.select(
+        "user_id", ts_col.cast("date").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+
+    def upsert(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
+        s = batch_df.sparkSession
+        log = s.read.parquet(pairs_path).select("user_id", "day")
+        dau_wau_from_daily_users(log).write.mode("overwrite").parquet(out_path)
+
+    return (
+        pairs.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

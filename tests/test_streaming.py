@@ -541,3 +541,48 @@ def test_stream_cms_grid_matches_batch(spark, tmp_path, parity_sf_dir):
     }
     for r in top:
         assert est[r.user_id] == r.cms_estimate, r
+
+
+def test_stream_dau_wau_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The streaming DAU/WAU twin (per-batch (user, day) reduction into
+    an idempotent pair log + shared kernel recompute) must EXACTLY
+    equal the batch operator after two incremental drains."""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+    from coviddatapipeline_spark.pipeline.streaming import stream_dau_wau
+
+    root = str(tmp_path)
+    in_dir, pairs, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "pairs"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    ev = events(spark, parity_sf_dir).select("event_id", "ts", "user_id")
+    mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        import glob
+        import shutil
+
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(ev.filter(F.col("event_id") <= mid), "p1")
+    stream_dau_wau(spark, in_dir, pairs, out, ckpt, ev.schema).awaitTermination(120)
+    stage(ev.filter(F.col("event_id") > mid), "p2")
+    stream_dau_wau(spark, in_dir, pairs, out, ckpt, ev.schema).awaitTermination(120)
+
+    got = {
+        (r["day"], r["dau"], r["wau"], r["stickiness_e4"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["day"], r["dau"], r["wau"], r["stickiness_e4"])
+        for r in all_queries()["events_dau_wau_stickiness"]
+        .fn(spark, parity_sf_dir)
+        .collect()
+    }
+    assert got == want and len(got) > 0
