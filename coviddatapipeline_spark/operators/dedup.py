@@ -30,6 +30,7 @@ from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import t, t_fanout
 from coviddatapipeline_spark.operators.text import (
     _NORM,
+    _SW_SQL,
     _TOKENS,
     _norm,
     _tokens,
@@ -2161,4 +2162,174 @@ def dedup_cluster_canonical_select(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation manifest: quality -> exact dedup -> near-dup canonical
+# ---------------------------------------------------------------------------
+
+# e4-floored form of the registered quality score (text_quality_score):
+# q = min(nt,100)/100 * (0.5 + 1.25*min(ns/nt, 0.4)) becomes the exact
+# integer m*(50*nt + 25*min(5*ns, 2*nt)) DIV nt — same value, no float.
+_QUALITY_E4 = (
+    "CAST(least(nt, 100) * (50 * nt + 25 * least(5 * ns, 2 * nt))"
+    " DIV greatest(nt, 1) AS BIGINT)"
+)
+CURATION_Q_MIN_E4 = 5000  # keep docs with quality >= 0.5
+
+
+@register(
+    "docpipe_curation_manifest",
+    oracle=_cc_cte()
+    + f""",
+        qual AS (
+            SELECT doc_id, source,
+                   len({_TOKENS.format(x='text')}) AS nt,
+                   len(list_filter({_TOKENS.format(x='text')},
+                                   w -> list_contains({_SW_SQL}, w))) AS ns
+            FROM documents
+        ),
+        q2 AS (
+            SELECT doc_id, source, nt,
+                   CAST(least(nt, 100) * (50 * nt + 25 * least(5 * ns, 2 * nt))
+                        // greatest(nt, 1) AS BIGINT) AS q_e4
+            FROM qual
+        ),
+        fp AS (
+            SELECT doc_id, md5({_NORM.format(x='text')}) AS fing FROM documents
+        ),
+        keepers AS (SELECT fing, min(doc_id) AS keeper FROM fp GROUP BY fing),
+        canon AS (
+            SELECT l.doc_id,
+                   row_number() OVER (PARTITION BY l.component
+                                      ORDER BY d.n_chars DESC, l.doc_id) AS rk
+            FROM labels l JOIN documents d USING (doc_id)
+        ),
+        verdict AS (
+            SELECT q.source, q.nt,
+                   CASE WHEN q.q_e4 < {CURATION_Q_MIN_E4} THEN 'low_quality'
+                        WHEN q.doc_id > k.keeper THEN 'exact_dup'
+                        WHEN c.rk IS NOT NULL AND c.rk > 1 THEN 'near_dup'
+                        ELSE 'kept' END AS reason
+            FROM q2 q
+            JOIN fp f ON q.doc_id = f.doc_id
+            JOIN keepers k ON f.fing = k.fing
+            LEFT JOIN canon c ON q.doc_id = c.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_low_quality,
+               CAST(sum(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_exact_dup,
+               CAST(sum(CASE WHEN reason = 'near_dup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_near_dup,
+               CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept,
+               CAST(sum(CASE WHEN reason = 'kept' THEN nt ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS kept_share_e4
+        FROM verdict
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "The END-TO-END curation manifest — the per-source accounting a "
+        "training-data run publishes: every document gets its FIRST "
+        "applicable drop reason in the production order (quality gate, "
+        "then exact dedup keep-first-by-fingerprint, then near-dup "
+        "keep-canonical) and sources report doc counts per reason, "
+        "kept token mass, and e4 keep rate. Composes the registered "
+        "primitives end to end: the e4-floored integer form of the "
+        "quality score (identical value to text_quality_score, zero "
+        "float boundary at the threshold), the md5 normalized-text "
+        "fingerprint with min-doc_id keeper, and the MinHash-LSH -> "
+        "star-CC -> longest-text-canonical chain. Cost beyond those "
+        "primitives: two metadata joins and one per-source combinable "
+        "aggregate; the oracle chains the full recursive-closure "
+        "pipeline in one statement, so any drift in ANY stage "
+        "hash-fails here too — this is the integration test of the "
+        "whole dedup/quality stack as one checked number per source."
+    ),
+    tags=("dedup", "text", "pipeline"),
+)
+def docpipe_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+    from coviddatapipeline_spark.operators.text import STOPWORDS
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    q2 = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("nt"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("ns"),
+    ).withColumn("q_e4", F.expr(_QUALITY_E4))
+    fp = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fing"))
+    keepers = fp.groupBy("fing").agg(F.min("doc_id").alias("keeper"))
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    canon = (
+        star_components(
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        )
+        .select(F.col("node").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                _W.partitionBy("component").orderBy(
+                    F.col("n_chars").desc(), "doc_id"
+                )
+            ),
+        )
+        .select("doc_id", "rk")
+    )
+    verdict = (
+        q2.join(fp, "doc_id")
+        .join(keepers, "fing")
+        .join(canon, "doc_id", "left")
+        .select(
+            "source",
+            "nt",
+            F.when(F.col("q_e4") < CURATION_Q_MIN_E4, "low_quality")
+            .when(F.col("doc_id") > F.col("keeper"), "exact_dup")
+            .when(F.col("rk").isNotNull() & (F.col("rk") > 1), "near_dup")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
+    kept = F.when(F.col("reason") == "kept", 1).otherwise(0)
+    return (
+        verdict.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("reason") == "low_quality", 1).otherwise(0))
+            .cast("long")
+            .alias("drop_low_quality"),
+            F.sum(F.when(F.col("reason") == "exact_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("drop_exact_dup"),
+            F.sum(F.when(F.col("reason") == "near_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("drop_near_dup"),
+            F.sum(kept).cast("long").alias("kept"),
+            F.sum(F.when(F.col("reason") == "kept", F.col("nt")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "drop_low_quality",
+            "drop_exact_dup",
+            "drop_near_dup",
+            "kept",
+            "kept_tokens",
+            F.expr("CAST(kept * 10000 DIV n_docs AS BIGINT)").alias(
+                "kept_share_e4"
+            ),
+        )
+        .orderBy("source")
     )

@@ -284,3 +284,20 @@ def test_path_mining_shares_and_ranks(spark, parity_sf_dir):
     for r in rows:
         assert len(r["path"].split(">")) == 3
         assert 0 <= r["share_e4"] <= 10000
+
+
+def test_curation_manifest_accounting(spark, parity_sf_dir):
+    """Per source, drop reasons + kept must partition n_docs exactly;
+    the corpus-wide totals must cover every document once."""
+    rows = ALL["docpipe_curation_manifest"].fn(spark, parity_sf_dir).collect()
+    from coviddatapipeline_spark.operators.common import t
+
+    total_docs = t(spark, parity_sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    for r in rows:
+        assert (
+            r["drop_low_quality"] + r["drop_exact_dup"] + r["drop_near_dup"] + r["kept"]
+            == r["n_docs"]
+        )
+        assert 0 <= r["kept_share_e4"] <= 10000
+        assert (r["kept"] == 0) == (r["kept_tokens"] == 0)
