@@ -209,6 +209,63 @@ def main() -> None:
         t_skew_salt = time.perf_counter() - t0
         assert n_plain == n_salted, (n_plain, n_salted)
 
+        t0 = time.perf_counter()
+        # basket-projection shape (graph_copurchase_affinity): the
+        # customer-equi-key self-join is per-basket quadratic; replicas
+        # shift custkeys, so basket size stays FIXED while baskets grow
+        # with mult — a linear curve proves sum-of-basket-squares, not
+        # global-quadratic, cost
+        cp = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .select("o_custkey", "l_partkey")
+            .distinct()
+        )
+        pa = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pa"))
+        pb = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb"))
+        n_pairs = (
+            pa.join(pb, "ck")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*"))
+            .count()
+        )
+        t_basket = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # bucketed range-join shape (events_temporal_neighbor_join):
+        # replicas shift each copy 90 days apart, so per-minute density
+        # stays FIXED while the stream grows — linear curve proves the
+        # bucket equi-join never degenerates toward all-pairs
+        evn = None
+        for i in range(mult):
+            c = ev_raw.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {i * 90} DAYS")).alias("ts"),
+            )
+            evn = c if evn is None else evn.unionByName(c)
+        us = evn.select("event_id", "user_id", F.unix_micros("ts").alias("tus"))
+        bucket = F.expr("tus DIV 60000000")
+        rgt = us.select(
+            F.col("event_id").alias("bid"),
+            F.col("user_id").alias("buid"),
+            F.col("tus").alias("btus"),
+            bucket.alias("bucket"),
+        )
+        prb = us.select(
+            "event_id", "user_id", "tus",
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+        )
+        n_nb = (
+            prb.join(rgt, "bucket")
+            .filter(
+                (F.col("buid") != F.col("user_id"))
+                & (F.abs(F.col("btus") - F.col("tus")) <= 60_000_000)
+            )
+            .count()
+        )
+        t_range = time.perf_counter() - t0
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
         orows = 150_000 * mult
         erows = 100_000 * mult
@@ -222,7 +279,9 @@ def main() -> None:
             f"funnel={t_funnel:6.2f}s ({erows/t_funnel/1e6:5.2f}M rows/s)  "
             f"pca-matvec={t_pca:6.2f}s ({vrows/t_pca/1e3:5.1f}k vec/s)  "
             f"band-skew plain={t_skew_plain:6.2f}s salted={t_skew_salt:6.2f}s "
-            f"({n_salted:,} pairs, {t_skew_plain/t_skew_salt:4.1f}x)"
+            f"({n_salted:,} pairs, {t_skew_plain/t_skew_salt:4.1f}x)  "
+            f"basket-proj={t_basket:6.2f}s ({n_pairs:,} pairs)  "
+            f"range-join={t_range:6.2f}s ({n_nb:,} nb)"
         )
 
 
