@@ -761,3 +761,193 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "day", "cusum", F.col("n").cast("long").alias("n_days"))
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend and MAD robust outliers over the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_ols_trend",
+    oracle=f"""
+        WITH {_DAILY_DEMEANED_SQL},
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(idx) AS BIGINT) AS sx,
+                   CAST(sum(x) AS BIGINT) AS sy,
+                   CAST(sum(idx * idx) AS BIGINT) AS sxx,
+                   CAST(sum(idx * x) AS BIGINT) AS sxy
+            FROM filled
+        ),
+        terms AS (
+            SELECT n, sy,
+                   n * sxy - sx * sy AS num_b,
+                   sy * sxx - sx * sxy AS num_a,
+                   n * sxx - sx * sx AS den
+            FROM sums
+        )
+        SELECT n AS n_days, sy AS total_orders,
+               CAST((CASE WHEN num_b < 0 THEN -1 ELSE 1 END)
+                    * (abs(num_b) * 1000000 // den) AS BIGINT) AS slope_e6,
+               CAST((CASE WHEN num_a < 0 THEN -1 ELSE 1 END)
+                    * (abs(num_a) * 100 // den) AS BIGINT) AS intercept_e2
+        FROM terms
+    """,
+    doc=(
+        "Ordinary-least-squares trend of daily order volume in EXACT "
+        "integer arithmetic: slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) "
+        "and intercept = (Sy*Sxx - Sx*Sxy)/(n*Sxx - Sx^2) are exact "
+        "integer ratios of the five power sums — one combinable "
+        "aggregate over the zero-filled calendar — reported at "
+        "e6/e2 with explicit sign factors so truncating division "
+        "agrees across engines on negative numerators (intercept at "
+        "e2, not e4, keeps the Sy*Sxx product inside int64 at any "
+        "tested SF). The growth-rate number capacity planning and "
+        "drift-vs-trend attribution start from; the CUSUM entry finds "
+        "WHERE the level shifts, this finds the secular slope."
+    ),
+    tags=("timeseries", "stats", "agg"),
+)
+def timeseries_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t
+
+    orders = t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    )
+    cal = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"), "mind")
+    counts = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    filled = cal.join(counts, "day", "left").select(
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        F.datediff("day", "mind").cast("long").alias("idx"),
+    )
+    sums = filled.agg(
+        F.count("*").alias("n"),
+        F.sum("idx").alias("sx"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("idx") * F.col("idx")).alias("sxx"),
+        F.sum(F.col("idx") * F.col("x")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_orders"),
+        F.expr(
+            "CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+            " * (abs(n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx)) AS BIGINT)"
+        ).alias("slope_e6"),
+        F.expr(
+            "CAST((CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END)"
+            " * (abs(sy * sxx - sx * sxy) * 100"
+            " DIV (n * sxx - sx * sx)) AS BIGINT)"
+        ).alias("intercept_e2"),
+    )
+
+
+MAD_K = 3  # flag |x - median| > MAD_K * MAD
+
+
+@register(
+    "timeseries_mad_outliers",
+    oracle=f"""
+        WITH {_DAILY_DEMEANED_SQL},
+        ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x, day) AS r
+            FROM filled
+        ),
+        med AS (
+            SELECT r2.x AS median_x
+            FROM ranked r2, tot
+            WHERE r2.r = (tot.n + 1) // 2
+        ),
+        devs AS (
+            SELECT f.day, f.x, abs(f.x - m.median_x) AS dev
+            FROM filled f CROSS JOIN med m
+        ),
+        dranked AS (
+            SELECT dev, row_number() OVER (ORDER BY dev, day) AS r FROM devs
+        ),
+        mad AS (
+            SELECT d.dev AS mad FROM dranked d, tot
+            WHERE d.r = (tot.n + 1) // 2
+        )
+        SELECT t.n AS n_days,
+               CAST(m.median_x AS BIGINT) AS median_daily,
+               CAST(a.mad AS BIGINT) AS mad,
+               CAST(sum(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outlier_days,
+               CAST(max(d.dev) AS BIGINT) AS max_abs_dev
+        FROM devs d CROSS JOIN med m CROSS JOIN mad a CROSS JOIN tot t
+        GROUP BY t.n, m.median_x, a.mad
+    """,
+    doc=(
+        f"Robust outlier detection on daily order volume via median "
+        f"absolute deviation (Hampel lineage, public): the median and "
+        f"the MAD are selected by EXACT integer rank (lower median at "
+        f"rank (n+1) DIV 2 under the unique (value, day) order — no "
+        f"interpolation semantics to diverge cross-engine), and a day "
+        f"is an outlier when |x - median| > {MAD_K} * MAD — the "
+        f"mean/stddev-free rule a single Black-Friday spike cannot "
+        f"poison, unlike the z-score entry it complements. Rank "
+        f"selection runs on the calendar-bounded daily table; medians "
+        f"join back as broadcast scalars; every number is an exact "
+        f"integer."
+    ),
+    tags=("timeseries", "stats", "window"),
+)
+def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from coviddatapipeline_spark.operators.common import t
+
+    orders = t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    )
+    cal = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"), "mind")
+    counts = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    filled = cal.join(counts, "day", "left").select(
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    n = filled.count()
+    med = (
+        filled.withColumn(
+            "r", F.row_number().over(_W.orderBy("x", "day"))
+        )
+        .filter(F.col("r") == (n + 1) // 2)
+        .select(F.col("x").alias("median_x"))
+    )
+    devs = filled.crossJoin(F.broadcast(med)).select(
+        "day", "x", F.abs(F.col("x") - F.col("median_x")).alias("dev"), "median_x"
+    )
+    mad = (
+        devs.withColumn("r", F.row_number().over(_W.orderBy("dev", "day")))
+        .filter(F.col("r") == (n + 1) // 2)
+        .select(F.col("dev").alias("mad"))
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .groupBy("median_x", "mad")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(
+                F.when(F.col("dev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outlier_days"),
+            F.max("dev").alias("max_abs_dev"),
+        )
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("median_x").cast("long").alias("median_daily"),
+            F.col("mad").cast("long").alias("mad"),
+            F.col("n_outlier_days").cast("long").alias("n_outlier_days"),
+            F.col("max_abs_dev").cast("long").alias("max_abs_dev"),
+        )
+    )
