@@ -1294,3 +1294,110 @@ def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions by sweep-line
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id,
+                   epoch_us(ts) AS tus
+            FROM gaps
+        ),
+        spans AS (
+            SELECT user_id, session_id,
+                   min(tus) AS s, max(tus) + 1 AS e
+            FROM sess GROUP BY user_id, session_id
+        ),
+        deltas AS (
+            SELECT s AS tus, 1 AS d FROM spans
+            UNION ALL
+            SELECT e AS tus, -1 AS d FROM spans
+        ),
+        merged AS (
+            SELECT tus, CAST(sum(d) AS BIGINT) AS d
+            FROM deltas GROUP BY tus
+        ),
+        run AS (
+            SELECT tus,
+                   CAST(sum(d) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS active
+            FROM merged
+        )
+        SELECT CAST(to_timestamp(tus // 1000000) AS DATE) AS day,
+               CAST(max(active) AS BIGINT) AS peak_concurrent
+        FROM run
+        GROUP BY day
+        ORDER BY day
+    """,
+    doc=(
+        "Peak concurrent sessions per day by SWEEP-LINE over session "
+        "spans: sessions come from the shared 30-min-gap derivation, "
+        "each span emits +1 at its first event and -1 one microsecond "
+        "after its last, deltas MERGE per instant before the prefix "
+        "sum (so tie order inside an instant cannot affect the "
+        "running value — the cross-engine determinism trick), and the "
+        "prefix sum runs through the cutpoint-bucketed running-sum "
+        "helper. The concurrency function is piecewise constant and "
+        "changes only at span boundaries, so the per-day max over "
+        "boundary instants IS the day's peak among session-boundary "
+        "instants (documented: a midnight-spanning lull day samples "
+        "its carried-in level at its first boundary). The capacity "
+        "number a connection-pool or license tier is sized by; same "
+        "event-differencing shape as the order-backlog entry, at "
+        "microsecond grain."
+    ),
+    tags=("events", "window", "sweepline"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    ev = events(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev = F.lag("ts").over(w_order)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", new_sess)
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+        .select("user_id", "session_id", F.unix_micros("ts").alias("tus"))
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("tus").alias("s"), (F.max("tus") + 1).alias("e")
+    )
+    deltas = spans.select(F.col("s").alias("tus"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.col("e").alias("tus"), F.lit(-1).alias("d"))
+    )
+    merged = deltas.groupBy("tus").agg(F.sum("d").alias("d"))
+    run, _ = with_global_running_sum(merged, ["tus"], "d", out="active_raw")
+    run = run.withColumn("active", F.col("active_raw").cast("long"))
+    return (
+        run.groupBy(
+            F.expr("CAST(timestamp_seconds(tus DIV 1000000) AS DATE)").alias("day")
+        )
+        .agg(F.max("active").alias("peak_concurrent"))
+        .orderBy("day")
+    )

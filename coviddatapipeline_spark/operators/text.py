@@ -1154,3 +1154,77 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_word_rate_e4"
         ),
     ).orderBy("source_idx")
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 20
+
+
+@register(
+    "text_zipf_rank_frequency",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest({_TOKENS.format(x="text")}) AS word FROM documents
+        ),
+        freq AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM words GROUP BY word
+        ),
+        ranked AS (
+            SELECT word, freq,
+                   row_number() OVER (ORDER BY freq DESC, word) AS rank
+            FROM freq
+        ),
+        top1 AS (SELECT freq AS f1 FROM ranked WHERE rank = 1)
+        SELECT CAST(r.rank AS BIGINT) AS rank, r.word, r.freq,
+               CAST(r.rank * r.freq AS BIGINT) AS rank_x_freq,
+               CAST(r.rank * r.freq * 10000 // t.f1 AS BIGINT)
+                   AS zipf_const_e4
+        FROM ranked r CROSS JOIN top1 t
+        WHERE r.rank <= {ZIPF_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"Zipf rank-frequency audit (Zipf 1949, public): the top-"
+        f"{ZIPF_TOP} words with rank x frequency and its e4 ratio to "
+        f"the rank-1 frequency — under Zipf's law the product is "
+        f"roughly constant (ratio ~= 10000 at every rank), and the "
+        f"deviation profile is the fingerprint that separates natural "
+        f"language from template/generated text (flat frequencies -> "
+        f"ratio grows linearly with rank, exactly what this synthetic "
+        f"corpus shows). One combinable word count; the ranking window "
+        f"sees only the vocabulary table; integer products and "
+        f"division only."
+    ),
+    tags=("text", "agg", "corpus"),
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    freq = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(_W.orderBy(F.col("freq").desc(), "word"))
+    )
+    top1 = ranked.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
+    return (
+        ranked.filter(F.col("rank") <= ZIPF_TOP)
+        .crossJoin(F.broadcast(top1))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("rank") * F.col("freq")).cast("long").alias("rank_x_freq"),
+            F.expr("CAST(rank * freq * 10000 DIV f1 AS BIGINT)").alias(
+                "zipf_const_e4"
+            ),
+        )
+        .orderBy("rank")
+    )
