@@ -1181,7 +1181,10 @@ def dau_wau_from_daily_users(du: DataFrame) -> DataFrame:
         f"{WAU_DAYS}x the (user, day) reduction, never the raw stream. "
         f"Window-end days outside the observed range are dropped, so "
         f"every reported row has a fully-formed-or-truncated-left "
-        f"window exactly like the oracle. All integers."
+        f"window exactly like the oracle. Days whose ENTIRE trailing "
+        f"window is empty (an activity gap of >= {WAU_DAYS + 1} days) "
+        f"emit no row rather than a 0/0 stickiness — property-tested "
+        f"against a brute-force model. All integers."
     ),
     tags=("events", "agg", "window"),
 )

@@ -146,3 +146,110 @@ def test_global_row_number_property(spark, vals):
     )
     diff = ranked.join(ref, "k").filter(F.col("rn") != F.col("rn_ref")).count()
     assert diff == 0
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dau_wau_matches_bruteforce(spark, pairs):
+    """dau_wau_from_daily_users vs a brute-force python model: for any
+    (user, day-offset) activity set, WAU(day) must equal the distinct
+    users active in [day-6, day], DAU the day's distinct users, and the
+    output must cover exactly the observed day range."""
+    import datetime
+
+    from coviddatapipeline_spark.operators.events import dau_wau_from_daily_users
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(days=d)) for u, d in pairs]
+    du = spark.createDataFrame(rows, "user_id long, day date").distinct()
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness_e4"])
+        for r in dau_wau_from_daily_users(du).collect()
+    }
+    days = sorted({d for _, d in rows})
+    lo, hi = days[0], days[-1]
+    acts = {(u, d) for u, d in rows}
+    # a day emits a row iff its trailing window is non-empty (documented)
+    expect_days = [
+        day
+        for day in (lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1))
+        if any(0 <= (day - d).days <= 6 for (_, d) in acts)
+    ]
+    assert sorted(got) == expect_days
+    for day in expect_days:
+        dau = len({u for (u, d) in acts if d == day})
+        wau = len(
+            {
+                u
+                for (u, d) in acts
+                if 0 <= (day - d).days <= 6
+            }
+        )
+        assert got[day] == (dau, wau, dau * 10000 // wau)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_components_match_union_find(spark, edges):
+    """Alternating-star connected components vs a driver-side
+    union-find on arbitrary small graphs (duplicate and reversed edges
+    included; self-loops are excluded — the LSH pair generators emit
+    strictly a < b, which is the helper's input contract): identical
+    node -> min-reachable-id labeling."""
+    from coviddatapipeline_spark.operators.dedup import star_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"] for r in star_components(df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min.setdefault(r, []).append(n)
+    for r, members in comp_min.items():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want
