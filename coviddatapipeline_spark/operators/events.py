@@ -1404,3 +1404,96 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("active").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate with Agresti-Coull interval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_conversion_interval",
+    oracle="""
+        WITH flags AS (
+            SELECT CAST(ts AS DATE) AS day, user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY day, user_id
+        ),
+        per AS (
+            SELECT day,
+                   CAST(sum(v) AS BIGINT) AS viewers,
+                   CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS buyers
+            FROM flags GROUP BY day
+        ),
+        ci AS (
+            SELECT day, viewers, buyers,
+                   (buyers + 2.0) / (viewers + 4.0) AS pt,
+                   2.0 * sqrt((buyers + 2.0) / (viewers + 4.0)
+                              * (1.0 - (buyers + 2.0) / (viewers + 4.0))
+                              / (viewers + 4.0)) AS hw
+            FROM per WHERE viewers > 0
+        )
+        SELECT day, viewers, buyers,
+               CAST(buyers * 10000 // viewers AS BIGINT) AS rate_e4,
+               CAST(greatest(floor((pt - hw) * 10000 + 0.5), 0) AS BIGINT)
+                   AS ci_lo_e4,
+               CAST(least(floor((pt + hw) * 10000 + 0.5), 10000) AS BIGINT)
+                   AS ci_hi_e4
+        FROM ci
+        ORDER BY day
+    """,
+    doc=(
+        "Daily view->purchase conversion (a converter is a user who "
+        "BOTH viewed and purchased that day, so x <= n by construction "
+        "and the interval arithmetic stays in-domain) with an "
+        "Agresti-Coull 95% "
+        "interval (Agresti & Coull 1998, public; the z=2 form whose "
+        "center is the add-2-successes-add-4-trials estimator): the "
+        "uncertainty band that stops a dashboard from paging on a "
+        "3-viewer day. Point rate is exact integer e4; the interval "
+        "is p~ +/- 2*sqrt(p~(1-p~)/(n+4)) where every operation "
+        "(divide, multiply, IEEE-754 sqrt) is correctly rounded and "
+        "evaluated in the same order on both engines, then quantized "
+        "once via floor(x*1e4+0.5) and clamped to [0, 10000] — the "
+        "same determinism argument as the temperature-mix sqrt. One "
+        "combinable distinct-aggregate per day; no window, no join."
+    ),
+    tags=("events", "stats", "agg"),
+)
+def events_conversion_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = (
+        events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"), "user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "p"
+            ),
+        )
+    )
+    per = (
+        flags.groupBy("day")
+        .agg(
+            F.sum("v").alias("viewers"),
+            F.sum(F.when((F.col("v") == 1) & (F.col("p") == 1), 1).otherwise(0)).alias(
+                "buyers"
+            ),
+        )
+        .filter(F.col("viewers") > 0)
+    )
+    pt = (F.col("buyers") + 2.0) / (F.col("viewers") + 4.0)
+    hw = 2.0 * F.sqrt(pt * (1.0 - pt) / (F.col("viewers") + 4.0))
+    return per.select(
+        "day",
+        F.col("viewers").cast("long").alias("viewers"),
+        F.col("buyers").cast("long").alias("buyers"),
+        F.expr("CAST(buyers * 10000 DIV viewers AS BIGINT)").alias("rate_e4"),
+        F.greatest(F.floor((pt - hw) * 10000 + 0.5), F.lit(0))
+        .cast("long")
+        .alias("ci_lo_e4"),
+        F.least(F.floor((pt + hw) * 10000 + 0.5), F.lit(10000))
+        .cast("long")
+        .alias("ci_hi_e4"),
+    ).orderBy("day")

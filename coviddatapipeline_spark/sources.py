@@ -218,3 +218,50 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet footer
+    under ``path`` (``mergeSchema``) so batches written before a column
+    existed surface it as NULL instead of failing the scan — the read
+    side of additive schema evolution, which is the only kind the
+    bronze layer accepts (dropping/retyping requires a rewrite, per
+    warehouse_snapshot_diff_cdc's migration path). Spark only pays the
+    footer union at planning time; at 100 TB keep it ON for bronze
+    (heterogeneous history) and OFF for silver/gold (single schema,
+    planning cost avoided)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite ``path`` so each output file
+    carries ~``target_rows_per_file`` rows, returning (files_before,
+    files_after). Streaming sinks and per-batch dynamic overwrites
+    accrete kilobyte files whose per-file open/footer cost eventually
+    dominates scans (the classic small-file problem); compaction is one
+    narrow ``coalesce`` — no shuffle — into ceil(rows/target) files,
+    staged to a sibling directory and atomically swapped so a reader
+    never sees a half-written table. Run it where a real lakehouse
+    runs OPTIMIZE: off the write path, per partition."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files_before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    n_files = max(1, math.ceil(n_rows / max(target_rows_per_file, 1)))
+    staged = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    files_after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return files_before, files_after

@@ -232,3 +232,43 @@ def test_linkage_blocking_is_equi_join(spark, parity_sf_dir):
         assert r["n_correct"] <= r["n_names"]
         if r["edit_distance"] == -1:
             assert r["n_correct"] == 0
+
+
+def test_merged_schema_read_surfaces_new_column(spark, tmp_path):
+    """A batch written before a column existed must read back with the
+    merged schema and NULLs for the missing column."""
+    import os
+
+    from coviddatapipeline_spark.sources import read_parquet_merged_schema
+
+    p = os.path.join(str(tmp_path), "bronze")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        os.path.join(p, "b1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(os.path.join(p, "b2"))
+    got = read_parquet_merged_schema(spark, p + "/*")
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    """Compaction must reduce file count to ceil(rows/target) without
+    changing a single row, and the directory must stay readable."""
+    import os
+
+    from coviddatapipeline_spark.sources import compact_small_files
+
+    p = os.path.join(str(tmp_path), "t")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(24).write.parquet(p)
+    before_rows = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    fb, fa = compact_small_files(spark, p, target_rows_per_file=5_000)
+    assert fb >= 20 and fa == 2
+    after = spark.read.parquet(p)
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    assert after.groupBy("k").count().count() == 7
