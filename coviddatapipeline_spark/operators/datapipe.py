@@ -1566,3 +1566,122 @@ def mm_frame_dup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "fh", "n_docs", "n_occ")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_budget_waterfill",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(sum(len({_TOKENS.format(x='text')})) AS BIGINT) AS s
+            FROM documents GROUP BY source
+        ),
+        budget AS (
+            SELECT CAST(sum(s) AS BIGINT) // 2 AS b,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM per
+        ),
+        ordered AS (
+            SELECT source, s,
+                   CAST(row_number() OVER (ORDER BY s, source) AS BIGINT) AS i,
+                   CAST(sum(s) OVER (ORDER BY s, source
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+            FROM per
+        ),
+        cand AS (
+            SELECT o.i, o.s,
+                   CAST((b.b - (o.pfx - o.s)) // (b.k - o.i + 1) AS BIGINT)
+                       AS lvl,
+                   CAST((b.b - (o.pfx - o.s)) % (b.k - o.i + 1) AS BIGINT)
+                       AS rem,
+                   CAST(coalesce(lag(o.s) OVER (ORDER BY o.i), 0) AS BIGINT)
+                       AS s_prev
+            FROM ordered o CROSS JOIN budget b
+        ),
+        split AS (
+            SELECT i AS si, lvl, rem FROM cand
+            WHERE s_prev <= lvl AND lvl < s
+        )
+        SELECT o.source, o.s AS tokens,
+               CAST(CASE WHEN sp.si IS NULL OR o.i < sp.si THEN o.s
+                         ELSE sp.lvl + CASE WHEN o.i - sp.si < sp.rem
+                                            THEN 1 ELSE 0 END
+                    END AS BIGINT) AS allocated,
+               CAST(CASE WHEN sp.si IS NULL OR o.i < sp.si THEN 1 ELSE 0 END
+                    AS BIGINT) AS capped
+        FROM ordered o LEFT JOIN split sp ON true
+        ORDER BY o.source
+    """,
+    doc=(
+        "Water-filling (max-min fair) token-budget allocation across "
+        "sources — the allocator behind 'spend B tokens as evenly as "
+        "possible, but a small source can only give what it has': "
+        "sources sorted by size, the water level L solves "
+        "prefix(m) + (k-m)*L = B at the unique split where "
+        "s_m <= L < s_m+1, sources below the level are capped at "
+        "their size, the rest get L with the integer remainder handed "
+        "one token each to the first remainder sources in sort order "
+        "— so the allocation is exact (sums to precisely B when "
+        "B <= total, pytest-asserted) and deterministic with no "
+        "fractional tokens. Every step is a window over the "
+        "|sources|-row aggregate; the only data-sized work is the one "
+        "combinable token count. The max-min fairness classic "
+        "(Bertsekas & Gallager 1987, public) applied to corpus "
+        "budgeting; complements the temperature-mix entry, which "
+        "allocates by power law instead of fairness."
+    ),
+    tags=("datapipe", "planning", "agg"),
+)
+def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(_tokens(F.col("text")))).alias("s"))
+    )
+    budget = per.agg(
+        F.expr("CAST(sum(s) AS BIGINT) DIV 2").alias("b"),
+        F.count("*").alias("k"),
+    )
+    w_ord = W.orderBy("s", "source")
+    ordered = per.select(
+        "source",
+        F.col("s").cast("long").alias("s"),
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("s").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pfx"),
+    )
+    cand = ordered.crossJoin(F.broadcast(budget)).select(
+        "i",
+        "s",
+        F.expr("CAST((b - (pfx - s)) DIV (k - i + 1) AS BIGINT)").alias("lvl"),
+        F.expr("CAST((b - (pfx - s)) % (k - i + 1) AS BIGINT)").alias("rem"),
+        F.coalesce(F.lag("s").over(W.orderBy("i")), F.lit(0))
+        .cast("long")
+        .alias("s_prev"),
+    )
+    split = cand.filter(
+        (F.col("s_prev") <= F.col("lvl")) & (F.col("lvl") < F.col("s"))
+    ).select(F.col("i").alias("si"), "lvl", "rem")
+    return (
+        ordered.join(F.broadcast(split), F.lit(True), "left")
+        .select(
+            "source",
+            F.col("s").alias("tokens"),
+            F.expr(
+                "CAST(CASE WHEN si IS NULL OR i < si THEN s"
+                " ELSE lvl + CASE WHEN i - si < rem THEN 1 ELSE 0 END"
+                " END AS BIGINT)"
+            ).alias("allocated"),
+            F.expr(
+                "CAST(CASE WHEN si IS NULL OR i < si THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("capped"),
+        )
+        .orderBy("source")
+    )

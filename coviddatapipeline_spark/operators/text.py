@@ -1228,3 +1228,90 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift on document lengths
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ks_length_drift",
+    oracle="""
+        WITH tagged AS (
+            SELECT n_chars AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(sum(is_en) AS BIGINT) AS n1,
+                   CAST(sum(1 - is_en) AS BIGINT) AS n2
+            FROM tagged
+        ),
+        per_v AS (
+            SELECT v, CAST(sum(is_en) AS BIGINT) AS c1,
+                   CAST(sum(1 - is_en) AS BIGINT) AS c2
+            FROM tagged GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+                   sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+            FROM per_v
+        ),
+        scored AS (
+            SELECT v, abs(f1 * t.n2 - f2 * t.n1) AS d_num, t.n1, t.n2,
+                   row_number() OVER (ORDER BY abs(f1 * t.n2 - f2 * t.n1) DESC,
+                                      v) AS rk
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT n1 AS n_en, n2 AS n_other,
+               CAST(d_num * 10000 // (n1 * n2) AS BIGINT) AS ks_e4,
+               CAST(v AS BIGINT) AS at_value
+        FROM scored WHERE rk = 1
+    """,
+    doc=(
+        "EXACT two-sample Kolmogorov-Smirnov distance between the "
+        "English and non-English document-length distributions: D = "
+        "max_v |F1(v) - F2(v)| computed as integer |c1*n2 - c2*n1| over "
+        "the common denominator n1*n2 — no empirical-CDF floats, no "
+        "interpolation, the supremum and its location (smallest "
+        "attaining value) are deterministic on both engines. The "
+        "distribution-drift test that needs no binning choice, used to "
+        "gate 'did this source change shape' before subtler stats; "
+        "complements the binned KL entries. One combinable (value, "
+        "group) count; the cumulative window runs over the DISTINCT-"
+        "length table, bounded by the length range, never the corpus."
+    ),
+    tags=("text", "stats", "corpus"),
+)
+def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    tagged = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    tot = tagged.agg(
+        F.sum("is_en").alias("n1"), F.sum(1 - F.col("is_en")).alias("n2")
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_en").alias("c1"), F.sum(1 - F.col("is_en")).alias("c2")
+    )
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v", F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "d_num", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    )
+    top = scored.withColumn(
+        "rk",
+        F.row_number().over(_W.orderBy(F.col("d_num").desc(), "v")),
+    ).filter(F.col("rk") == 1)
+    return top.select(
+        F.col("n1").cast("long").alias("n_en"),
+        F.col("n2").cast("long").alias("n_other"),
+        F.expr("CAST(d_num * 10000 DIV (n1 * n2) AS BIGINT)").alias("ks_e4"),
+        F.col("v").cast("long").alias("at_value"),
+    )
