@@ -1685,3 +1685,81 @@ def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption (T5-style) planning
+# ---------------------------------------------------------------------------
+
+SPAN_CORRUPT_PCT = 15  # corrupted-token percentage
+SPAN_MEAN = 3  # mean span length
+
+
+@register(
+    "pack_span_corruption_plan",
+    oracle=f"""
+        WITH per AS (
+            SELECT doc_id,
+                   CAST(len({_TOKENS.format(x='text')}) AS BIGINT) AS nt
+            FROM documents
+        ),
+        plan AS (
+            SELECT doc_id, nt,
+                   nt * {SPAN_CORRUPT_PCT} // 100 AS n_masked,
+                   (nt * {SPAN_CORRUPT_PCT} // 100 + {SPAN_MEAN} - 1)
+                       // {SPAN_MEAN} AS n_spans
+            FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(n_masked) AS BIGINT) AS masked_tokens,
+               CAST(sum(n_spans) AS BIGINT) AS n_spans,
+               CAST(sum(nt - n_masked + n_spans) AS BIGINT) AS encoder_tokens,
+               CAST(sum(n_masked + n_spans + 1) AS BIGINT) AS decoder_tokens,
+               CAST(sum(n_masked) * 10000 // sum(nt) AS BIGINT)
+                   AS realized_corrupt_e4
+        FROM plan
+    """,
+    doc=(
+        f"Span-corruption batch planning (Raffel et al. 2020 T5, "
+        f"public): per document, {SPAN_CORRUPT_PCT}% of tokens are "
+        f"masked in mean-{SPAN_MEAN} spans, and the plan reports the "
+        f"EXACT encoder/decoder token totals a trainer must budget — "
+        f"encoder = tokens - masked + sentinels, decoder = masked + "
+        f"sentinels + 1 — as closed-form integer arithmetic per doc "
+        f"(floor corruption, ceil span count), plus the realized e4 "
+        f"corruption rate (below nominal because short docs floor to "
+        f"0 masked — the rounding bias this audit makes visible "
+        f"instead of discovering at OOM time). Map-only + one "
+        f"combinable corpus aggregate; the span-corruption sibling of "
+        f"the chunking and FFD packing entries."
+    ),
+    tags=("datapipe", "planning", "agg"),
+)
+def pack_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = t(spark, sf_dir, "documents").select(
+        F.size(_tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    plan = per.select(
+        "nt",
+        F.expr(f"nt * {SPAN_CORRUPT_PCT} DIV 100").alias("n_masked"),
+        F.expr(
+            f"(nt * {SPAN_CORRUPT_PCT} DIV 100 + {SPAN_MEAN} - 1)"
+            f" DIV {SPAN_MEAN}"
+        ).alias("n_spans"),
+    )
+    return plan.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum("n_masked").cast("long").alias("masked_tokens"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum(F.col("nt") - F.col("n_masked") + F.col("n_spans"))
+        .cast("long")
+        .alias("encoder_tokens"),
+        F.sum(F.col("n_masked") + F.col("n_spans") + 1)
+        .cast("long")
+        .alias("decoder_tokens"),
+        F.expr(
+            "CAST(sum(n_masked) * 10000 DIV sum(nt) AS BIGINT)"
+        ).alias("realized_corrupt_e4"),
+    )

@@ -1006,3 +1006,103 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_l_diversity").cast("long").alias("min_l_diversity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RLE run profile: encoding benefit of sort order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_rle_run_profile",
+    oracle="""
+        WITH by_status AS (
+            SELECT o_orderstatus AS v,
+                   row_number() OVER (ORDER BY o_orderstatus, o_orderkey) AS rn
+            FROM orders
+        ),
+        by_date AS (
+            SELECT o_orderstatus AS v,
+                   row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        ),
+        runs AS (
+            SELECT 'by_status' AS layout,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(1 + sum(CASE WHEN b.v <> a.v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_runs
+            FROM by_status a JOIN by_status b ON b.rn = a.rn + 1
+            UNION ALL
+            SELECT 'by_date',
+                   CAST(count(*) AS BIGINT),
+                   CAST(1 + sum(CASE WHEN b.v <> a.v THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM by_date a JOIN by_date b ON b.rn = a.rn + 1
+        )
+        SELECT layout, n_rows + 1 AS n_rows, n_runs,
+               CAST((n_rows + 1) * 100 // n_runs AS BIGINT) AS avg_run_len_e2,
+               CAST(n_runs * 10000 // (n_rows + 1) AS BIGINT) AS rle_ratio_e4
+        FROM runs
+        ORDER BY layout
+    """,
+    doc=(
+        "Run-length-encoding profile of the order-status column under "
+        "two physical sort orders — the measurement behind 'sort before "
+        "you write': RLE/dictionary encodings store one entry per RUN, "
+        "so runs/rows (e4) is the size a column chunk shrinks to when "
+        "the writer sees sorted input, and status-sorted vs "
+        "date-sorted (the ingest order) is the before/after of adding "
+        "the column to the sort key. Adjacency is computed WITHOUT a "
+        "window over data on the Spark side: the cutpoint-bucketed "
+        "global row number gives each row its rank and a self equi-"
+        "join on rn+1 finds neighbors — a hash join any engine "
+        "partitions, the same trick as the backlog sweep-line. (The "
+        "pair-join counts n-1 adjacencies; runs = changes + 1, rows = "
+        "pairs + 1.) Completes the layout family: Z-order buys "
+        "min-max skipping, this buys bytes."
+    ),
+    tags=("warehouse", "layout", "scale"),
+)
+def layout_rle_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    # the ranking helper needs a numeric leading key; single-char
+    # status codes order identically by their ascii code
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.ascii("o_orderstatus").alias("status_code"),
+    )
+
+    def profile(keys: list[str], layout: str) -> DataFrame:
+        ranked, _n = with_global_row_number(orders, keys, out="rn")
+        a = ranked.select(F.col("o_orderstatus").alias("va"), "rn")
+        bdf = ranked.select(
+            F.col("o_orderstatus").alias("vb"), (F.col("rn") - 1).alias("rn")
+        )
+        return (
+            a.join(bdf, "rn")
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0)).alias(
+                    "changes"
+                ),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                (F.col("pairs") + 1).cast("long").alias("n_rows"),
+                (F.col("changes") + 1).cast("long").alias("n_runs"),
+            )
+        )
+
+    runs = profile(["status_code", "o_orderkey"], "by_status").unionByName(
+        profile(["o_orderdate", "o_orderkey"], "by_date")
+    )
+    return runs.select(
+        "layout",
+        "n_rows",
+        "n_runs",
+        F.expr("CAST(n_rows * 100 DIV n_runs AS BIGINT)").alias("avg_run_len_e2"),
+        F.expr("CAST(n_runs * 10000 DIV n_rows AS BIGINT)").alias("rle_ratio_e4"),
+    ).orderBy("layout")
