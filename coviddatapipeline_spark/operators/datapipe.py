@@ -1763,3 +1763,126 @@ def pack_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_masked) * 10000 DIV sum(nt) AS BIGINT)"
         ).alias("realized_corrupt_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction by quality margin (DPO/RM data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pref_pairs_by_quality",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, source,
+                   len({_TOKENS.format(x='text')}) AS nt,
+                   len(list_filter({_TOKENS.format(x='text')},
+                                   w -> list_contains({_SW_SQL}, w))) AS ns
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   CAST(least(nt, 100) * (50 * nt + 25 * least(5 * ns, 2 * nt))
+                        // greatest(nt, 1) AS BIGINT) AS q_e4
+            FROM q
+        ),
+        ranked AS (
+            SELECT source, doc_id, q_e4,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY q_e4 DESC, doc_id ASC) AS hi,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY q_e4 ASC, doc_id DESC) AS lo,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM scored
+        ),
+        pairs AS (
+            SELECT h.source, h.doc_id AS chosen, l.doc_id AS rejected,
+                   h.q_e4 - l.q_e4 AS margin_e4
+            FROM ranked h JOIN ranked l
+              ON h.source = l.source AND h.hi = l.lo AND h.hi <= h.n // 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(margin_e4) // count(*) AS BIGINT) AS mean_margin_e4,
+               CAST(max(margin_e4) AS BIGINT) AS max_margin_e4,
+               CAST(min(margin_e4) AS BIGINT) AS min_margin_e4
+        FROM pairs
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=(
+        "Preference-pair construction for reward-model / DPO training "
+        "data: within each source, documents ranked by the integer e4 "
+        "quality score pair best-with-worst inward (rank-i chosen vs "
+        "rank-i-from-the-bottom rejected, i <= n/2) — the maximal-"
+        "margin pairing that gives a preference trainer the cleanest "
+        "signal first. The descending and ascending ranks use MIRRORED "
+        "tie-breaks (doc_id asc / doc_id desc), which makes the two "
+        "orders exact reversals of each other, so hi + lo = n + 1 "
+        "holds for every document and a doc can never pair with "
+        "itself, ties included — margins are provably >= 0. Reports "
+        "per source: pair count and margin statistics in exact "
+        "integers. Two windows per source partition plus one "
+        "self-equi-join on (source, rank); the same shape at any "
+        "corpus size."
+    ),
+    tags=("datapipe", "planning", "text"),
+)
+def pref_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.dedup import _QUALITY_E4
+
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("nt"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("ns"),
+    ).withColumn("q_e4", F.expr(_QUALITY_E4))
+    w_hi = W.partitionBy("source").orderBy(F.col("q_e4").desc(), F.col("doc_id").asc())
+    w_lo = W.partitionBy("source").orderBy(F.col("q_e4").asc(), F.col("doc_id").desc())
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "q_e4",
+        F.row_number().over(w_hi).alias("hi"),
+        F.row_number().over(w_lo).alias("lo"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    h = ranked.select(
+        "source",
+        F.col("doc_id").alias("chosen"),
+        F.col("q_e4").alias("q_hi"),
+        F.col("hi").alias("i"),
+        "n",
+    )
+    low = ranked.select(
+        "source",
+        F.col("doc_id").alias("rejected"),
+        F.col("q_e4").alias("q_lo"),
+        F.col("lo").alias("i"),
+    )
+    pairs = (
+        h.join(low, ["source", "i"])
+        .filter(F.col("i") <= F.expr("n DIV 2"))
+        .select("source", (F.col("q_hi") - F.col("q_lo")).alias("margin_e4"))
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("CAST(sum(margin_e4) DIV count(*) AS BIGINT)").alias(
+                "mean_margin_e4"
+            ),
+            F.max("margin_e4").cast("long").alias("max_margin_e4"),
+            F.min("margin_e4").cast("long").alias("min_margin_e4"),
+        )
+        .select(
+            "source",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "mean_margin_e4",
+            "max_margin_e4",
+            "min_margin_e4",
+        )
+        .orderBy("source")
+    )

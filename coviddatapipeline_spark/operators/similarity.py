@@ -1383,3 +1383,145 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive retrieval training
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5  # negatives per query (positives reuse TOP_K)
+
+
+@register(
+    "ann_hard_negative_mining",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY list_dot_product(
+                                          q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) DESC,
+                                      c.vec_id) AS r
+            FROM q JOIN embeddings c
+              ON q.label = c.label AND q.vec_id != c.vec_id
+        ),
+        pos AS (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(r AS BIGINT) AS role_rank, 'pos' AS role
+            FROM scored WHERE r <= {TOP_K}
+        ),
+        negpool AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY md5(concat(CAST(query_id AS VARCHAR), ':',
+                                           CAST(neighbor_id AS VARCHAR))),
+                                neighbor_id) AS nr
+            FROM scored WHERE r > {TOP_K}
+        ),
+        neg AS (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(nr AS BIGINT) AS role_rank, 'neg' AS role
+            FROM negpool WHERE nr <= {HARD_NEG_K}
+        )
+        SELECT query_id, neighbor_id, role, role_rank,
+               round(cos, 4) AS cosine
+        FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        ORDER BY query_id, role DESC, role_rank
+    """,
+    doc=(
+        f"Hard-negative mining for contrastive retrieval training "
+        f"(in-batch-negatives lineage, e.g. DPR/Karpukhin 2020, "
+        f"public): per query, the {TOP_K} same-cell nearest vectors "
+        f"are the positives and {HARD_NEG_K} SAME-CELL vectors beyond "
+        f"the top-k are the hard negatives — near enough to be "
+        f"confusable (the quantizer already said 'same region'), "
+        f"excluded from the positive set, selected by a salted-md5 "
+        f"bottom-k so the draw is reproducible across runs, engines, "
+        f"and partitionings rather than rand()-dependent. This is the "
+        f"(anchor, positive, hard-negative) triple generator an "
+        f"embedding-model trainer consumes; cell equi-join only — the "
+        f"same IVF probe shape as the ANN entries, so mining cost "
+        f"scales with cell size, not corpus size."
+    ),
+    tags=("similarity", "datapipe", "join"),
+)
+def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qlabel") == F.col("clabel"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", _dot("qv", "cv"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), "neighbor_id"
+                )
+            ),
+        )
+    )
+    pos = scored.filter(F.col("r") <= TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        F.col("r").cast("long").alias("role_rank"),
+        F.lit("pos").alias("role"),
+    )
+    neg = (
+        scored.filter(F.col("r") > TOP_K)
+        .withColumn(
+            "nr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("query_id").cast("string"),
+                            F.lit(":"),
+                            F.col("neighbor_id").cast("string"),
+                        )
+                    ),
+                    "neighbor_id",
+                )
+            ),
+        )
+        .filter(F.col("nr") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            F.col("nr").cast("long").alias("role_rank"),
+            F.lit("neg").alias("role"),
+        )
+    )
+    return (
+        pos.unionByName(neg)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "role",
+            "role_rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("query_id", F.col("role").desc(), "role_rank")
+    )
