@@ -1315,3 +1315,91 @@ def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(d_num * 10000 DIV (n1 * n2) AS BIGINT)").alias("ks_e4"),
         F.col("v").cast("long").alias("at_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (first tokenizer-training iteration)
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest({_TOKENS.format(x="text")}) AS w FROM documents
+        ),
+        pairs AS (
+            SELECT substr(w, i, 2) AS pair
+            FROM words,
+                 unnest(generate_series(1, len(w) - 1)) AS u(i)
+            WHERE len(w) >= 2
+        ),
+        counts AS (
+            SELECT pair, CAST(count(*) AS BIGINT) AS freq
+            FROM pairs GROUP BY pair
+        ),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts)
+        SELECT CAST(row_number() OVER (ORDER BY c.freq DESC, c.pair)
+                    AS BIGINT) AS rank,
+               c.pair, c.freq,
+               CAST(c.freq * 10000 // t.total AS BIGINT) AS share_e4
+        FROM counts c CROSS JOIN tot t
+        QUALIFY rank <= {BPE_TOP}
+        ORDER BY rank
+    """,
+    doc=(
+        f"The first byte-pair-encoding merge iteration (Sennrich et "
+        f"al. 2016, public; the statistic BPE tokenizer training "
+        f"maximizes each round): adjacent character pairs within every "
+        f"word, counted corpus-wide — the top-{BPE_TOP} candidates "
+        f"with e4 corpus share are what the first merge rule would "
+        f"learn, and the share profile says how fast the vocabulary "
+        f"will saturate. The pair explode is per-word character "
+        f"adjacency (substr over an index sequence — JVM column math, "
+        f"no UDF), the count is one combinable shuffle over the "
+        f"pair-vocabulary key space (bounded by alphabet^2, tiny), "
+        f"and the ranking window sees only that vocabulary. At a real "
+        f"training run this exact shape iterates: count, take the "
+        f"argmax, rewrite, repeat — each round the same one-shuffle "
+        f"plan; complements the BPE token-count ESTIMATE entry, which "
+        f"consumes a trained vocabulary instead of building one."
+    ),
+    tags=("text", "agg", "corpus"),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(F.substring(F.col("w"), F.col("i").cast("int"), 2).alias("pair"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("freq"))
+    tot = counts.agg(F.sum("freq").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(_W.orderBy(F.col("freq").desc(), "pair"))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= BPE_TOP)
+        .select(
+            "rank",
+            "pair",
+            F.col("freq").cast("long").alias("freq"),
+            F.expr("CAST(freq * 10000 DIV total AS BIGINT)").alias("share_e4"),
+        )
+        .orderBy("rank")
+    )
