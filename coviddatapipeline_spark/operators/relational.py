@@ -454,3 +454,79 @@ def filter_pushdown_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "setop_yearly_customer_retention",
+    oracle="""
+        WITH y96 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        ),
+        y97 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        ),
+        retained AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+        churned  AS (SELECT o_custkey FROM y96 EXCEPT   SELECT o_custkey FROM y97),
+        acquired AS (SELECT o_custkey FROM y97 EXCEPT   SELECT o_custkey FROM y96)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM y96) AS active_1996,
+               (SELECT CAST(count(*) AS BIGINT) FROM y97) AS active_1997,
+               (SELECT CAST(count(*) AS BIGINT) FROM retained) AS retained,
+               (SELECT CAST(count(*) AS BIGINT) FROM churned) AS churned,
+               (SELECT CAST(count(*) AS BIGINT) FROM acquired) AS acquired,
+               CAST((SELECT count(*) FROM retained) * 10000
+                    // (SELECT count(*) FROM y96) AS BIGINT) AS retention_e4
+    """,
+    doc=(
+        "Year-over-year customer retention via relational set ops — "
+        "the INTERSECT / EXCEPT surface the registry was missing as a "
+        "first-class entry: 1996 actives intersect 1997 actives = "
+        "retained, each EXCEPT = churned/acquired, plus the e4 "
+        "retention rate. Spark expresses the same algebra with "
+        "intersect()/exceptAll-free distinct set ops, which Catalyst "
+        "plans as aggregates over a union with bitmasks or "
+        "left-semi/anti hash joins — either way shuffle-partitioned "
+        "on the key, no materialized id lists. One row out; the "
+        "distinct key sets are the only state at any scale."
+    ),
+    tags=("relational", "setop", "agg"),
+)
+def setop_yearly_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+
+    def actives(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("d") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("d") < F.lit(f"{y + 1}-01-01").cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = actives(1996), actives(1997)
+    retained = y96.intersect(y97)
+    churned = y96.exceptAll(retained)
+    acquired = y97.exceptAll(retained)
+    counts = (
+        y96.agg(F.count("*").alias("active_1996"))
+        .crossJoin(y97.agg(F.count("*").alias("active_1997")))
+        .crossJoin(retained.agg(F.count("*").alias("retained")))
+        .crossJoin(churned.agg(F.count("*").alias("churned")))
+        .crossJoin(acquired.agg(F.count("*").alias("acquired")))
+    )
+    return counts.select(
+        F.col("active_1996").cast("long").alias("active_1996"),
+        F.col("active_1997").cast("long").alias("active_1997"),
+        F.col("retained").cast("long").alias("retained"),
+        F.col("churned").cast("long").alias("churned"),
+        F.col("acquired").cast("long").alias("acquired"),
+        F.expr("CAST(retained * 10000 DIV active_1996 AS BIGINT)").alias(
+            "retention_e4"
+        ),
+    )
