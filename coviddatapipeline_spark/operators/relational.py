@@ -530,3 +530,142 @@ def setop_yearly_customer_retention(spark: SparkSession, sf_dir: str) -> DataFra
             "retention_e4"
         ),
     )
+
+
+@register(
+    "sla_ship_latency_by_priority",
+    oracle="""
+        WITH per_order AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             max(CAST(l.l_shipdate AS DATE))) AS days
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS within_30_e4,
+               CAST(sum(CASE WHEN days <= 60 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS within_60_e4,
+               CAST(sum(CASE WHEN days <= 90 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS within_90_e4,
+               CAST(max(days) AS BIGINT) AS max_days
+        FROM per_order
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Fulfillment SLA attainment by order priority: days from order "
+        "to LAST shipment per order (the customer-visible completion "
+        "time), then the e4 fraction meeting 30/60/90-day targets per "
+        "priority — the table an ops review reads, and the check that "
+        "priority classes actually predict service (inverted "
+        "attainment flags a broken fulfillment queue). One fact-fact "
+        "equi-join, one per-order max (combinable), one 5-row "
+        "priority aggregate; exact integer date math and division "
+        "throughout."
+    ),
+    tags=("relational", "join", "agg"),
+)
+def sla_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "od")
+        .agg(F.max("sd").alias("last_ship"))
+        .select(
+            "o_orderpriority", F.datediff("last_ship", "od").alias("days")
+        )
+    )
+    hit = lambda d: F.sum(F.when(F.col("days") <= d, 1).otherwise(0))  # noqa: E731
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            hit(30).alias("h30"),
+            hit(60).alias("h60"),
+            hit(90).alias("h90"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.expr("CAST(h30 * 10000 DIV n_orders AS BIGINT)").alias("within_30_e4"),
+            F.expr("CAST(h60 * 10000 DIV n_orders AS BIGINT)").alias("within_60_e4"),
+            F.expr("CAST(h90 * 10000 DIV n_orders AS BIGINT)").alias("within_90_e4"),
+            "max_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TOPK_GLOBAL = 100
+TOPK_PER_GROUP = 3
+
+
+@register(
+    "topk_global_with_per_group_cap",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY round(o_totalprice, 2) DESC,
+                                      o_orderkey) AS gr
+            FROM orders
+        ),
+        capped AS (SELECT * FROM per_cust WHERE gr <= {TOPK_PER_GROUP}),
+        ranked AS (
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS price,
+                   CAST(gr AS BIGINT) AS rank_in_customer,
+                   row_number() OVER (ORDER BY round(o_totalprice, 2) DESC,
+                                      o_orderkey) AS r
+            FROM capped
+        )
+        SELECT CAST(r AS BIGINT) AS rank, o_orderkey, o_custkey, price,
+               rank_in_customer
+        FROM ranked WHERE r <= {TOPK_GLOBAL}
+        ORDER BY rank
+    """,
+    doc=(
+        f"Global top-{TOPK_GLOBAL} orders by value with AT MOST "
+        f"{TOPK_PER_GROUP} per customer — the diversity-constrained "
+        f"leaderboard (same shape as 'top docs per query with a "
+        f"per-domain cap' in search): a per-customer window prunes to "
+        f"{TOPK_PER_GROUP} rows FIRST, so the global ranking sees at "
+        f"most {TOPK_PER_GROUP} x |customers| rows and the final "
+        f"window is over the pruned set, never the fact table — the "
+        f"two-stage prune that makes constrained top-k viable at any "
+        f"scale. Prices rank on round(x, 2) with an orderkey "
+        f"tie-break, the repo's cross-engine float-ordering "
+        f"convention."
+    ),
+    tags=("relational", "window", "topk"),
+)
+def topk_global_with_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    per_cust = orders.withColumn(
+        "gr",
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy(F.col("price").desc(), "o_orderkey")
+        ),
+    ).filter(F.col("gr") <= TOPK_PER_GROUP)
+    ranked = per_cust.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.col("price").desc(), "o_orderkey")),
+    ).filter(F.col("r") <= TOPK_GLOBAL)
+    return ranked.select(
+        F.col("r").cast("long").alias("rank"),
+        "o_orderkey",
+        "o_custkey",
+        "price",
+        F.col("gr").cast("long").alias("rank_in_customer"),
+    ).orderBy("rank")
