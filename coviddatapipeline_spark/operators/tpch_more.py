@@ -688,3 +688,114 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntry_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: monthly revenue trend per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_revenue_trend_grouped_ols",
+    oracle="""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS m,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY nation, m
+        ),
+        indexed AS (
+            SELECT nation, cents,
+                   m - min(m) OVER (PARTITION BY nation) AS x
+            FROM monthly
+        ),
+        sums AS (
+            SELECT nation,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(cents) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * cents) AS BIGINT) AS sxy
+            FROM indexed GROUP BY nation
+        )
+        SELECT nation, n AS n_months, sy AS total_cents,
+               CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                    * (abs(n * sxy - sx * sy) * 100
+                       // (n * sxx - sx * sx)) AS BIGINT)
+                   AS slope_cents_per_month_e2
+        FROM sums
+        WHERE n >= 2
+        ORDER BY nation
+    """,
+    doc=(
+        "Grouped ordinary least squares — the per-key variant of the "
+        "global trend entry: monthly revenue per nation (exact integer "
+        "cents via floor(x*100+0.5) per lineitem) regressed on the "
+        "month index, slope reported at e2 cents/month with the "
+        "sign-explicit truncating division. ONE pass: the power sums "
+        "(n, Sx, Sy, Sxx, Sxy) are a combinable per-nation aggregate, "
+        "so fitting 10 million per-key trend lines costs the same "
+        "shuffle as counting per key — the map-side-reducible form of "
+        "regression that replaces per-group Python model loops at "
+        "scale (contrast: the applyInPandas entries, which exist for "
+        "logic that genuinely cannot reduce). Slope magnitude sits "
+        "inside int64 because Sxy is bounded by months x max-monthly-"
+        "cents; the month index is per-nation re-based so Sx stays "
+        "small."
+    ),
+    tags=("tpch", "stats", "agg"),
+)
+def nation_revenue_trend_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "m")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    indexed = monthly.withColumn(
+        "x", F.col("m") - F.min("m").over(_W.partitionBy("nation"))
+    )
+    sums = indexed.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+    )
+    return (
+        sums.filter(F.col("n") >= 2)
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_months"),
+            F.col("sy").cast("long").alias("total_cents"),
+            F.expr(
+                "CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+                " * (abs(n * sxy - sx * sy) * 100"
+                " DIV (n * sxx - sx * sx)) AS BIGINT)"
+            ).alias("slope_cents_per_month_e2"),
+        )
+        .orderBy("nation")
+    )
