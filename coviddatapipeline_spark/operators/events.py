@@ -1497,3 +1497,82 @@ def events_conversion_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_e4"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Usage concentration: exact Gini + top-decile share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_usage_gini",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+            FROM per
+        )
+        SELECT t.n AS n_users, t.s AS total_events,
+               CAST((2 * sum(r.i * r.x) - (t.n + 1) * t.s) * 10000
+                    // (t.n * t.s) AS BIGINT) AS gini_e4,
+               CAST(sum(CASE WHEN r.i > t.n - (t.n + 9) // 10
+                             THEN r.x ELSE 0 END) * 10000
+                    // t.s AS BIGINT) AS top_decile_share_e4
+        FROM ranked r CROSS JOIN tot t
+        GROUP BY t.n, t.s
+    """,
+    doc=(
+        "Usage-concentration audit: the EXACT Gini coefficient of "
+        "events per user via the rank formula G = (2*sum(i*x_i) - "
+        "(n+1)*S) / (n*S) over the ascending (count, user) order — "
+        "pure integers once ranks exist, no Lorenz-curve floats — "
+        "plus the top-decile event share (ceil(n/10) heaviest users). "
+        "The capacity/abuse number: a Gini near 0 means uniform load, "
+        "near 1 means a handful of users ARE the workload and "
+        "per-user rate limits or salting decisions follow. Ranks come "
+        "from the cutpoint-bucketed global row number on the Spark "
+        "side (per-USER counts, already reduced — the ranked table is "
+        "|users|, not |events|); one combinable count plus one "
+        "metadata-sized ranking."
+    ),
+    tags=("events", "stats", "agg"),
+)
+def events_usage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    per = (
+        events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    ranked, n = with_global_row_number(per, ["x", "user_id"], out="i")
+    tot = per.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.sum(F.col("i") * F.col("x")).alias("ix"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("(n + 9) DIV 10"),
+                    F.col("x"),
+                ).otherwise(0)
+            ).alias("top_x"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.col("s").cast("long").alias("total_events"),
+            F.expr(
+                "CAST((2 * ix - (n + 1) * s) * 10000 DIV (n * s) AS BIGINT)"
+            ).alias("gini_e4"),
+            F.expr("CAST(top_x * 10000 DIV s AS BIGINT)").alias(
+                "top_decile_share_e4"
+            ),
+        )
+    )

@@ -543,3 +543,130 @@ def graph_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("support").cast("long").alias("support"), "lift_e4")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+        WITH cp AS (
+            SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM cp a JOIN cp b
+              ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb
+        ),
+        deg AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+            GROUP BY p
+        ),
+        ends AS (
+            SELECT da.d AS x, db.d AS y
+            FROM edges e
+            JOIN deg da ON e.pa = da.p
+            JOIN deg db ON e.pb = db.p
+        ),
+        sym AS (
+            SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM sym
+        )
+        SELECT m // 2 AS n_edges,
+               CAST((CASE WHEN CAST(m AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sx < 0
+                          THEN -1 ELSE 1 END)
+                    * (abs(CAST(m AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sx) * 10000
+                       // (CAST(m AS HUGEINT) * sxx
+                           - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+                   AS assortativity_e4
+        FROM sums
+    """,
+    doc=(
+        "Degree assortativity of the part co-purchase graph (Newman "
+        "2002, public): the Pearson correlation of endpoint degrees "
+        "over edges, computed on the SYMMETRIZED edge list so the two "
+        "marginals coincide (sum x = sum y, sum x^2 = sum y^2) and the "
+        "whole statistic reduces to four integer power sums — "
+        "(m*Sxy - Sx^2) / (m*Sxx - Sx^2) at e4 with the sign-explicit "
+        "truncating division, zero floats. Negative assortativity "
+        "(hubs attach to leaves) is the disassortative signature of "
+        "co-occurrence graphs and decides whether hub-salting or "
+        "hub-removal is the right skew defense for downstream "
+        "traversals. Reuses the distinct (customer, part) reduction "
+        "and bounded basket self-join of the affinity entry; degrees "
+        "join back on the part key."
+    ),
+    tags=("graph", "stats", "join"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    a = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pa"))
+    b = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ck")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionByName(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    ends = (
+        edges.join(
+            F.broadcast(deg.select(F.col("p").alias("pa"), F.col("d").alias("x"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("p").alias("pb"), F.col("d").alias("y"))),
+            "pb",
+        )
+        .select("x", "y")
+    )
+    sym = ends.unionByName(
+        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    sums = sym.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # m * sxy overflows int64 on hub-heavy graphs (caught by ANSI mode
+    # at sf0.1); the power-sum products run in DECIMAL(38,0), and the
+    # e4 quotient is made EXACT by subtracting the decimal modulus
+    # before dividing (a decimal division of an exact multiple carries
+    # no rounding) — DuckDB reaches the same integers through HUGEINT.
+    dec = "CAST({x} AS DECIMAL(38, 0))"
+    num = f"({dec.format(x='m')} * sxy - {dec.format(x='sx')} * sx)"
+    den = f"({dec.format(x='m')} * sxx - {dec.format(x='sx')} * sx)"
+    return sums.select(
+        F.expr("CAST(m DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            f"CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs({num}) * 10000 - (abs({num}) * 10000) % {den})"
+            f" / {den}) AS BIGINT)"
+        ).alias("assortativity_e4"),
+    )
