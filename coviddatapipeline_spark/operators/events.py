@@ -117,8 +117,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
     prev = F.lag("ts").over(w_order)
+    # µs-exact gap compare: the oracle's `ts - lag(ts) > INTERVAL 30 MINUTE`
+    # is µs-precise, so a whole-second cast would split gaps in
+    # (1800s, 1801s) differently across engines. Same derivation at every
+    # sessionization site in this module — keep them identical.
     new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000), 1
     ).otherwise(0)
     return (
         ev.withColumn("is_new_session", new_sess)
@@ -981,7 +985,7 @@ def events_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = F.lag("ts").over(w_order)
     new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000), 1
     ).otherwise(0)
     d = (
         ev.withColumn("is_new_session", new_sess)
@@ -1269,7 +1273,7 @@ def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = F.lag("ts").over(w_order)
     new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000), 1
     ).otherwise(0)
     sess = ev.withColumn("is_new", new_sess).withColumn(
         "session_id", F.sum("is_new").over(w_cum)
@@ -1381,7 +1385,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = F.lag("ts").over(w_order)
     new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000), 1
     ).otherwise(0)
     sess = (
         ev.withColumn("is_new", new_sess)

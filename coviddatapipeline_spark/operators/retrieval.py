@@ -399,8 +399,26 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
     )
+    # Same bounded-window shape as the sem side below: per-bucket
+    # top-RRF_LIST prune first (the global top-k is inside every
+    # bucket's local top-k), so the unpartitioned ranking window sees
+    # <= RRF_LIST * 32 rows, never the corpus-fraction-sized BM25
+    # match set. tests/test_graph_retrieval.py pins this invariant on
+    # the compiled plan.
+    lex_pruned = (
+        bm25.withColumn("bkt", F.pmod(F.col("doc_id"), F.lit(32)))
+        .withColumn(
+            "lbk",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy(
+                    F.round(F.col("score"), 6).desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("lbk") <= RRF_LIST)
+    )
     lex = (
-        bm25.withColumn(
+        lex_pruned.withColumn(
             "lex_rank",
             F.row_number().over(
                 Window.orderBy(F.round(F.col("score"), 6).desc(), "doc_id")

@@ -1031,7 +1031,9 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on NEGATED length (helper ranks ascending on the lead key)
     neg = toks.withColumn("neg_tok", -F.col("n_tok"))
     ranked, n = with_global_row_number(neg, ["neg_tok", "doc_id"], out="rn")
-    total = toks.agg(F.sum("n_tok").alias("total")).collect()[0]["total"]
+    # corpus total rides along as a broadcast 1-row scalar (house pattern)
+    # instead of a driver collect — keeps the whole entry one Catalyst plan.
+    total_df = toks.agg(F.sum("n_tok").alias("corpus_total"))
     sel = [
         (1, "top_1pct", (n * 1 + 99) // 100),
         (2, "top_5pct", (n * 5 + 99) // 100),
@@ -1043,12 +1045,13 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ranked, ranked.rn <= sel_df.k)
         .groupBy("ord", "tier", "k")
         .agg(F.sum("n_tok").alias("tier_tokens"))
+        .crossJoin(F.broadcast(total_df))
         .select(
             "ord",
             "tier",
             F.col("k").alias("n_docs"),
             "tier_tokens",
-            F.expr(f"CAST((tier_tokens * 10000) DIV {int(total)} AS BIGINT)").alias(
+            F.expr("CAST((tier_tokens * 10000) DIV corpus_total AS BIGINT)").alias(
                 "token_share_e4"
             ),
         )

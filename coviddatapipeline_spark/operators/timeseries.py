@@ -602,7 +602,7 @@ _DAILY_DEMEANED_SQL = """
     "timeseries_acf_daily_orders",
     oracle=f"""
         WITH {_DAILY_DEMEANED_SQL},
-        den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        den AS (SELECT sum(CAST(y AS HUGEINT) * y) AS den FROM y),
         pairs AS (
             SELECT k.lag, a.y AS ya, b.y AS yb
             FROM y a
@@ -611,7 +611,7 @@ _DAILY_DEMEANED_SQL = """
         ),
         num AS (
             SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-                   CAST(sum(ya * yb) AS BIGINT) AS num
+                   sum(CAST(ya AS HUGEINT) * yb) AS num
             FROM pairs GROUP BY lag
         )
         SELECT CAST(num.lag AS BIGINT) AS lag,
@@ -665,7 +665,15 @@ def timeseries_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = filled.crossJoin(F.broadcast(tot)).select(
         "idx", "n", (F.col("n") * F.col("x") - F.col("s")).alias("y")
     )
-    den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    # y^2 / ya*yb power sums and the e4 product run in DECIMAL(38,0):
+    # int64 overflows around sf10 (abs(num)*10000 first), the exact
+    # hazard the DECIMAL(38)/HUGEINT pattern in
+    # graph_degree_assortativity exists for. The quotient is made EXACT
+    # by subtracting the decimal modulus before dividing; DuckDB
+    # reaches the same integers through HUGEINT `//`.
+    den = y.agg(
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("den")
+    )
     lags = F.array(*[F.lit(k) for k in ACF_LAGS])
     probes = y.select(
         "idx", F.col("y").alias("ya"), F.explode(lags).alias("lag")
@@ -674,7 +682,8 @@ def timeseries_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.select(F.col("idx").alias("bidx"), F.col("y").alias("yb")), "bidx"
     )
     num = pairs.groupBy("lag").agg(
-        F.count("*").alias("n_pairs"), F.sum(F.col("ya") * F.col("yb")).alias("num")
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("ya").cast("decimal(38,0)") * F.col("yb")).alias("num"),
     )
     return (
         num.crossJoin(F.broadcast(den))
@@ -685,7 +694,8 @@ def timeseries_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs").cast("long").alias("n_pairs"),
             F.expr(
                 "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-                " * (abs(num) * 10000 DIV den) AS BIGINT)"
+                " * ((abs(num) * 10000 - (abs(num) * 10000) % den)"
+                " / den) AS BIGINT)"
             ).alias("acf_e4"),
         )
         .orderBy("lag")

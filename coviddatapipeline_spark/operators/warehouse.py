@@ -658,13 +658,21 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # (column, duckdb min/max formatter, spark min/max formatter) — doubles
-# go through C printf so both engines render identical strings; dates
-# normalize to yyyy-MM-dd.
+# render through an INTEGER cents path (floor(v*100+0.5) as BIGINT):
+# printf('%.2f') is NOT engine-portable on exact binary ties (Java
+# Formatter rounds HALF_UP, C printf rounds half-even on the binary
+# value), so an x.125-style min/max would hash-fail; one IEEE multiply
+# + floor is bit-identical on both engines. Dates normalize to
+# yyyy-MM-dd.
 _STATS_COLS = (
     ("o_orderkey", "CAST({v} AS VARCHAR)", "CAST({v} AS STRING)"),
     ("o_custkey", "CAST({v} AS VARCHAR)", "CAST({v} AS STRING)"),
     ("o_orderstatus", "{v}", "{v}"),
-    ("o_totalprice", "printf('%.2f', {v})", "format_string('%.2f', {v})"),
+    (
+        "o_totalprice",
+        "CAST(CAST(floor({v} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor({v} * 100 + 0.5) AS BIGINT) AS STRING)",
+    ),
     ("o_orderdate", "CAST(CAST({v} AS DATE) AS VARCHAR)", "CAST(CAST({v} AS DATE) AS STRING)"),
     ("o_orderpriority", "{v}", "{v}"),
 )
@@ -697,8 +705,10 @@ def _stats_oracle() -> str:
         "scan: a single multi-aggregate row (Catalyst expands the "
         "count-distincts) unpivoted with stack() into the stats table — "
         "at 100 TB you pay one pass, not one pass per column; doubles "
-        "render through C printf on both engines so min/max strings are "
-        "bit-identical, dates normalize to yyyy-MM-dd. Exact NDV is the "
+        "render through an integer cents path (floor(v*100+0.5) as "
+        "BIGINT) so min/max strings are bit-identical on both engines "
+        "even on exact binary ties, dates normalize to yyyy-MM-dd. "
+        "Exact NDV is the "
         "reference; the HLL entry is the cheap path when a 2% error is "
         "acceptable."
     ),

@@ -73,6 +73,51 @@ def assert_no_single_partition(df: DataFrame) -> None:
         )
 
 
+def assert_single_partition_windows_bounded(
+    df: DataFrame, bound_regex: str
+) -> int:
+    """Every ``Exchange SinglePartition`` in the plan must sit ABOVE a
+    row-bounding prune: its subtree (deeper-indented lines below it)
+    must contain a line matching ``bound_regex`` — typically the
+    per-bucket top-k ``Filter (lbk#n <= k)`` that caps the window's
+    input at k * n_buckets rows. This turns the "that global window is
+    safe, its input is pruned" comment into a test: deleting the prune
+    leaves the SinglePartition exchange with no bound in its subtree
+    and this raises. Returns the number of single-partition exchanges
+    checked (0 is legal — no global window at all is even better)."""
+    plan = executed_plan(df)
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        m = re.search(r"[A-Za-z*(]", line)
+        return m.start() if m else len(line)
+
+    checked = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        checked += 1
+        d = indent(line)
+        subtree = []
+        for below in lines[i + 1 :]:
+            if below.strip() and indent(below) <= d:
+                break
+            subtree.append(below)
+        # A global scalar aggregate funnels ONE partial row per input
+        # partition through SinglePartition — bounded by n_partitions,
+        # not by data. Its immediate child is the partial aggregate.
+        first_child = next((s for s in subtree if s.strip()), "")
+        if re.search(r"Aggregate\(.*functions=\[partial_", first_child):
+            continue
+        if not any(re.search(bound_regex, s) for s in subtree):
+            raise AssertionError(
+                f"Exchange SinglePartition at plan line {i} has no "
+                f"row-bounding prune matching {bound_regex!r} below it:\n"
+                + "\n".join([line] + subtree)[:3000]
+            )
+    return checked
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     """Raise if the plan degenerated into a nested-loop/cartesian join —
     the failure mode of an inequality join missing its equi-key."""

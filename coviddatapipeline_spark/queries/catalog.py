@@ -49,6 +49,32 @@ class Query:
     oracle: str | None = None  # DuckDB ANSI SQL, None => rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    src: QueryFn | None = None  # unwrapped builder (for fingerprinting)
+
+
+def entry_fingerprint(name: str) -> str:
+    """Content hash of an entry: its defining module's source + oracle.
+
+    The sweep gate (tools/sweep_oracles.py + tests/test_window_swept.py)
+    stamps each locally-verified entry with this hash; editing any code
+    in the entry's module or its oracle invalidates the stamp, so an
+    unswept or stale entry cannot sit in the driver's 50-slot window
+    without a red test. Module-level hashing is deliberately
+    conservative: touching one function re-gates every entry in that
+    module, which is exactly when a re-sweep is wanted.
+    """
+    import hashlib
+    import inspect
+    import sys as _sys
+
+    q = get(name)
+    src_fn = q.src or q.fn
+    mod_file = inspect.getfile(_sys.modules[src_fn.__module__])
+    h = hashlib.sha256()
+    with open(mod_file, "rb") as f:
+        h.update(f.read())
+    h.update((q.oracle or "").encode())
+    return h.hexdigest()
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -64,73 +90,84 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 #
-# Round-3 window:
-#   - sentinels: 9 previously-green rows spanning covid/dedup/ann/text/
-#     events (regression canaries for the families rotated out);
-#   - round-3 fixes: the 9 HUGEINT-cast oracles (round-2's red class),
-#     the null-free window_lag + string-decimal rewrites, the star-CC
-#     swap, the estimator-audit LEFT JOIN, the integer-exact degree
-#     histogram;
-#   - rotation: first driver coverage for datapipe, warehouse,
-#     retrieval, graph, timeseries, linalg, reshape, tpch_more/rest and
-#     the remaining relational/advanced entries.
+# Round-4 window (VERDICT r03 #1: a COVERAGE round — ≥41 first-time
+# names from the 131-entry never-driver-checked backlog, ≤9 sentinels,
+# registry growth frozen):
+#   - sentinels: 7 previously-green rows, one per brief-defining family
+#     (relational/covid/dedup/ann/text/events) — regression canaries;
+#   - round-4 changed entries (ADVICE r03 fixes — µs-exact session
+#     gaps, broadcast-scalar token total, DECIMAL(38) ACF sums,
+#     integer-cents stats rendering) — all also first-time-checked;
+#   - rotation: breadth-first across every family VERDICT r03 lists as
+#     never-covered: sketches, PQ/semdedup/matryoshka, warehouse
+#     audits, graph stats, RRF fusion + PMI, timeseries, third-sitting
+#     events rows, dedup late additions, datapipe, tpch_rest,
+#     relational_ext analytics, multimodal frame hashes, linkage.
 _PRIORITY: tuple[str, ...] = (
-    # --- sentinels (green in CORRECTNESS_r02) ---
+    # --- sentinels (green in CORRECTNESS_r02/r03) ---
     "flagship_revenue_by_nation",
     "s1_scan_count_orders",
-    "s6_p2_watermark_increment",
-    "q2_a2_latest_date",
     "q4_topk_other_share",
     "dedup_minhash_lsh",
     "ann_cosine_topk_ivf",
     "text_token_stats",
-    "events_sessionization",
-    # --- round-3 fixed oracles: HUGEINT casts (VERDICT r02 fix #1) ---
-    "f3_f4_cast_with_default",
-    "docpipe_clean_corpus_stats",
-    "text_repetition_ratio",
-    "text_gopher_rules",
-    "text_word_entropy",
-    "text_unigram_logprob",
-    "tpch_q11_important_stock",
-    "contamination_ngram_overlap",
-    "pack_sequences_greedy",
-    "events_hourly_profile",
-    # --- round-3 fixed oracles: null-free / string-decimal rewrites ---
-    "window_lag_order_gap_days",
-    "decimal_money_totals",
-    # --- round-3 changed implementations ---
-    "dedup_near_dup_components",  # now the alternating-star core
-    "dedup_minhash_estimator_audit",  # oracle LEFT JOIN (ADVICE)
-    "graph_degree_histogram",  # integer-exact bucketing (ADVICE)
-    # --- promoted oracle-backed multimodal entry (r02 fix #3) ---
-    "mm_av_header_probe",
-    # --- rotation: families never covered by a CORRECTNESS file ---
-    "pricing_summary",
-    "window_topk_orders_per_segment",
-    "join_left_outer_order_counts",
-    "scalar_subquery_above_avg",
-    "median_price_per_segment",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_revenue_by_customer",
-    "tpch_q18_large_volume_customers",
-    "tpch_q9_product_profit",
-    "tpch_q2_min_cost_supplier",
-    "pivot_priority_by_status",
-    "unpivot_order_metrics",
-    "rfm_customer_segments",
-    "split_train_val_test",
-    "sample_token_budget_per_lang",
-    "emb_int8_quant_stats",
-    "scd2_customer_merge",
-    "dq_constraint_audit",
-    "tfidf_top_terms",
-    "bm25_fixed_query",
-    "pagerank_customer_supplier",
-    "events_ewma_daily_revenue",
-    "daily_revenue_anomalies",
-    "emb_pca_power_iteration",
-    "events_funnel_conversion",
+    "events_sessionization",  # also re-verifies the µs-exact gap fix
+    # --- round-4 changed implementations (ADVICE r03), first-time ---
+    "events_session_survival",
+    "events_session_path_mining",
+    "events_peak_concurrency",
+    "text_longdoc_token_share",
+    "timeseries_acf_daily_orders",
+    "table_stats_analyze_audit",
+    # --- rotation: sketches ---
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_cardinality",
+    "bloom_join_prefilter_audit",
+    # --- rotation: similarity (PQ / semdedup / matryoshka) ---
+    "semdedup_cell_prune",
+    "ann_matryoshka_recall",
+    "pq_codebook_assign",
+    "pq_adc_topk_recall",
+    # --- rotation: warehouse audits ---
+    "zorder_layout_skipping_audit",
+    "warehouse_snapshot_diff_cdc",
+    "warehouse_partition_skew_audit",
+    # --- rotation: graph stats ---
+    "graph_degree_assortativity",
+    "graph_triangle_stats",
+    "graph_semantic_clusters",
+    # --- rotation: retrieval fusion ---
+    "hybrid_rrf_fusion",
+    "bigram_pmi_top",
+    # --- rotation: timeseries ---
+    "timeseries_cusum_changepoint",
+    "timeseries_ols_trend",
+    "timeseries_mad_outliers",
+    # --- rotation: third-sitting events rows ---
+    "events_dau_wau_stickiness",
+    "events_usage_gini",
+    "events_temporal_neighbor_join",
+    # --- rotation: dedup late additions ---
+    "dedup_exact_substring_runs",
+    "dedup_incremental_neardup_ingest",
+    "dedup_simhash_banded_pairs_salted",
+    # --- rotation: datapipe / curation ---
+    "train_order_global_shuffle",
+    "mix_budget_waterfill",
+    "docpipe_curation_manifest",
+    # --- rotation: tpch_rest ---
+    "tpch_q4_priority_check",
+    "tpch_q14_promo_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # --- rotation: relational_ext analytics ---
+    "customer_revenue_pareto",
+    "orders_cohort_ltv_matrix",
+    # --- rotation: multimodal / linkage / text ---
+    "mm_frame_hashes",
+    "linkage_blocked_fuzzy_match",
+    "text_vocab_growth_curve",
+    "text_bpe_merge_candidates",
 )
 
 
@@ -185,7 +222,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
         wrapped.__doc__ = fn.__doc__
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        _REGISTRY[name] = Query(
+            name=name, fn=wrapped, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), tags=tags, src=fn,
+        )
         return fn
 
     return deco

@@ -242,12 +242,28 @@ def compact_small_files(
     accrete kilobyte files whose per-file open/footer cost eventually
     dominates scans (the classic small-file problem); compaction is one
     narrow ``coalesce`` — no shuffle — into ceil(rows/target) files,
-    staged to a sibling directory and atomically swapped so a reader
-    never sees a half-written table. Run it where a real lakehouse
-    runs OPTIMIZE: off the write path, per partition."""
+    staged to a sibling directory and swapped in. The swap is two
+    renames, NOT atomic: a concurrent reader can observe a missing
+    table directory between them (a real lakehouse closes this window
+    with a manifest/pointer the way Delta/Iceberg commit a snapshot —
+    directory swaps cannot). Crash-safe, though: stale ``_compact_tmp``
+    / ``_compact_old`` leftovers from a prior failed run are cleaned up
+    at entry, and a failure between the renames restores the original
+    path before re-raising. Run it where a real lakehouse runs
+    OPTIMIZE: off the write path, per partition, readers quiesced."""
     import math
     import os
     import shutil
+
+    staged = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a prior failed run: a stranded _compact_old means the
+    # swap crashed mid-way with nothing at `path` — restore it first.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     df = spark.read.parquet(path)
     n_rows = df.count()
@@ -255,11 +271,13 @@ def compact_small_files(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
     n_files = max(1, math.ceil(n_rows / max(target_rows_per_file, 1)))
-    staged = path.rstrip("/") + "._compact_tmp"
     df.coalesce(n_files).write.mode("overwrite").parquet(staged)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
-    os.rename(staged, path)
+    try:
+        os.rename(staged, path)
+    except BaseException:
+        os.rename(old, path)  # restore the original table, then re-raise
+        raise
     shutil.rmtree(old)
     files_after = len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]

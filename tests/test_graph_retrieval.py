@@ -136,6 +136,28 @@ def test_rrf_fusion_invariants(spark, parity_sf_dir):
         assert r["lex_rank"] > 0 or r["sem_rank"] > 0
 
 
+def test_rrf_single_partition_windows_are_bounded(spark, parity_sf_dir):
+    """VERDICT r03 #4: the three unpartitioned ranking windows in
+    hybrid_rrf_fusion are safe only because each sits above a
+    per-bucket top-RRF_LIST prune (input <= RRF_LIST * 32 rows). Pin
+    that on the compiled plan: every Exchange SinglePartition subtree
+    must contain the prune Filter (lbk/lrk <= RRF_LIST, or for the
+    fused window the already-ranked lex_rank/sem_rank <= RRF_LIST
+    filters on both join inputs). Deleting any prune turns this red."""
+    from coviddatapipeline_spark.operators import retrieval as R
+    from coviddatapipeline_spark.plans import (
+        assert_single_partition_windows_bounded,
+    )
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    df = all_queries()["hybrid_rrf_fusion"].fn(spark, parity_sf_dir)
+    bound = rf"\b(lbk|lrk|lex_rank|sem_rank)#\d+L? <= {R.RRF_LIST}\b"
+    checked = assert_single_partition_windows_bounded(df, bound)
+    # lex + sem each funnel once; the fused window reuses the join
+    # output's existing single partitioning (no third exchange).
+    assert checked >= 2
+
+
 def test_vocab_growth_totals(spark, parity_sf_dir):
     """The growth curve's final cumulative vocabulary must equal the
     corpus-wide distinct word count, and new_words must sum to it."""

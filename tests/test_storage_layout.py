@@ -272,3 +272,34 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     after = spark.read.parquet(p)
     assert sorted(r["id"] for r in after.collect()) == before_rows
     assert after.groupBy("k").count().count() == 7
+
+
+def test_compact_small_files_recovers_from_stale_dirs(spark, tmp_path):
+    """Crash-recovery contract (ADVICE r03): leftover _compact_tmp /
+    _compact_old from a prior failed run must not fail the next
+    invocation, and a stranded _compact_old with nothing at the table
+    path (crash between the two renames) must be restored."""
+    import os
+    import shutil
+
+    from coviddatapipeline_spark.sources import compact_small_files
+
+    p = os.path.join(str(tmp_path), "t")
+    df = spark.range(1_000).select(F.col("id"))
+    df.repartition(8).write.parquet(p)
+    before_rows = sorted(r["id"] for r in spark.read.parquet(p).collect())
+
+    # stale leftovers from a "prior failed run"
+    os.makedirs(p + "._compact_tmp/junk")
+    fb, fa = compact_small_files(spark, p, target_rows_per_file=1_000)
+    assert fa == 1
+    assert not os.path.exists(p + "._compact_tmp")
+    assert not os.path.exists(p + "._compact_old")
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before_rows
+
+    # crash between the renames: table stranded at _compact_old
+    shutil.move(p, p + "._compact_old")
+    assert not os.path.exists(p)
+    fb, fa = compact_small_files(spark, p, target_rows_per_file=1_000)
+    assert fa == 1
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before_rows

@@ -68,14 +68,34 @@ def test_stream_event_window_agg(spark, tmp_path, parity_sf_dir):
         .start()
     )
     q.awaitTermination(120)
-    out = spark.sql("SELECT sum(n) AS total FROM ev_out").collect()[0]
 
-    # append mode emits only windows closed by the watermark; the final
-    # (unclosed) windows are withheld, so compare against batch minus tail.
-    batch = (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type").count().agg(F.sum("count"))
-    ).collect()[0][0]
-    assert out["total"] is not None and 0 < out["total"] <= batch
+    # Exactness contract (VERDICT r03 #7): every window the stream
+    # emits must equal the batch aggregation cell-for-cell, and the
+    # only rows append mode may withhold are the watermark tail —
+    # windows ending within (watermark) of the global max event time.
+    got = {
+        (r["window"]["start"], r["window"]["end"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM ev_out").collect()
+    }
+    batch_rows = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    batch = {
+        (r["window"]["start"], r["window"]["end"], r["event_type"]): r["n"]
+        for r in batch_rows
+    }
+    assert got and all(batch.get(k) == v for k, v in got.items())
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    tail_cut = max_ts - datetime.timedelta(minutes=30)
+    withheld = set(batch) - set(got)
+    assert all(end > tail_cut for (_, end, _) in withheld), (
+        "append mode withheld a window NOT in the watermark tail: "
+        f"{sorted(withheld)[:5]}"
+    )
 
 
 def test_stream_stateful_running_totals(spark, tmp_path, parity_sf_dir):
@@ -586,3 +606,53 @@ def test_stream_dau_wau_matches_batch(spark, tmp_path, parity_sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Twin-coverage audit (VERDICT r03 #7)
+# ---------------------------------------------------------------------------
+
+# Every streaming twin and the exactness contract its test pins. A new
+# stream_* function added to pipeline/streaming.py without an entry
+# here (and a test referencing it) turns the audit red — the gap the
+# round-3 verdict asked to make structural.
+_TWIN_CONTRACTS = {
+    "stream_csv_to_silver": "test_stream_resume_exactly_once",
+    "stream_refresh_gold": "test_stream_refresh_gold_tracks_ingestion",
+    "stream_incremental_gold_q5": "test_stream_incremental_gold_q5",
+    "stream_session_windows": "test_stream_session_windows_match_batch",
+    "stream_enrich_with_static": "test_stream_static_enrichment",
+    "stream_click_purchase_join": "test_stream_stream_interval_join_matches_batch",
+    "stream_dedup_within_watermark": "test_stream_dedup_within_watermark",
+    "stream_user_running_totals": "test_stream_stateful_running_totals",
+    "stream_event_counts": "test_stream_event_window_agg",
+    "stream_daily_mix_drift": "test_stream_daily_mix_drift_matches_batch",
+    "stream_cms_grid": "test_stream_cms_grid_matches_batch",
+    "stream_dau_wau": "test_stream_dau_wau_matches_batch",
+}
+
+
+def _public_stream_fns():
+    import inspect
+
+    from coviddatapipeline_spark.pipeline import streaming as S
+
+    return sorted(
+        n
+        for n, obj in vars(S).items()
+        if n.startswith("stream_") and inspect.isfunction(obj)
+        and obj.__module__ == S.__name__
+    )
+
+
+def test_every_streaming_twin_has_an_exactness_test():
+    """Audit: the twin registry above covers every public stream_*
+    function, and every named test actually exists in this module."""
+    fns = _public_stream_fns()
+    missing = [n for n in fns if n not in _TWIN_CONTRACTS]
+    assert not missing, f"streaming twins with no exactness test: {missing}"
+    stale = [n for n in _TWIN_CONTRACTS if n not in fns]
+    assert not stale, f"twin registry names no longer in streaming.py: {stale}"
+    here = globals()
+    gone = [t for t in _TWIN_CONTRACTS.values() if t not in here]
+    assert not gone, f"twin tests named in the registry do not exist: {gone}"
