@@ -164,7 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_revenue_pareto",
     "orders_cohort_ltv_matrix",
     # --- rotation: multimodal / linkage / text ---
-    "mm_frame_hashes",
+    "mm_image_decode_bmp",  # round-4 upgrade: REAL BMP parser, new oracle
     "linkage_blocked_fuzzy_match",
     "text_vocab_growth_curve",
     "text_bpe_merge_candidates",

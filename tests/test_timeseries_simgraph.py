@@ -356,3 +356,86 @@ def test_cusum_walk_returns_to_zero(spark, parity_sf_dir):
     mags = [abs(r["cusum"]) for r in rows]
     assert mags == sorted(mags, reverse=True)
     assert all(m > 0 for m in mags)
+
+
+def test_bmp_decoder_parses_real_bmps():
+    """The mm_image_decode_bmp parser must be a REAL 24bpp-BMP decoder,
+    not a pattern-reader: round-trip arbitrary pixels through the
+    encoder, including odd widths (row padding) and a hand-built
+    top-down (negative height) variant, and reject non-BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_bmp,
+        make_bmp_decoder,
+    )
+
+    decode = make_bmp_decoder()
+
+    rng_bytes = bytes((i * 37 + 11) % 256 for i in range(9 * 5 * 3))
+    # odd width 9 -> stride 28 != 27: padding must be stripped exactly
+    got = decode(encode_bmp(9, 5, rng_bytes))
+    flat = np.frombuffer(rng_bytes, dtype=np.uint8)
+    assert got == (
+        9, 5, 3, 135, int(flat[0]), int(flat.sum(dtype=np.int64)) * 10000 // 135
+    )
+
+    # top-down BMP: negative biHeight, rows stored first-row-first
+    w, h = 6, 4
+    px = bytes(range(w * h * 3))
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    rows = b"".join(
+        px[r * w * 3 : (r + 1) * w * 3] + pad for r in range(h)
+    )
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+    got = decode(blob)
+    pflat = np.frombuffer(px, dtype=np.uint8)
+    assert got == (
+        w, h, 3, w * h * 3, 0, int(pflat.sum(dtype=np.int64)) * 10000 // (w * h * 3)
+    )
+
+    # non-BMP payloads are rejected, not misparsed
+    assert decode(b"") is None
+    assert decode(b"PNG" + b"\x00" * 60) is None
+    assert decode(struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + b"\x00" * 44) is None
+
+
+def test_bmp_entry_matches_local_decode(spark, parity_sf_dir):
+    """The registered entry's per-doc stats must equal decoding the
+    same synthesized BMPs locally with the same parser — pinning that
+    the distributed mapInPandas path and the parser agree."""
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import make_bmp_decoder
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    rows = (
+        all_queries()["mm_image_decode_bmp"]
+        .fn(spark, parity_sf_dir)
+        .limit(25)
+        .collect()
+    )
+    assert rows and all(r["decoded"] for r in rows)
+    decode = make_bmp_decoder()
+    docs = {
+        r["doc_id"]: r["n_bytes"]
+        for r in all_queries()["mm_binary_metadata"].fn(spark, parity_sf_dir).collect()
+    }
+    for r in rows:
+        nb = docs[r["doc_id"]]
+        w, h, a = nb % 64 + 4, nb % 48 + 4, (r["doc_id"] * 31) % 256
+        flat = ((a + np.arange(w * h * 3)) % 256).astype(np.uint8)
+        from coviddatapipeline_spark.operators.multimodal import encode_bmp
+
+        got = decode(encode_bmp(w, h, flat.tobytes()))
+        assert got == (
+            r["width"], r["height"], r["channels"], r["n_pixel_bytes"],
+            r["top_left_b"], r["mean_pixel_e4"],
+        )
