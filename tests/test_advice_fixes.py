@@ -157,3 +157,132 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(D, "MAX_SHINGLE_DF", 1000)
     pairs = {(r.doc_a, r.doc_b) for r in D.dedup_ngram_jaccard_pairs(spark, root).collect()}
     assert (1, 2) in pairs and any(a >= 100 for a, _ in pairs)
+
+
+# --- round-3 ADVICE regressions: boundary-data parity ----------------------
+#
+# The r03 fixes (µs-exact session gaps; integer-cents ANALYZE rendering)
+# were verified by three-SF sweeps, but the driver testdata need not
+# contain the actual hazard inputs — a gap strictly inside (1800 s,
+# 1801 s), or a price that is an exact binary tie at the rounding
+# boundary. These fixtures synthesize exactly those inputs and run the
+# REGISTERED entries against their REGISTERED oracles on them, so the
+# cross-engine semantics are pinned independent of what the driver
+# generates.
+
+import datetime as _dt
+
+import duckdb as _duckdb
+
+
+def _us(base, micros):
+    return base + _dt.timedelta(microseconds=micros)
+
+
+@pytest.fixture(scope="module")
+def gap_boundary_dir(spark, tmp_path_factory):
+    """events.parquet engineered around the 30-minute session boundary."""
+    base = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows, eid = [], 0
+
+    def ev(user, micros, etype="view", value=1.0):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, _us(base, micros), user, etype, value, "{}"))
+
+    ev(1, 0); ev(1, 1_800_000_000)              # gap == 1800 s: same session
+    ev(2, 0); ev(2, 1_800_000_001)              # 1 µs over: new session
+    ev(3, 0); ev(3, 1_800_500_000)              # the truncation-bug zone
+    ev(4, 0); ev(4, 1_799_999_999)              # 1 µs under: same session
+    ev(5, 0)                                     # singleton user
+    ev(6, 0, "view"); ev(6, 60_000_000, "click")  # normal session w/ path
+    ev(6, 1_860_500_123, "purchase")             # 1800.500123 s after the click: new session
+    root = str(tmp_path_factory.mktemp("gapboundary"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_sessionization",
+        "events_session_survival",
+        "events_session_path_mining",
+        "events_peak_concurrency",
+    ],
+)
+def test_session_gap_boundary_parity(name, spark, gap_boundary_dir):
+    """Every sessionization consumer must agree with its oracle on gaps
+    1 µs either side of (and exactly at) the 30-minute boundary — the
+    whole-second-truncation compare would split user 3 differently."""
+    from tests.parity import compare
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{gap_boundary_dir}/events.parquet/*.parquet')"
+    )
+    q = catalog.get(name)
+    ok, msg = compare(q.fn(spark, gap_boundary_dir), con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_session_gap_boundary_splits(spark, gap_boundary_dir):
+    """Direct semantics: == 1800 s joins the session, anything strictly
+    over splits it — including the (1800 s, 1801 s) zone that
+    whole-second truncation misjudged."""
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in catalog.get("events_sessionization")
+        .fn(spark, gap_boundary_dir)
+        .collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 1, 6: 2}
+
+
+@pytest.fixture(scope="module")
+def tie_orders_dir(spark, tmp_path_factory):
+    """orders.parquet whose min/max o_totalprice are exact binary ties
+    at the cents-rounding boundary (x.125 / x.875 are exactly
+    representable doubles; printf('%.2f') renders them differently
+    across Java HALF_UP and C half-even)."""
+    base = _dt.datetime(1995, 6, 1)
+    rows = [
+        (1, 10, "F", 0.125, base, "1-URGENT"),
+        (2, 20, "O", 2.675, base + _dt.timedelta(days=1), "2-HIGH"),
+        (3, 30, "F", 9999.875, base + _dt.timedelta(days=2), "3-MEDIUM"),
+        (4, None, "P", None, base + _dt.timedelta(days=3), None),
+    ]
+    root = str(tmp_path_factory.mktemp("tieorders"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(root, "orders.parquet"))
+    return root
+
+
+def test_analyze_stats_tie_rendering_parity(spark, tie_orders_dir):
+    """table_stats_analyze_audit must hash-match its oracle when the
+    min/max doubles are exact rounding-boundary ties — the printf
+    rendering this replaced diverged exactly here."""
+    from tests.parity import compare
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tie_orders_dir}/orders.parquet/*.parquet')"
+    )
+    q = catalog.get("table_stats_analyze_audit")
+    ok, msg = compare(q.fn(spark, tie_orders_dir), con, q.oracle)
+    assert ok, msg
+    row = {
+        r["column_name"]: (r["min_val"], r["max_val"], r["n_nulls"])
+        for r in q.fn(spark, tie_orders_dir).collect()
+    }
+    # integer-cents path: 0.125 -> "13" (floor(12.5+0.5)), 9999.875 -> "999988"
+    assert row["o_totalprice"] == ("13", "999988", 1)
