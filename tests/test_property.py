@@ -323,3 +323,57 @@ def test_waterfill_conservation_and_fairness(spark, sizes, num):
         for s, a in allocs:
             if a == s:  # capped
                 assert s <= max(uncapped) + 1
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            # num magnitudes beyond int64 (the pattern exists precisely
+            # because m*Sxy-style products overflow 2^63)
+            st.integers(min_value=-(10**27), max_value=10**27),
+            st.integers(min_value=1, max_value=10**27),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_decimal38_exact_division_property(spark, pairs):
+    """The DECIMAL(38,0) exact-division pattern shared by
+    graph_degree_assortativity and timeseries_acf_daily_orders —
+    sign(num) * ((|num|*10000 - (|num|*10000) % den) / den) — must
+    equal Python's exact sign-explicit truncating division
+    sign * (|num|*10000 // den) for arbitrary wide integers, including
+    magnitudes far beyond int64. Pins the pattern itself, not just the
+    two entries' current data."""
+    from pyspark.sql import functions as F
+
+    # Clamp den so the e4 quotient fits BIGINT: the production uses of
+    # this pattern emit bounded statistics (e4 correlations in [-1e4,
+    # 1e4]), and ANSI mode rightly throws on a quotient > 2^63 — that
+    # throw is itself the desired failure mode, not silent wrap.
+    pairs = [
+        (n, max(d, abs(n) * 10000 // (2**62) + 1)) for n, d in pairs
+    ]
+    rows = [(i, str(n), str(d)) for i, (n, d) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i long, num_s string, den_s string").select(
+        "i",
+        F.col("num_s").cast("decimal(38,0)").alias("num"),
+        F.col("den_s").cast("decimal(38,0)").alias("den"),
+    )
+    got = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i",
+            F.expr(
+                "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(num) * 10000 - (abs(num) * 10000) % den)"
+                " / den) AS BIGINT)"
+            ).alias("q"),
+        ).collect()
+    }
+    for i, (n, d) in enumerate(pairs):
+        sign = -1 if n < 0 else 1
+        want = sign * (abs(n) * 10000 // d)
+        assert got[i] == want, (n, d, got[i], want)
