@@ -237,6 +237,8 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             "hybrid_rrf_fusion",
             "events_dau_wau_stickiness",
             "timeseries_cusum_changepoint",
+            # round-4: the Arrow mapInPandas decode path (real BMP parse)
+            "mm_image_decode_bmp",
         ):
             timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
     except Exception as e:
