@@ -105,9 +105,12 @@ def assert_single_partition_windows_bounded(
             subtree.append(below)
         # A global scalar aggregate funnels ONE partial row per input
         # partition through SinglePartition — bounded by n_partitions,
-        # not by data. Its immediate child is the partial aggregate.
+        # not by data. Its immediate child is the keyless partial/merge
+        # aggregate (count-distinct plans lead with merge_count).
         first_child = next((s for s in subtree if s.strip()), "")
-        if re.search(r"Aggregate\(.*functions=\[partial_", first_child):
+        if re.search(
+            r"Aggregate\(keys?=\[\], functions=\[(partial_|merge_)", first_child
+        ):
             continue
         if not any(re.search(bound_regex, s) for s in subtree):
             raise AssertionError(
