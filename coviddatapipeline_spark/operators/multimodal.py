@@ -380,9 +380,9 @@ _RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
     """,
     doc=(
         "Aspect-preserving resize planning (max side 224) as an Arrow-"
-        "batched mapInPandas kernel over the stub-decoded dimensions — "
+        "batched mapInPandas kernel over byte-derived image dimensions — "
         "the resize half of an image pipeline with the same batch shape "
-        "a real PIL/libvips kernel would use. Because the stub dims are "
+        "a real PIL/libvips kernel would use. Because the dimensions are "
         "a deterministic function of payload bytes, even this UDF path "
         "is oracle-checked."
     ),
