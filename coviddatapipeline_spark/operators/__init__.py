@@ -8,5 +8,5 @@
 - ``similarity``  ANN over embeddings (brute-force + IVF-by-partition)
 - ``text``        language-ID, quality scoring, token counts, fingerprints
 - ``events``      event-time windows, sessionization, as-of join
-- ``multimodal``  opaque-binary column plumbing with stubbed decoders
+- ``multimodal``  opaque-binary column plumbing; real BMP decode, A/V probes
 """

@@ -455,8 +455,9 @@ _CODECS = ("h264", "aac", "opus", "vp9")
         "then roll up the catalog per (container, codec). The parse "
         "is pure JVM column algebra over the first header bytes — at "
         "100 TB this is the pattern that builds the media-catalog "
-        "dimension in one scan while full decode stays in the stubbed "
-        "mapInPandas kernels (no media libs in this container; the "
+        "dimension in one scan while full A/V decode stays out of scope "
+        "(no media libs in this container — the image path's real BMP "
+        "parser is the decode exemplar; the "
         "dispatch here keys on byte-derived integers rather than real "
         "magic numbers, but the plumbing — byte slicing, struct "
         "typing, catalog rollup — is the production shape)."
