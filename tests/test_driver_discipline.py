@@ -1,0 +1,88 @@
+"""Driver-discipline gate (SCALE.md §9 as a test, not prose).
+
+No operator may materialize data-proportional results on the driver.
+This statically enumerates every ``.collect()`` / ``.toPandas()`` /
+``.toLocalIterator()`` call site in the package (AST walk — no Spark)
+and pins the set to the documented metadata-sized allowlist. Adding a
+driver-side materialization anywhere else turns this red, forcing the
+author to either express it distributed (the broadcast-scalar /
+crossJoin house pattern) or argue it onto the allowlist with a
+bounded-cardinality justification.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "coviddatapipeline_spark",
+)
+
+# function -> (max sites, why the materialization is metadata-sized)
+ALLOWED = {
+    "with_global_row_number": (1, "bucket cutpoint counts: num_buckets rows"),
+    "with_global_running_sum": (1, "per-bucket prefix offsets: num_buckets rows"),
+    "with_global_running_max": (1, "per-bucket prefix maxima: num_buckets rows"),
+    "km_train_centroids": (2, "Lloyd model state: K centroids x d dims per round"),
+    "ivf_kmeans_one_step": (1, "K centroid seeds"),
+    "emb_pca_power_iteration": (1, "one 64-dim direction vector per round"),
+    "compute_watermark": (1, "1-row watermark aggregate"),
+}
+
+
+def _sites() -> dict[str, int]:
+    found: dict[str, int] = {}
+    for dirpath, _, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            stack: list[str] = []
+
+            class V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if isinstance(f, ast.Attribute) and f.attr in (
+                        "collect",
+                        "toPandas",
+                        "toLocalIterator",
+                    ):
+                        key = stack[-1] if stack else f"<module:{fn}>"
+                        found[key] = found.get(key, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return found
+
+
+def test_every_driver_collect_is_allowlisted_metadata():
+    sites = _sites()
+    rogue = {k: n for k, n in sites.items() if k not in ALLOWED}
+    assert not rogue, (
+        f"undocumented driver-side materialization(s): {rogue} — express "
+        f"distributed (crossJoin(broadcast(agg)) house pattern) or add to "
+        f"the allowlist with a bounded-cardinality justification"
+    )
+    over = {
+        k: n for k, n in sites.items() if k in ALLOWED and n > ALLOWED[k][0]
+    }
+    assert not over, f"allowlisted functions grew extra collect sites: {over}"
+
+
+def test_allowlist_is_not_stale():
+    """Every allowlisted function must still exist and still collect —
+    a removed site should shrink the allowlist, not rot in it."""
+    sites = _sites()
+    stale = [k for k in ALLOWED if k not in sites]
+    assert not stale, f"allowlist entries with no remaining collect site: {stale}"
