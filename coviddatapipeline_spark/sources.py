@@ -283,3 +283,98 @@ def compact_small_files(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
     return files_before, files_after
+
+
+# --- versioned tables: atomic snapshot commits via a pointer file ----------
+#
+# The directory-swap compaction above has an unavoidable reader-visible
+# window (two renames). This is the lakehouse answer in miniature — the
+# same commit protocol Delta/Iceberg use, reduced to one JSON pointer:
+# data lives in immutable versioned directories `<root>/v{N}`, and
+# `<root>/_CURRENT` names the live one. Writers stage a NEW version
+# directory (invisible to readers), then commit with a single
+# `os.replace` of the pointer — atomic on POSIX, so every reader sees
+# either the old snapshot or the new one, never a missing or
+# half-written table. Crash before the pointer flip leaves an orphan
+# directory (garbage-collected on the next commit), never a broken
+# table. On a real object store the pointer is a conditional PUT /
+# rename of the manifest, and old versions double as time travel.
+
+_POINTER = "_CURRENT"
+
+
+def versioned_table_path(root: str) -> str:
+    """Resolve the live snapshot directory of a versioned table."""
+    import json
+    import os
+
+    with open(os.path.join(root, _POINTER)) as f:
+        return os.path.join(root, json.load(f)["version_dir"])
+
+
+def read_versioned(spark: SparkSession, root: str) -> DataFrame:
+    """Read the live snapshot of a versioned table."""
+    return spark.read.parquet(versioned_table_path(root))
+
+
+def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
+    """Commit ``df`` as the table's next immutable snapshot; returns the
+    new version directory. Safe under concurrent readers: they hold the
+    previous snapshot's path, whose files are never modified — only the
+    pointer moves (atomically), and superseded versions are removed on
+    the commit AFTER next, giving in-flight readers of version N a full
+    commit cycle to finish before N's files disappear."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(root, exist_ok=True)
+    ptr = os.path.join(root, _POINTER)
+    prev = None
+    version = 0
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            prev = json.load(f)
+        version = prev["version"] + 1
+    vdir = f"v{version}"
+    df.write.mode("errorifexists").parquet(os.path.join(root, vdir))
+    # single atomic commit point: readers see old or new, never neither
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._ptr_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": version, "version_dir": vdir}, f)
+    os.replace(tmp, ptr)
+    # GC: keep the immediately-superseded version (in-flight readers may
+    # still hold it); drop anything older, plus orphans from crashed
+    # commits that never flipped the pointer.
+    import shutil
+
+    keep = {vdir, prev["version_dir"]} if prev else {vdir}
+    for entry in os.listdir(root):
+        full = os.path.join(root, entry)
+        if (
+            os.path.isdir(full)
+            and entry.startswith("v")
+            and entry not in keep
+        ):
+            shutil.rmtree(full)
+    return os.path.join(root, vdir)
+
+
+def compact_versioned(
+    spark: SparkSession, root: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """OPTIMIZE for versioned tables: rewrite the live snapshot into
+    ceil(rows/target) files as a NEW version with an atomic pointer
+    commit — no reader-visible window at all, unlike the directory-swap
+    `compact_small_files`. Returns (files_before, files_after)."""
+    import math
+    import os
+
+    live = versioned_table_path(root)
+    df = spark.read.parquet(live)
+    n_rows = df.count()
+    files_before = len([f for f in os.listdir(live) if f.endswith(".parquet")])
+    n_files = max(1, math.ceil(n_rows / max(target_rows_per_file, 1)))
+    new_dir = write_versioned(spark, df.coalesce(n_files), root)
+    files_after = len([f for f in os.listdir(new_dir) if f.endswith(".parquet")])
+    return files_before, files_after

@@ -303,3 +303,72 @@ def test_compact_small_files_recovers_from_stale_dirs(spark, tmp_path):
     fb, fa = compact_small_files(spark, p, target_rows_per_file=1_000)
     assert fa == 1
     assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before_rows
+
+
+def test_versioned_table_atomic_commits_and_gc(spark, tmp_path):
+    """The pointer-file commit protocol: every commit is a new immutable
+    version; the pointer names exactly one live snapshot; a reader
+    holding the PREVIOUS snapshot's path can still read it after one
+    more commit (GC keeps N-1); orphan directories from crashed commits
+    are collected on the next commit."""
+    import json
+    import os
+
+    from coviddatapipeline_spark.sources import (
+        read_versioned,
+        versioned_table_path,
+        write_versioned,
+    )
+
+    root = os.path.join(str(tmp_path), "vt")
+    write_versioned(spark, spark.range(10), root)
+    v0 = versioned_table_path(root)
+    assert v0.endswith("v0") and read_versioned(spark, root).count() == 10
+
+    # commit v1; a "reader" still holding v0 must keep working (GC lag)
+    write_versioned(spark, spark.range(20), root)
+    assert versioned_table_path(root).endswith("v1")
+    assert read_versioned(spark, root).count() == 20
+    assert spark.read.parquet(v0).count() == 10  # in-flight reader survives
+
+    # simulate a crashed commit: orphan version dir, pointer unmoved
+    os.makedirs(os.path.join(root, "v99"))
+    with open(os.path.join(root, "v99", "part-junk.parquet"), "w") as f:
+        f.write("junk")
+    assert versioned_table_path(root).endswith("v1")
+
+    # next commit collects both the orphan and v0 (now two commits old)
+    write_versioned(spark, spark.range(30), root)
+    assert versioned_table_path(root).endswith("v2")
+    dirs = {d for d in os.listdir(root) if d.startswith("v")}
+    assert dirs == {"v1", "v2"}
+    assert read_versioned(spark, root).count() == 30
+
+    # the pointer itself is a complete manifest
+    with open(os.path.join(root, "_CURRENT")) as f:
+        ptr = json.load(f)
+    assert ptr == {"version": 2, "version_dir": "v2"}
+
+
+def test_compact_versioned_no_reader_window(spark, tmp_path):
+    """OPTIMIZE via versioned commit: file count drops to
+    ceil(rows/target), rows unchanged, and at EVERY moment the pointer
+    resolves to a complete snapshot (no missing-directory window — the
+    gap the two-rename compaction documents)."""
+    import os
+
+    from coviddatapipeline_spark.sources import (
+        compact_versioned,
+        read_versioned,
+        versioned_table_path,
+        write_versioned,
+    )
+
+    root = os.path.join(str(tmp_path), "vt")
+    write_versioned(spark, spark.range(10_000).repartition(24), root)
+    before = sorted(r["id"] for r in read_versioned(spark, root).collect())
+    fb, fa = compact_versioned(spark, root, target_rows_per_file=5_000)
+    assert fb >= 20 and fa == 2
+    assert sorted(r["id"] for r in read_versioned(spark, root).collect()) == before
+    # the pointer flip is os.replace: the path always resolves
+    assert os.path.isdir(versioned_table_path(root))
