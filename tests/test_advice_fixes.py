@@ -286,3 +286,40 @@ def test_analyze_stats_tie_rendering_parity(spark, tie_orders_dir):
     }
     # integer-cents path: 0.125 -> "13" (floor(12.5+0.5)), 9999.875 -> "999988"
     assert row["o_totalprice"] == ("13", "999988", 1)
+
+
+def test_events_nanos_long_layout_parses_identically(spark, tmp_path, gap_boundary_dir):
+    """The driver has generated events.parquet as TIMESTAMP(NANOS) in
+    some rounds (read as epoch-nanos LONG under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) in
+    others; common.events branches on the physical dtype. The layout
+    drift broke a full round once, and only the MICROS branch is
+    exercised by current testdata — so pin the NANOS branch: the same
+    events written as epoch-nanos longs must parse to EXACTLY the rows
+    the MICROS file yields, microseconds included."""
+    from coviddatapipeline_spark.operators.common import events
+
+    micros = events(spark, gap_boundary_dir)
+    nanos_root = os.path.join(str(tmp_path), "nanos_sf")
+    micros.select(
+        "event_id",
+        (F.unix_micros("ts") * F.lit(1000)).alias("ts"),  # epoch NANOS long
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(os.path.join(nanos_root, "events.parquet"))
+
+    back = events(spark, nanos_root)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    a = sorted(map(tuple, micros.select("event_id", "ts").collect()))
+    b = sorted(map(tuple, back.select("event_id", "ts").collect()))
+    assert a == b  # µs-exact across both physical layouts
+
+    # and the sessionization consumer agrees end-to-end on the µs
+    # boundary fixture through the NANOS path too
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in catalog.get("events_sessionization").fn(spark, nanos_root).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 1, 6: 2}
