@@ -323,7 +323,10 @@ def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
     previous snapshot's path, whose files are never modified — only the
     pointer moves (atomically), and superseded versions are removed on
     the commit AFTER next, giving in-flight readers of version N a full
-    commit cycle to finish before N's files disappear."""
+    commit cycle to finish before N's files disappear. Single WRITER
+    assumed (like Delta without a commit service); a racing second
+    writer fails cleanly at the ``errorifexists`` data write, before
+    any pointer motion."""
     import json
     import os
     import tempfile
@@ -345,18 +348,17 @@ def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
     os.replace(tmp, ptr)
     # GC: keep the immediately-superseded version (in-flight readers may
     # still hold it); drop anything older, plus orphans from crashed
-    # commits that never flipped the pointer.
+    # commits that never flipped the pointer — both stranded version
+    # directories and ._ptr_* temp files that died before os.replace.
     import shutil
 
     keep = {vdir, prev["version_dir"]} if prev else {vdir}
     for entry in os.listdir(root):
         full = os.path.join(root, entry)
-        if (
-            os.path.isdir(full)
-            and entry.startswith("v")
-            and entry not in keep
-        ):
+        if os.path.isdir(full) and entry.startswith("v") and entry not in keep:
             shutil.rmtree(full)
+        elif entry.startswith("._ptr_") and os.path.isfile(full):
+            os.unlink(full)
     return os.path.join(root, vdir)
 
 

@@ -331,17 +331,21 @@ def test_versioned_table_atomic_commits_and_gc(spark, tmp_path):
     assert read_versioned(spark, root).count() == 20
     assert spark.read.parquet(v0).count() == 10  # in-flight reader survives
 
-    # simulate a crashed commit: orphan version dir, pointer unmoved
+    # simulate a crashed commit: orphan version dir + stranded pointer
+    # temp file, pointer unmoved
     os.makedirs(os.path.join(root, "v99"))
     with open(os.path.join(root, "v99", "part-junk.parquet"), "w") as f:
         f.write("junk")
+    with open(os.path.join(root, "._ptr_crashed"), "w") as f:
+        f.write("{}")
     assert versioned_table_path(root).endswith("v1")
 
-    # next commit collects both the orphan and v0 (now two commits old)
+    # next commit collects the orphan dir, the ptr temp, and v0
     write_versioned(spark, spark.range(30), root)
     assert versioned_table_path(root).endswith("v2")
     dirs = {d for d in os.listdir(root) if d.startswith("v")}
     assert dirs == {"v1", "v2"}
+    assert not [f for f in os.listdir(root) if f.startswith("._ptr_")]
     assert read_versioned(spark, root).count() == 30
 
     # the pointer itself is a complete manifest
