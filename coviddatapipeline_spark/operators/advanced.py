@@ -201,12 +201,30 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "approx_distinct_users_by_type",
-    oracle=None,  # HLL estimates are engine-specific; bounded-error test in tests/
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     doc=(
-        "approx_count_distinct (HyperLogLog++): the 100 TB substitute for "
-        "exact COUNT(DISTINCT) — mergeable fixed-size sketch, no shuffle of "
-        "the distinct values themselves. Rows-only driver check; the test "
-        "suite asserts <5% relative error vs the exact count."
+        "approx_count_distinct (HyperLogLog++) bounded-error audit: the "
+        "100 TB substitute for exact COUNT(DISTINCT) is a mergeable "
+        "fixed-size sketch, but its estimate is engine-specific, so the "
+        "raw value can never hash-match a DuckDB oracle. What IS "
+        "checkable cross-engine is the sketch's error CONTRACT: this "
+        "entry computes both the HLL++ estimate (rsd 0.01) and the "
+        "exact count, and emits approx_ok = |approx - exact| <= 5% * "
+        "exact alongside the exact calibration columns; the oracle "
+        "emits the same exact counts with approx_ok = TRUE, so the "
+        "hash fails iff the sketch ever violates its tested tolerance "
+        "(same audit shape as dedup_minhash_estimator_audit). "
+        "Production at scale runs the sketch ALONE — the exact count "
+        "here is the calibration term an audit pays for, not the "
+        "production plan."
     ),
     tags=("agg", "approx"),
 )
@@ -216,7 +234,17 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )

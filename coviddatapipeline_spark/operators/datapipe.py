@@ -305,7 +305,57 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_sequences_ffd",
-    oracle=None,  # FFD is inherently sequential per group — not SQL-expressible
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, source, len({_TOKENS.format(x='text')}) AS n_tok
+            FROM documents
+        ),
+        ordered AS (
+            SELECT source, n_tok,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_tok DESC, doc_id) AS rn
+            FROM toks
+        ),
+        counts AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   max(rn) AS n
+            FROM ordered GROUP BY source
+        ),
+        -- Replay FFD exactly: step k places the k-th doc (all sources
+        -- advance in lock-step; a source with fewer docs just stops
+        -- joining). bins = remaining capacity per opened bin; first
+        -- fitting bin by 1-based position, else open a new one.
+        fold AS (
+            SELECT source, 0 AS rn, CAST([] AS BIGINT[]) AS bins FROM counts
+            UNION ALL
+            SELECT f.source, f.rn + 1,
+                   CASE WHEN list_position(
+                               list_transform(f.bins, r -> r >= s.n_tok),
+                               true) = 0
+                        THEN list_append(
+                                 f.bins,
+                                 CAST(greatest({CONTEXT_TOKENS} - s.n_tok, 0)
+                                      AS BIGINT))
+                        ELSE list_transform(
+                                 f.bins,
+                                 (r, i) -> CASE
+                                     WHEN i = list_position(
+                                         list_transform(
+                                             f.bins, r2 -> r2 >= s.n_tok),
+                                         true)
+                                     THEN r - s.n_tok ELSE r END)
+                   END
+            FROM fold f
+            JOIN ordered s ON s.source = f.source AND s.rn = f.rn + 1
+        )
+        SELECT c.source, c.n_docs, c.total_tokens,
+               CAST(len(f.bins) AS BIGINT) AS n_bins,
+               CAST(c.total_tokens * 10000
+                    // (len(f.bins) * {CONTEXT_TOKENS}) AS BIGINT) AS fill_e4
+        FROM fold f JOIN counts c ON c.source = f.source AND f.rn = c.n
+        ORDER BY c.source
+    """,
     doc=(
         "First-fit-decreasing sequence packing per source: docs sorted "
         "by token count descending, each placed into the first bin with "
@@ -313,12 +363,16 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "an offline shard builder uses when doc order need not be "
         "preserved. Exact FFD is sequential per group, so it runs as an "
         "Arrow-batched grouped-map applyInPandas kernel (one group per "
-        "source, parallel across sources). Rows-only driver check; unit "
-        "tests pin the invariants: doc/token conservation vs the chop "
-        "packer, capacity-derived bin bounds, deterministic output. "
-        "(FFD bins respect capacity, so its bin COUNT is not comparable "
-        "to the chop packer's, whose boundary-straddling bins may "
-        "overflow — fill ratios measure different things.)"
+        "source, parallel across sources); the DuckDB oracle replays "
+        "the identical fold as a recursive CTE over the same "
+        "(n_tok DESC, doc_id) order, so bin counts hash-match exactly. "
+        "Fill is reported as an e4 integer (floor division) — no float "
+        "rounding to diverge across engines. Unit tests additionally "
+        "pin doc/token conservation vs the chop packer, "
+        "capacity-derived bin bounds, and determinism. (FFD bins "
+        "respect capacity, so its bin COUNT is not comparable to the "
+        "chop packer's, whose boundary-straddling bins may overflow — "
+        "fill ratios measure different things.)"
     ),
     tags=("datapipe", "udf", "text"),
 )
@@ -354,7 +408,7 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs": [len(pdf)],
                 "total_tokens": [total],
                 "n_bins": [n_bins],
-                "fill_ratio": [round(total / (n_bins * cap), 4) if n_bins else 0.0],
+                "fill_e4": [total * 10000 // (n_bins * cap) if n_bins else 0],
             }
         )
 
@@ -363,7 +417,7 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             ffd,
             schema="source string, n_docs long, total_tokens long, "
-            "n_bins long, fill_ratio double",
+            "n_bins long, fill_e4 long",
         )
         .orderBy("source")
     )

@@ -2,8 +2,9 @@
 Bloom-filter join prefilter, both bit-identical across Spark and DuckDB.
 
 The registry already carries the similarity sketches (MinHash, SimHash,
-hyperplane LSH) and the cardinality sketch (HLL, rows-only because
-engine implementations differ). These two close the set with the
+hyperplane LSH) and the cardinality sketches (the exact-integer HLL
+below; the built-in HLL++ entry is checked via its bounded-error
+contract since engine estimates differ). These two close the set with the
 FREQUENCY sketch (Count-Min: the streaming heavy-hitter structure — a
 fixed d x w integer grid, map-side combinable, mergeable across
 micro-batches and executors) and the MEMBERSHIP sketch (Bloom: the
@@ -345,8 +346,10 @@ HLL_RHO_ZERO = 27
         f"2^r_max), with alpha at e6 — no float, no libm, both engines "
         f"bit-identical. Reported against exact count(DISTINCT) with e4 "
         f"relative error, so the sketch's accuracy at this register "
-        f"budget is a checked number. Complements the rows-only "
-        f"approx_count_distinct entry with a hash-checkable HLL."
+        f"budget is a checked number. Complements the built-in "
+        f"approx_count_distinct entry (whose engine-specific estimate "
+        f"is oracle-checked via its bounded-error contract) with a "
+        f"fully hash-checkable HLL."
     ),
     tags=("sketch", "agg", "tpch"),
 )

@@ -377,3 +377,74 @@ def test_decimal38_exact_division_property(spark, pairs):
         sign = -1 if n < 0 else 1
         want = sign * (abs(n) * 10000 // d)
         assert got[i] == want, (n, d, got[i], want)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # source index
+            st.integers(min_value=1, max_value=3000),   # n_tok (incl. > cap)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ffd_oracle_cte_matches_python_model(docs):
+    """The pack_sequences_ffd DuckDB oracle (recursive-CTE replay of
+    first-fit-decreasing) must agree with a direct Python FFD on
+    ARBITRARY corpora — including docs larger than the context window
+    (they open a bin with 0 remaining) and heavy tie groups (broken by
+    doc_id). The registered three-SF sweep only exercises the driver
+    testdata; this pins the fold itself, so regenerated testdata cannot
+    surface a divergence the sweep would misattribute to the kernel."""
+    import duckdb
+    import pandas as pd
+
+    from coviddatapipeline_spark.operators.datapipe import CONTEXT_TOKENS
+    from coviddatapipeline_spark.queries import catalog
+
+    oracle = catalog.get("pack_sequences_ffd").oracle
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "source": [f"src_{s}" for s, _ in docs],
+            # tokenizer is whitespace-collapse + split: n single-char
+            # words yield exactly n tokens
+            "text": [" ".join(["w"] * n) for _, n in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(oracle).fetchall()
+    }
+
+    want = {}
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, (s, n) in enumerate(docs):
+        by_src.setdefault(f"src_{s}", []).append((n, doc_id))
+    for src, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        bins: list[int] = []
+        for n, _ in items:
+            for i, rem in enumerate(bins):
+                if n <= rem:
+                    bins[i] -= n
+                    break
+            else:
+                bins.append(max(CONTEXT_TOKENS - n, 0))
+        total = sum(n for n, _ in items)
+        want[src] = (
+            len(items),
+            total,
+            len(bins),
+            total * 10000 // (len(bins) * CONTEXT_TOKENS),
+        )
+    assert got == want
