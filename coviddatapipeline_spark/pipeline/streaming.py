@@ -279,6 +279,110 @@ def stream_user_running_totals(events_stream, timeout: str = "NoTimeout"):
     )
 
 
+def stream_session_paths(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    gap_us: int = 1_800_000_000,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming twin of the ``events_session_path_mining`` sessionizer:
+    a CUSTOM stateful session operator via ``applyInPandasWithState``
+    with EventTimeTimeout — the user-defined session logic (n-gram path
+    emission) that ``F.session_window`` aggregation cannot express.
+
+    Per-user state is three scalars: the open session's trailing two
+    event types plus the last event time (µs). Each arriving event
+    either extends the session — emitting a completed 3-step path the
+    moment its third event arrives — or, on an event-time gap >
+    ``gap_us`` (strictly greater, matching the batch kernel's
+    ``unix_micros`` compare), starts a fresh session. The engine evicts
+    state once the watermark passes last_ts + gap: that session can
+    never be extended again, so eviction is semantically free and state
+    stays bounded by |active users| on an unbounded stream.
+
+    Exactness contract (tested, incl. across a checkpoint restart):
+    provided each user's events arrive in nondecreasing (ts, event_id)
+    order ACROSS micro-batches and none arrives later than the
+    watermark delay, the emitted multiset of paths equals the batch
+    kernel's pre-ranking path counts — including paths whose three
+    events span micro-batch boundaries, which is exactly what the
+    carried (e1, e2) state exists for. In-batch arrival order is free:
+    the kernel sorts its Arrow batch by (ts, event_id)."""
+    gap_ms = gap_us // 1000
+
+    # Kernel nested so cloudpickle ships it by value (workers need no
+    # importable package path — same rule as the batch pandas kernels).
+    def mine(key, pdfs, state):
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "path": pd.Series(dtype="object"),
+                }
+            )
+
+        if state.hasTimedOut:
+            # Watermark passed last_ts + gap: the open session is
+            # unextendable; trailing context can be dropped safely.
+            state.remove()
+            yield empty()
+            return
+
+        e1, e2, last_us = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            yield empty()
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # astype through datetime64[us] is exact for any incoming
+        # resolution (ns or us) — never a unit-dependent integer scale.
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        paths = []
+        for us, etype in zip(ts_us.tolist(), pdf["event_type"].tolist()):
+            if last_us is not None and us - last_us > gap_us:
+                e1, e2 = None, etype  # session break: fresh trailing context
+            else:
+                if e1 is not None:
+                    paths.append(f"{e1}>{e2}>{etype}")
+                e1, e2 = e2, etype
+            last_us = us
+        state.update((e1, e2, int(last_us)))
+        # Timeout must sit strictly above the current watermark; the
+        # clamp matters only for users already idle longer than the gap
+        # at recovery time (their state is then evicted next batch).
+        state.setTimeoutTimestamp(
+            max(int(last_us) // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame({"user_id": [key[0]] * len(paths), "path": paths})
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    out = (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            mine,
+            outputStructType="user_id long, path string",
+            stateStructType="e1 string, e2 string, last_us long",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     events_df_stream,

@@ -608,6 +608,115 @@ def test_stream_dau_wau_matches_batch(spark, tmp_path, parity_sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_session_paths_match_batch(spark, tmp_path, parity_sf_dir):
+    """The applyInPandasWithState session-path twin must emit EXACTLY
+    the batch kernel's pre-ranking path multiset — across two
+    micro-batches split mid-stream AND a checkpoint restart between
+    them, so paths spanning the batch boundary ride the carried
+    (e1, e2) state. Expected counts come from an independent pandas
+    model (not the Spark batch kernel), and the registered entry's
+    ranked top-10 is re-derived from the streamed counts as a second
+    check."""
+    import glob
+    import shutil
+    from collections import Counter
+
+    from coviddatapipeline_spark.pipeline.streaming import stream_session_paths
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    ev = events(spark, parity_sf_dir).select("event_id", "user_id", "ts", "event_type")
+
+    # independent pandas model of sessionized 3-gram mining
+    pdf = ev.toPandas()
+    pdf["us"] = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+
+    # Pick the split point deterministically INSIDE a >=3-event session,
+    # right after its 2nd event (needing a strict time increase to the
+    # 3rd so ties can't pull it back together): the session's first
+    # 3-gram then provably spans the batch boundary and only the
+    # carried (e1, e2) state can recover it.
+    def pick_mid():
+        for _, g in pdf.sort_values(["us", "event_id"]).groupby("user_id"):
+            us_list = g["us"].tolist()
+            start = 0
+            for i in range(1, len(us_list) + 1):
+                if i == len(us_list) or us_list[i] - us_list[i - 1] > 1_800_000_000:
+                    if i - start >= 3 and us_list[start + 2] > us_list[start + 1]:
+                        return int(us_list[start + 1])
+                    start = i
+        return None
+
+    mid = pick_mid()
+    assert mid is not None, "testdata has no >=3-event session to sever"
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    # split on event TIME (ties all land left), so per-user arrival
+    # order across batches is nondecreasing (ts, event_id) — the twin's
+    # stated contract
+    stage(ev.filter(F.unix_micros("ts") <= mid), "p1")
+    stream_session_paths(spark, in_dir, out, ckpt, ev.schema).awaitTermination(120)
+    stage(ev.filter(F.unix_micros("ts") > mid), "p2")
+    stream_session_paths(spark, in_dir, out, ckpt, ev.schema).awaitTermination(120)
+
+    got = Counter(r["path"] for r in spark.read.parquet(out).collect())
+
+    def model(frame):
+        c = Counter()
+        frame = frame.sort_values(["us", "event_id"])
+        trail, last = [], None
+        for us, et in zip(frame["us"], frame["event_type"]):
+            if last is not None and us - last > 1_800_000_000:
+                trail = [et]
+            else:
+                trail.append(et)
+                if len(trail) == 3:
+                    c[">".join(trail)] += 1
+                    trail = trail[-2:]
+            last = us
+        return c
+
+    want = Counter()
+    for _, g in pdf.groupby("user_id"):
+        want.update(model(g))
+    assert got == want and len(got) > 0
+
+    # the split must actually sever sessions, or the carried-state path
+    # is untested: per-batch mining alone must UNDERCOUNT
+    parts = Counter()
+    for _, g in pdf[pdf["us"] <= mid].groupby("user_id"):
+        parts.update(model(g))
+    for _, g in pdf[pdf["us"] > mid].groupby("user_id"):
+        parts.update(model(g))
+    assert sum(parts.values()) < sum(want.values())
+
+    # second check: the registered entry's ranked top-10 re-derived
+    # from the streamed counts matches exactly (rank, path, n, share)
+    total = sum(got.values())
+    ranked = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    derived = [
+        (i + 1, p, n, n * 10000 // total) for i, (p, n) in enumerate(ranked)
+    ]
+    entry = [
+        (r["rank"], r["path"], r["n"], r["share_e4"])
+        for r in all_queries()["events_session_path_mining"]
+        .fn(spark, parity_sf_dir)
+        .collect()
+    ]
+    assert derived == entry
+
+
 # ---------------------------------------------------------------------------
 # Twin-coverage audit (VERDICT r03 #7)
 # ---------------------------------------------------------------------------
@@ -625,6 +734,7 @@ _TWIN_CONTRACTS = {
     "stream_click_purchase_join": "test_stream_stream_interval_join_matches_batch",
     "stream_dedup_within_watermark": "test_stream_dedup_within_watermark",
     "stream_user_running_totals": "test_stream_stateful_running_totals",
+    "stream_session_paths": "test_stream_session_paths_match_batch",
     "stream_event_counts": "test_stream_event_window_agg",
     "stream_daily_mix_drift": "test_stream_daily_mix_drift_matches_batch",
     "stream_cms_grid": "test_stream_cms_grid_matches_batch",
