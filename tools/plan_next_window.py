@@ -46,7 +46,13 @@ def main() -> int:
     checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
-            checked |= set(json.load(f))
+            for name, row in json.load(f).items():
+                # Only a HASH-verified row counts as coverage: an entry
+                # that historically ran as rows-only (err: no_oracle)
+                # and has since gained an oracle still needs its first
+                # hash-checked driver row.
+                if row.get("hash_match"):
+                    checked.add(name)
     qs = catalog.all_queries()
     oracle_backed = [n for n, q in qs.items() if q.oracle is not None]
     # The CURRENT window is about to be (or was just) driver-checked;
