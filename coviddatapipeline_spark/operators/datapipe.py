@@ -306,11 +306,14 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_sequences_ffd",
     oracle=f"""
-        WITH RECURSIVE toks AS (
+        WITH RECURSIVE toks AS MATERIALIZED (
             SELECT doc_id, source, len({_TOKENS.format(x='text')}) AS n_tok
             FROM documents
         ),
-        ordered AS (
+        -- MATERIALIZED matters: the recursive term joins `ordered`
+        -- every iteration, and without it DuckDB re-tokenizes the
+        -- whole corpus per step (measured 40x slower at sf0.1).
+        ordered AS MATERIALIZED (
             SELECT source, n_tok,
                    row_number() OVER (PARTITION BY source
                                       ORDER BY n_tok DESC, doc_id) AS rn
@@ -325,29 +328,33 @@ def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- Replay FFD exactly: step k places the k-th doc (all sources
         -- advance in lock-step; a source with fewer docs just stops
         -- joining). bins = remaining capacity per opened bin; first
-        -- fitting bin by 1-based position, else open a new one.
+        -- fitting bin by 1-based position, else open a new one. pos is
+        -- hoisted into the derived table so each step scans bins once
+        -- (O(B), not O(B^2)); COALESCE covers list_position's
+        -- documented NULL-on-absent (1.0.0 returns 0 — both handled).
         fold AS (
             SELECT source, 0 AS rn, CAST([] AS BIGINT[]) AS bins FROM counts
             UNION ALL
-            SELECT f.source, f.rn + 1,
-                   CASE WHEN list_position(
-                               list_transform(f.bins, r -> r >= s.n_tok),
-                               true) = 0
+            SELECT source, rn,
+                   CASE WHEN pos = 0
                         THEN list_append(
-                                 f.bins,
-                                 CAST(greatest({CONTEXT_TOKENS} - s.n_tok, 0)
+                                 bins,
+                                 CAST(greatest({CONTEXT_TOKENS} - n_tok, 0)
                                       AS BIGINT))
                         ELSE list_transform(
-                                 f.bins,
-                                 (r, i) -> CASE
-                                     WHEN i = list_position(
-                                         list_transform(
-                                             f.bins, r2 -> r2 >= s.n_tok),
-                                         true)
-                                     THEN r - s.n_tok ELSE r END)
-                   END
-            FROM fold f
-            JOIN ordered s ON s.source = f.source AND s.rn = f.rn + 1
+                                 bins,
+                                 (r, i) -> CASE WHEN i = pos
+                                           THEN r - n_tok ELSE r END)
+                   END AS bins
+            FROM (
+                SELECT f.source AS source, f.rn + 1 AS rn, f.bins AS bins,
+                       s.n_tok AS n_tok,
+                       COALESCE(list_position(
+                           list_transform(f.bins, r -> r >= s.n_tok),
+                           true), 0) AS pos
+                FROM fold f
+                JOIN ordered s ON s.source = f.source AND s.rn = f.rn + 1
+            )
         )
         SELECT c.source, c.n_docs, c.total_tokens,
                CAST(len(f.bins) AS BIGINT) AS n_bins,

@@ -334,10 +334,11 @@ def stream_session_paths(
             return
 
         e1, e2, last_us = state.get if state.exists else (None, None, None)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:  # concat on an empty list raises; guard first
             yield empty()
             return
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         # astype through datetime64[us] is exact for any incoming
         # resolution (ns or us) — never a unit-dependent integer scale.
