@@ -44,6 +44,32 @@ _BKT = "__rank_bkt"
 _OFF = "__rank_off"
 
 
+def _range_buckets(df: DataFrame, lead: Column, num_buckets: int) -> DataFrame:
+    """Range-bucket assignment shared by the three global-ranking
+    helpers: approx-percentile cutpoints of the leading key; a row's
+    bucket is the count of cutpoints strictly below its value — a pure
+    function of the VALUE, so it is identical across the separate
+    Spark jobs each helper launches. ``num_buckets <= 1`` (a
+    shuffle.partitions=1 session) short-circuits to a single bucket:
+    percentile_approx with an empty literal probability array is a
+    degenerate call we must not issue (ADVICE r02; previously guarded
+    in only two of the three copies of this block)."""
+    if num_buckets <= 1:
+        cuts = []
+    else:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts_row = df.select(
+            F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
+        ).first()
+        cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
+    else:
+        bucket = F.lit(0).alias(_BKT)
+    return df.withColumn(_BKT, bucket)
+
+
 def _monotone_numeric(df: DataFrame, key: str) -> Column:
     """A numeric expression whose order matches the column's sort order
     (required so range-bucket assignment respects the total order)."""
@@ -79,18 +105,7 @@ def with_global_row_number(
 
     # 1. Range cutpoints on the leading key. Approximation skews balance
     #    only; dedup handles heavy ties (they share a bucket either way).
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
-    ).first()
-    cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
-
-    if cuts:
-        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
-    else:
-        bucket = F.lit(0).alias(_BKT)
-    with_bkt = df.withColumn(_BKT, bucket)
+    with_bkt = _range_buckets(df, lead, num_buckets)
 
     # 2. O(num_buckets) rows — a metadata-sized collect, not data.
     counts = sorted(
@@ -136,38 +151,28 @@ def with_global_running_sum(
     value: str,
     out: str = "run_sum",
     num_buckets: int | None = None,
-) -> tuple[DataFrame, float]:
+) -> tuple[DataFrame, Decimal | float]:
     """Exact global cumulative sum of ``value`` in ``keys`` order
     without a single-partition window — the prefix-sum sibling of
     :func:`with_global_row_number`, same three steps: range buckets
     from cutpoints, a metadata-sized per-bucket total collect whose
     driver-side prefix becomes the broadcast offsets, and bucket-LOCAL
-    running-sum windows. Returns (df + ``out`` column, grand total).
+    running-sum windows. Returns (df + ``out`` column, grand total) —
+    the total is a ``Decimal`` on the exact path (decimal/integral
+    value columns; a float here would silently round past 2^53 while
+    the oracle stays exact) and a ``float`` for float columns (inexact
+    upstream anyway).
     """
+    from decimal import localcontext
+
+    from pyspark.sql.types import DecimalType
+
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_cols = [F.col(k) for k in keys]
     lead = _monotone_numeric(df, keys[0])
-
-    # A single bucket needs no cutpoints at all — and percentile_approx
-    # with an empty literal probability array is a degenerate call we
-    # must not issue (shuffle.partitions=1 sessions hit this).
-    if num_buckets <= 1:
-        cuts = []
-    else:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        cuts_row = df.select(
-            F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
-        ).first()
-        cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
-
-    if cuts:
-        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
-    else:
-        bucket = F.lit(0).alias(_BKT)
-    with_bkt = df.withColumn(_BKT, bucket)
+    with_bkt = _range_buckets(df, lead, num_buckets)
 
     sums = sorted(
         (r[0], r[1])
@@ -178,22 +183,37 @@ def with_global_running_sum(
     # every cent even past 2^53, where a float accumulator would
     # silently round while the (decimal) oracle stays exact. Floats
     # stay floats (they are inexact upstream anyway). The offset column
-    # is emitted as decimal(38,6) for exact inputs so the final
-    # offset + bucket-local-window-sum addition is itself exact.
+    # is emitted at the VALUE column's own decimal scale (scale 0 for
+    # integrals) so quantize is exact by construction — a fixed
+    # 6-decimal quantum would round scale>6 columns — and the
+    # accumulation runs under a 60-digit context: decimal(38,*) sums
+    # overflow the default 28-significant-digit context long before
+    # their declared 38 digits, turning into InvalidOperation.
     exact = all(not isinstance(s, float) for _, s in sums if s is not None)
-    offsets: list[tuple[int, object]] = []
-    acc: object = Decimal(0) if exact else 0.0
-    for bkt, s in sums:
-        offsets.append((bkt, acc))
-        acc += (Decimal(s) if exact else float(s)) if s is not None else 0
+    vtype = df.schema[value].dataType
+    scale = vtype.scale if isinstance(vtype, DecimalType) else 0
+    rows: list[tuple[int, object]]
     if exact:
-        off_type = "decimal(38,6)"
-        rows = [(b, Decimal(v).quantize(Decimal("0.000001"))) for b, v in offsets]
-        grand = float(acc)
+        with localcontext() as ctx:
+            ctx.prec = 60
+            quantum = Decimal(1).scaleb(-scale)
+            acc_d = Decimal(0)
+            rows = []
+            for bkt, s in sums:
+                rows.append((bkt, acc_d.quantize(quantum)))
+                if s is not None:
+                    acc_d += Decimal(s)
+            grand: object = +acc_d
+        off_type = f"decimal(38,{scale})"
     else:
+        acc_f = 0.0
+        rows = []
+        for bkt, s in sums:
+            rows.append((bkt, acc_f))
+            if s is not None:
+                acc_f += float(s)
+        grand = acc_f
         off_type = "double"
-        rows = [(b, float(v)) for b, v in offsets]
-        grand = acc
     off_df = spark.createDataFrame(
         rows or [(0, Decimal(0) if exact else 0.0)], f"{_BKT} int, {_OFF} {off_type}"
     )
@@ -229,33 +249,28 @@ def with_global_running_max(
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_cols = [F.col(k) for k in keys]
     lead = _monotone_numeric(df, keys[0])
-
-    if num_buckets <= 1:
-        cuts = []
-    else:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        cuts_row = df.select(
-            F.percentile_approx(lead, F.lit(probs), F.lit(10_000)).alias("c")
-        ).first()
-        cuts = sorted(set(cuts_row["c"] or [])) if cuts_row and cuts_row["c"] else []
-
-    if cuts:
-        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(cuts_arr, lambda c: c < lead)).alias(_BKT)
-    else:
-        bucket = F.lit(0).alias(_BKT)
-    with_bkt = df.withColumn(_BKT, bucket)
+    with_bkt = _range_buckets(df, lead, num_buckets)
 
     maxes = sorted(
         (r[0], r[1])
         for r in with_bkt.groupBy(_BKT).agg(F.max(value).alias("m")).collect()
     )
+
     # offset(bucket) = max over all STRICTLY EARLIER buckets (None for
-    # the first — greatest() skips nulls, so the local max stands alone)
+    # the first — greatest() skips nulls, so the local max stands
+    # alone). The fold must mirror SPARK's ordering, where NaN is the
+    # GREATEST value: Python's `NaN > x` is False, so a bare `m > run`
+    # would drop a NaN bucket max and diverge from the single-partition
+    # window (whose running max goes — and stays — NaN).
+    def _is_nan(x: object) -> bool:
+        return isinstance(x, float) and x != x
+
     offsets, run = [], None
     for bkt, m in maxes:
         offsets.append((bkt, run))
-        if m is not None and (run is None or m > run):
+        if m is None:
+            continue
+        if run is None or _is_nan(m) or (not _is_nan(run) and m > run):
             run = m
     vtype = df.schema[value].dataType.simpleString()
     off_df = spark.createDataFrame(

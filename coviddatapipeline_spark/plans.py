@@ -47,9 +47,20 @@ def audit(df: DataFrame) -> dict:
 
 
 def _section(plan: str, key: str) -> str:
-    """Payload following ``key:`` in the plan string (to end of line —
-    covers both bracketed lists and ReadSchema's struct<...> form)."""
-    m = re.search(re.escape(key) + r":\s*([^\n]*)", plan)
+    """Payload following ``key:`` in the plan string, up to the NEXT
+    metadata section or end of line. FileScan prints every section
+    comma-separated on ONE line (…, PartitionFilters: [...],
+    PushedFilters: [...], ReadSchema: struct<...>), so a capture-to-
+    end-of-line would swallow all later sections — and since every
+    scanned column name appears in the trailing ReadSchema text, a
+    pushdown assertion like ``"l_quantity" in pushed_filters`` would
+    then pass vacuously even with pushdown regressed to nothing. The
+    lookahead stops at ``, SomeSection: `` (capitalized word + colon +
+    space, which filter payloads like ``GreaterThanOrEqual(...)`` and
+    paths like ``file:/...`` never match)."""
+    m = re.search(
+        re.escape(key) + r":\s*(.*?)(?=, [A-Z][A-Za-z]*: |\n|$)", plan
+    )
     return m.group(1) if m else ""
 
 

@@ -52,18 +52,35 @@ class Query:
     src: QueryFn | None = None  # unwrapped builder (for fingerprinting)
 
 
+# Cross-cutting modules whose behavior flows into MANY entries'
+# results (the global-ranking machinery, the shared table loader /
+# oracle templates, the session confs). Their sources salt EVERY
+# entry fingerprint: module-level hashing alone has a blind spot —
+# an edit to ranking.py changes the semantics of a dozen entries
+# defined in OTHER modules whose own files (and therefore stamps)
+# are untouched.
+_FINGERPRINT_SALT_MODULES = (
+    "coviddatapipeline_spark.operators.ranking",
+    "coviddatapipeline_spark.operators.common",
+    "coviddatapipeline_spark.session",
+)
+
+
 def entry_fingerprint(name: str) -> str:
-    """Content hash of an entry: its defining module's source + oracle.
+    """Content hash of an entry: its defining module's source + oracle
+    + the shared-helper salt modules above.
 
     The sweep gate (tools/sweep_oracles.py + tests/test_window_swept.py)
     stamps each locally-verified entry with this hash; editing any code
-    in the entry's module or its oracle invalidates the stamp, so an
-    unswept or stale entry cannot sit in the driver's 50-slot window
-    without a red test. Module-level hashing is deliberately
-    conservative: touching one function re-gates every entry in that
-    module, which is exactly when a re-sweep is wanted.
+    in the entry's module, its oracle, or a shared helper invalidates
+    the stamp, so an unswept or stale entry cannot sit in the driver's
+    50-slot window without a red test. Module-level hashing is
+    deliberately conservative: touching one function re-gates every
+    entry in that module (and touching a salt module re-gates ALL
+    entries), which is exactly when a re-sweep is wanted.
     """
     import hashlib
+    import importlib
     import inspect
     import sys as _sys
 
@@ -73,6 +90,9 @@ def entry_fingerprint(name: str) -> str:
     h = hashlib.sha256()
     with open(mod_file, "rb") as f:
         h.update(f.read())
+    for salt_mod in _FINGERPRINT_SALT_MODULES:
+        with open(inspect.getfile(importlib.import_module(salt_mod)), "rb") as f:
+            h.update(f.read())
     h.update((q.oracle or "").encode())
     return h.hexdigest()
 

@@ -136,3 +136,90 @@ def test_running_max_matches_window_and_stays_partitioned(spark, parity_sf_dir):
             assert r["m"] == want[r["id"]], (nb, r["id"])
 
     assert_no_single_partition(events_lateness_watermark_profile(spark, parity_sf_dir))
+
+
+def test_global_row_number_single_bucket(spark):
+    """The row-number helper must short-circuit num_buckets=1 exactly
+    like its running-sum/max siblings (review r04: the guard existed in
+    only two of the three copies — a shuffle.partitions=1 session
+    crashed this one with percentile_approx on an empty probability
+    array) and still produce correct global row numbers."""
+    df = spark.range(1, 101).select("id", (F.col("id") % 7).alias("k"))
+    ranked, n = with_global_row_number(df, ["k", "id"], num_buckets=1)
+    assert n == 100
+    rows = ranked.orderBy("k", "id").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 101))
+
+
+def test_running_max_nan_matches_window(spark):
+    """Spark orders NaN as the GREATEST double; the driver-side bucket
+    fold must agree (Python's `NaN > x` is False, so a naive compare
+    silently drops a NaN bucket max). Every cell must equal the
+    single-partition window exactly, including the NaN tail."""
+    import math
+
+    from coviddatapipeline_spark.operators.ranking import with_global_running_max
+
+    vals = [1.0, 5.0, float("nan"), 2.0, 3.0, float("nan"), 4.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r["id"]: r["run_max"]
+        for r in with_global_running_max(df, ["id"], "v", num_buckets=3).collect()
+    }
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        if math.isnan(want[i]):
+            assert math.isnan(got[i]), (i, got[i], want[i])
+        else:
+            assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_running_sum_scale8_and_beyond_context_precision(spark):
+    """Review r04 hardening: (a) a decimal column with scale > 6 must
+    keep EXACT offsets (the old fixed 6-dp quantize rounded them); (b)
+    totals whose digit count exceeds Python's default 28-significant-
+    digit Decimal context must neither round nor raise
+    InvalidOperation — the accumulation runs under a widened context."""
+    from decimal import Decimal
+
+    from coviddatapipeline_spark.operators.ranking import with_global_running_sum
+
+    # (a) scale-8 values: exact at every cell
+    df8 = spark.range(1, 51).select(
+        "id", (F.col("id") / F.lit(8)).cast("decimal(20,8)").alias("v")
+    )
+    acc, expected = Decimal(0), []
+    for i in range(1, 51):
+        acc += (Decimal(i) / 8).quantize(Decimal("0.00000001"))
+        expected.append(acc)
+    ranked, total = with_global_running_sum(df8, ["id"], "v", num_buckets=4)
+    for r, want in zip(ranked.orderBy("id").collect(), expected):
+        assert Decimal(str(r["run_sum"])) == want, (r["id"], r["run_sum"], want)
+    assert total == expected[-1]
+
+    # (b) 30+ digit totals: decimal(38,6) rows of 9.9e29 each. The
+    # reference model must itself run under a widened context — the
+    # default 28-digit context rounds the expected values too (which is
+    # exactly the bug class the engine-side fix removes).
+    from decimal import localcontext
+
+    big = Decimal("990000000000000000000000000000.000001")
+    dfb = spark.createDataFrame(
+        [(i, big) for i in range(1, 9)], "id long, v decimal(38,6)"
+    )
+    ranked, total = with_global_running_sum(dfb, ["id"], "v", num_buckets=3)
+    rows = ranked.orderBy("id").collect()
+    with localcontext() as ctx:
+        ctx.prec = 60
+        acc = Decimal(0)
+        for r in rows:
+            acc += big
+            assert Decimal(str(r["run_sum"])) == acc, (r["id"], r["run_sum"], acc)
+        assert total == acc

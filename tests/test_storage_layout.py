@@ -81,6 +81,43 @@ def test_filter_and_projection_reach_parquet_scan(spark, parity_sf_dir):
     a = audit(q)
     assert "l_quantity" in a["pushed_filters"], a["pushed_filters"]
     assert "l_orderkey" in a["read_schema"] and "l_extendedprice" not in a["read_schema"]
+    # the section parser must NOT have swallowed the trailing sections —
+    # that made this assertion vacuous (every scanned column always
+    # appears in ReadSchema's struct<...> text)
+    assert "ReadSchema" not in a["pushed_filters"]
+    assert "struct<" not in a["pushed_filters"]
+
+
+def test_plan_section_parser_stops_at_next_section():
+    """_section on a realistic single-line FileScan: each payload ends
+    at the next `, Section: ` boundary, commas inside filter payloads
+    and `file:/` paths notwithstanding. An empty PushedFilters must
+    come back EMPTY — not carrying ReadSchema text that would let a
+    pushdown assertion pass with pushdown regressed to nothing."""
+    from coviddatapipeline_spark.plans import _section
+
+    line = (
+        "FileScan parquet [l_orderkey#1L,l_quantity#2] Batched: true, "
+        "DataFilters: [isnotnull(l_quantity#2), (l_quantity#2 > 45.0)], "
+        "Format: Parquet, Location: InMemoryFileIndex(1 paths)"
+        "[file:/root/testdata/sf0.01/lineitem.parquet], "
+        "PartitionFilters: [], "
+        "PushedFilters: [IsNotNull(l_quantity), "
+        "GreaterThan(l_quantity,45.0)], "
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"
+    )
+    assert _section(line, "PushedFilters") == (
+        "[IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"
+    )
+    assert _section(line, "PartitionFilters") == "[]"
+    assert _section(line, "ReadSchema") == (
+        "struct<l_orderkey:bigint,l_quantity:double>"
+    )
+    # regression shape: empty pushdown stays empty
+    gone = line.replace(
+        "[IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]", "[]"
+    )
+    assert "l_quantity" not in _section(gone, "PushedFilters")
 
 
 def test_broadcast_join_in_flagship_plan(spark, parity_sf_dir):
