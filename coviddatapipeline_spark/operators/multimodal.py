@@ -199,6 +199,11 @@ def make_bmp_decoder():
         bottom_up = h > 0
         h = abs(h)
         stride = (w * 3 + 3) // 4 * 4
+        # Truncated pixel array (or an offset past the end): reject with
+        # None per the decoder contract — np.frombuffer would otherwise
+        # raise ValueError and crash the executor task (ADVICE r04).
+        if offset + stride * h > len(blob):
+            return None
         arr = np.frombuffer(
             blob, dtype=np.uint8, count=stride * h, offset=offset
         ).reshape(h, stride)[:, : w * 3]

@@ -329,6 +329,8 @@ def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
     any pointer motion."""
     import json
     import os
+    import re
+    import shutil
     import tempfile
 
     os.makedirs(root, exist_ok=True)
@@ -339,6 +341,19 @@ def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
         with open(ptr) as f:
             prev = json.load(f)
         version = prev["version"] + 1
+    # Pre-write GC: a commit that crashed AFTER its data write but BEFORE
+    # its pointer flip leaves an orphan directory at exactly
+    # v{pointer_version + 1} — the very slot this commit computes — so
+    # the errorifexists write below would fail forever and the table
+    # would be permanently write-blocked. Any version directory NEWER
+    # than the pointer (or any at all, if no pointer was ever committed)
+    # is by construction an uncommitted orphan: no reader can hold it,
+    # because readers only ever resolve paths through the pointer.
+    for entry in os.listdir(root):
+        m = re.fullmatch(r"v(\d+)", entry)
+        full = os.path.join(root, entry)
+        if m and os.path.isdir(full) and (prev is None or int(m.group(1)) > prev["version"]):
+            shutil.rmtree(full)
     vdir = f"v{version}"
     df.write.mode("errorifexists").parquet(os.path.join(root, vdir))
     # single atomic commit point: readers see old or new, never neither
@@ -346,16 +361,14 @@ def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
     with os.fdopen(fd, "w") as f:
         json.dump({"version": version, "version_dir": vdir}, f)
     os.replace(tmp, ptr)
-    # GC: keep the immediately-superseded version (in-flight readers may
-    # still hold it); drop anything older, plus orphans from crashed
-    # commits that never flipped the pointer — both stranded version
-    # directories and ._ptr_* temp files that died before os.replace.
-    import shutil
-
+    # Post-commit GC: keep the immediately-superseded version (in-flight
+    # readers may still hold it); drop anything older, plus ._ptr_* temp
+    # files from writers that died before their os.replace. Orphans ABOVE
+    # the pointer were already collected pre-write.
     keep = {vdir, prev["version_dir"]} if prev else {vdir}
     for entry in os.listdir(root):
         full = os.path.join(root, entry)
-        if os.path.isdir(full) and entry.startswith("v") and entry not in keep:
+        if re.fullmatch(r"v\d+", entry) and os.path.isdir(full) and entry not in keep:
             shutil.rmtree(full)
         elif entry.startswith("._ptr_") and os.path.isfile(full):
             os.unlink(full)

@@ -8,6 +8,11 @@ driver-side materialization anywhere else turns this red, forcing the
 author to either express it distributed (the broadcast-scalar /
 crossJoin house pattern) or argue it onto the allowlist with a
 bounded-cardinality justification.
+
+Sites are keyed by (package-relative file path, dotted qualified name)
+— NOT bare function name — so a new collect() inside a same-named
+function in another module (or a nested helper shadowing an allowlisted
+name) cannot silently inherit an existing budget (ADVICE r04).
 """
 
 from __future__ import annotations
@@ -20,25 +25,33 @@ PKG = os.path.join(
     "coviddatapipeline_spark",
 )
 
-# function -> (max sites, why the materialization is metadata-sized)
+# (relative path, qualified name) -> (max sites, why metadata-sized)
 ALLOWED = {
-    "with_global_row_number": (1, "bucket cutpoint counts: num_buckets rows"),
-    "with_global_running_sum": (1, "per-bucket prefix offsets: num_buckets rows"),
-    "with_global_running_max": (1, "per-bucket prefix maxima: num_buckets rows"),
-    "km_train_centroids": (2, "Lloyd model state: K centroids x d dims per round"),
-    "ivf_kmeans_one_step": (1, "K centroid seeds"),
-    "emb_pca_power_iteration": (1, "one 64-dim direction vector per round"),
-    "compute_watermark": (1, "1-row watermark aggregate"),
+    ("operators/ranking.py", "with_global_row_number"): (
+        1, "bucket cutpoint counts: num_buckets rows"),
+    ("operators/ranking.py", "with_global_running_sum"): (
+        1, "per-bucket prefix offsets: num_buckets rows"),
+    ("operators/ranking.py", "with_global_running_max"): (
+        1, "per-bucket prefix maxima: num_buckets rows"),
+    ("operators/datapipe.py", "km_train_centroids"): (
+        2, "Lloyd model state: K centroids x d dims per round"),
+    ("operators/datapipe.py", "ivf_kmeans_one_step"): (
+        1, "K centroid seeds"),
+    ("operators/linalg.py", "emb_pca_power_iteration"): (
+        1, "one 64-dim direction vector per round"),
+    ("pipeline/watermark.py", "compute_watermark"): (
+        1, "1-row watermark aggregate"),
 }
 
 
-def _sites() -> dict[str, int]:
-    found: dict[str, int] = {}
+def _sites() -> dict[tuple[str, str], int]:
+    found: dict[tuple[str, str], int] = {}
     for dirpath, _, files in os.walk(PKG):
         for fn in files:
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             with open(path) as f:
                 tree = ast.parse(f.read())
             stack: list[str] = []
@@ -51,6 +64,11 @@ def _sites() -> dict[str, int]:
 
                 visit_AsyncFunctionDef = visit_FunctionDef
 
+                def visit_ClassDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
                 def visit_Call(self, node):
                     f = node.func
                     if isinstance(f, ast.Attribute) and f.attr in (
@@ -58,7 +76,8 @@ def _sites() -> dict[str, int]:
                         "toPandas",
                         "toLocalIterator",
                     ):
-                        key = stack[-1] if stack else f"<module:{fn}>"
+                        qual = ".".join(stack) if stack else "<module>"
+                        key = (rel, qual)
                         found[key] = found.get(key, 0) + 1
                     self.generic_visit(node)
 
@@ -81,7 +100,7 @@ def test_every_driver_collect_is_allowlisted_metadata():
 
 
 def test_allowlist_is_not_stale():
-    """Every allowlisted function must still exist and still collect —
+    """Every allowlisted site must still exist and still collect —
     a removed site should shrink the allowlist, not rot in it."""
     sites = _sites()
     stale = [k for k in ALLOWED if k not in sites]

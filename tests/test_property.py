@@ -448,3 +448,79 @@ def test_ffd_oracle_cte_matches_python_model(docs):
             total * 10000 // (len(bins) * CONTEXT_TOKENS),
         )
     assert got == want
+
+
+# --- BMP parser: property-tested round trip (VERDICT r04 #5) ---------------
+#
+# The hand-enumerated edge cases (odd-width padding, top-down rows,
+# header rejection) live in test_timeseries_simgraph.py; this closes
+# the class: ANY (width, height, orientation, pixel seed) must survive
+# encode -> the real parser -> closed-form stats, and any truncation of
+# a valid blob must be rejected with None, never an exception.
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=41),
+    h=st.integers(min_value=1, max_value=29),
+    top_down=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, top_down, seed):
+    import struct
+
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_bmp,
+        make_bmp_decoder,
+    )
+
+    decode = make_bmp_decoder()
+    n = w * h * 3
+    flat = ((seed % 251) + 7 * np.arange(n, dtype=np.int64)) % 256
+    px = flat.astype(np.uint8).tobytes()
+
+    if top_down:
+        # negative biHeight, rows stored first-row-first (no encoder
+        # path for this by design — build the spec shape by hand)
+        stride = (w * 3 + 3) // 4 * 4
+        pad = b"\x00" * (stride - w * 3)
+        rows = b"".join(
+            px[r * w * 3 : (r + 1) * w * 3] + pad for r in range(h)
+        )
+        blob = (
+            struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 0, 0, 0, 0
+            )
+            + rows
+        )
+    else:
+        blob = encode_bmp(w, h, px)
+
+    expect = (
+        w, h, 3, n, int(flat[0]), int(flat.sum()) * 10000 // n,
+    )
+    assert decode(blob) == expect
+
+    # any truncation of the pixel array must reject with None, never
+    # raise (the documented malformed-but-'BM' contract, ADVICE r04)
+    assert decode(blob[:-1]) is None
+    assert decode(blob[: 54 + max(0, len(blob) - 54) // 2]) is None
+
+
+def test_bmp_decoder_rejects_offset_past_end():
+    """A 'BM' header whose pixel-array offset points past the buffer is
+    rejected with None (used to ValueError inside np.frombuffer)."""
+    import struct
+
+    from coviddatapipeline_spark.operators.multimodal import make_bmp_decoder
+
+    decode = make_bmp_decoder()
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54, 0, 0, 10_000)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 0, 0, 0, 0)
+        + b"\x00" * 64
+    )
+    assert decode(blob) is None

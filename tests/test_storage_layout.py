@@ -368,16 +368,22 @@ def test_versioned_table_atomic_commits_and_gc(spark, tmp_path):
     assert read_versioned(spark, root).count() == 20
     assert spark.read.parquet(v0).count() == 10  # in-flight reader survives
 
-    # simulate a crashed commit: orphan version dir + stranded pointer
-    # temp file, pointer unmoved
-    os.makedirs(os.path.join(root, "v99"))
-    with open(os.path.join(root, "v99", "part-junk.parquet"), "w") as f:
+    # simulate the REALISTIC crash shape: a commit that finished its data
+    # write but died before the pointer flip leaves its orphan at exactly
+    # v{pointer_version + 1} = v2 — the slot the NEXT commit computes, so
+    # without pre-write GC the errorifexists write would fail forever and
+    # the table would be permanently write-blocked (ADVICE r04). Also
+    # strand a pointer temp file and a far-future orphan.
+    os.makedirs(os.path.join(root, "v2"))
+    with open(os.path.join(root, "v2", "part-junk.parquet"), "w") as f:
         f.write("junk")
+    os.makedirs(os.path.join(root, "v99"))
     with open(os.path.join(root, "._ptr_crashed"), "w") as f:
         f.write("{}")
     assert versioned_table_path(root).endswith("v1")
 
-    # next commit collects the orphan dir, the ptr temp, and v0
+    # next commit collects the colliding v2 orphan BEFORE choosing its
+    # slot (so it succeeds and lands at v2), plus v99, the ptr temp, v0
     write_versioned(spark, spark.range(30), root)
     assert versioned_table_path(root).endswith("v2")
     dirs = {d for d in os.listdir(root) if d.startswith("v")}
