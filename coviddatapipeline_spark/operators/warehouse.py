@@ -264,22 +264,42 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY op
     """,
     doc=(
-        "Snapshot-diff change-data-capture: two versions of the "
-        "customer dimension (the next snapshot simulated "
+        "Snapshot-diff change-data-capture THROUGH the versioned-table "
+        "commit protocol (sources.write_versioned / compact_versioned / "
+        "read_versioned_at): snapshot 1 of the customer dimension is "
+        "COMMITTED as version 0 (multi-file), OPTIMIZE'd into a "
+        "compacted version 1, then the next snapshot (simulated "
         "deterministically — balance drift on every 7th key, deletes "
-        "on every 13th, one insert per nation) FULL-OUTER-joined on "
-        "the business key and every row classified "
-        "insert/update/delete/unchanged — the diff a warehouse computes "
-        "to turn full-table re-extracts into an incremental changelog "
-        "when the source system offers no CDC stream. One hash join on "
-        "the key plus a combinable count; at 100 TB both snapshots "
-        "would be bucketed on the key (sources.write_bucketed_table) "
-        "making the diff co-located and shuffle-free. Complements "
+        "on every 13th, one insert per nation) is committed as version "
+        "2; the diff reads BOTH retained versions back through the "
+        "pointer-file API (time travel to N-1, live read of N), "
+        "FULL-OUTER-joins on the business key and classifies every row "
+        "insert/update/delete/unchanged — the changelog a warehouse "
+        "computes from full-table re-extracts when the source offers "
+        "no CDC stream, and exactly what Delta/Iceberg table-diff does "
+        "between two committed snapshots. The oracle recomputes the "
+        "same diff from the raw table, so the hash match proves the "
+        "commit/compact/time-travel round trip is lossless end-to-end. "
+        "One hash join on the key plus a combinable count; at 100 TB "
+        "both snapshot versions would be bucketed on the key making "
+        "the diff co-located and shuffle-free. Complements "
         "scd2_customer_merge, which consumes exactly this changelog."
     ),
-    tags=("warehouse", "join", "cdc"),
+    tags=("warehouse", "join", "cdc", "versioned"),
 )
 def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from coviddatapipeline_spark.sources import (
+        compact_versioned,
+        read_versioned,
+        read_versioned_at,
+        write_versioned,
+    )
+
     cust = t(spark, sf_dir, "customer")
     v1 = cust.select(
         F.col("c_custkey").alias("k"),
@@ -304,10 +324,25 @@ def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v2 = changed.unionByName(inserts)
-    a = v1.select(
+    # Commit both snapshots through the versioned-table protocol so the
+    # cross-engine hash certifies the WHOLE storage round trip, not just
+    # the diff algebra: v0 = snapshot 1 (multi-file), v1 = its compacted
+    # rewrite (rows must survive OPTIMIZE), v2 = snapshot 2. GC keeps
+    # {v1, v2} — exactly the two versions the diff reads back.
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "cdp_versioned_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-run, single writer
+    write_versioned(spark, v1.repartition(4), root)
+    compact_versioned(spark, root, target_rows_per_file=10_000_000)
+    write_versioned(spark, v2, root)
+    s1 = read_versioned_at(spark, root, 1)  # time travel: compacted snapshot 1
+    s2 = read_versioned(spark, root)  # live pointer: snapshot 2
+    a = s1.select(
         F.col("k").alias("k1"), F.col("bal").alias("bal1"), F.col("seg").alias("seg1")
     )
-    b = v2.select(
+    b = s2.select(
         F.col("k").alias("k2"), F.col("bal").alias("bal2"), F.col("seg").alias("seg2")
     )
     op = (

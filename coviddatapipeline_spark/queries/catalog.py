@@ -63,6 +63,11 @@ _FINGERPRINT_SALT_MODULES = (
     "coviddatapipeline_spark.operators.ranking",
     "coviddatapipeline_spark.operators.common",
     "coviddatapipeline_spark.session",
+    # storage protocol: the versioned-table commit/compact/time-travel
+    # API flows into entries that read their own committed snapshots
+    # back (warehouse_snapshot_diff_cdc), so an edit here must re-gate
+    # stamps like any shared-helper edit
+    "coviddatapipeline_spark.sources",
 )
 
 
@@ -110,84 +115,72 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 #
-# Round-4 window (VERDICT r03 #1: a COVERAGE round — ≥41 first-time
-# names from the 131-entry never-driver-checked backlog, ≤9 sentinels,
-# registry growth frozen):
-#   - sentinels: 7 previously-green rows, one per brief-defining family
-#     (relational/covid/dedup/ann/text/events) — regression canaries;
-#   - round-4 changed entries (ADVICE r03 fixes — µs-exact session
-#     gaps, broadcast-scalar token total, DECIMAL(38) ACF sums,
-#     integer-cents stats rendering) — all also first-time-checked;
-#   - rotation: breadth-first across every family VERDICT r03 lists as
-#     never-covered: sketches, PQ/semdedup/matryoshka, warehouse
-#     audits, graph stats, RRF fusion + PMI, timeseries, third-sitting
-#     events rows, dedup late additions, datapipe, tpch_rest,
-#     relational_ext analytics, multimodal frame hashes, linkage.
+# Round-5 window (VERDICT r04 #1/#3): continue the coverage rotation —
+# 7 sentinels, the one implementation changed this round (the versioned-
+# table CDC conversion), and 42 never-driver-checked entries. Together
+# with the r06 window published in NEXT.md this covers every remaining
+# backlog entry exactly once, finishing the round-2 goal (a driver row
+# for all 255) by round 6.
 _PRIORITY: tuple[str, ...] = (
-    # --- sentinels (green in CORRECTNESS_r02/r03) ---
+    # --- sentinels (green in every round they have sat) ---
     "flagship_revenue_by_nation",
     "s1_scan_count_orders",
     "q4_topk_other_share",
     "dedup_minhash_lsh",
     "ann_cosine_topk_ivf",
     "text_token_stats",
-    "events_sessionization",  # also re-verifies the µs-exact gap fix
-    # --- round-4 changed implementations (ADVICE r03), first-time ---
-    "events_session_survival",
-    "events_session_path_mining",
-    "events_peak_concurrency",
-    "text_longdoc_token_share",
-    "timeseries_acf_daily_orders",
-    "table_stats_analyze_audit",
-    # --- rotation: sketches ---
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_cardinality",
-    "bloom_join_prefilter_audit",
-    # --- rotation: similarity (PQ / semdedup / matryoshka) ---
-    "semdedup_cell_prune",
-    "ann_matryoshka_recall",
-    "pq_codebook_assign",
-    "pq_adc_topk_recall",
-    # --- rotation: warehouse audits ---
-    "zorder_layout_skipping_audit",
+    "events_sessionization",
+    # --- round-5 changed implementation: CDC diff now commits both
+    # snapshots through the versioned-table protocol (write_versioned /
+    # compact_versioned / read_versioned_at) — re-verify (VERDICT r04 #6)
     "warehouse_snapshot_diff_cdc",
-    "warehouse_partition_skew_audit",
-    # --- rotation: graph stats ---
-    "graph_degree_assortativity",
-    "graph_triangle_stats",
-    "graph_semantic_clusters",
-    # --- rotation: retrieval fusion ---
-    "hybrid_rrf_fusion",
-    "bigram_pmi_top",
-    # --- rotation: timeseries ---
-    "timeseries_cusum_changepoint",
-    "timeseries_ols_trend",
-    "timeseries_mad_outliers",
-    # --- rotation: third-sitting events rows ---
-    "events_dau_wau_stickiness",
-    "events_usage_gini",
-    "events_temporal_neighbor_join",
-    # --- rotation: dedup late additions ---
-    "dedup_exact_substring_runs",
-    "dedup_incremental_neardup_ingest",
-    "dedup_simhash_banded_pairs_salted",
-    # --- rotation: datapipe / curation ---
-    "train_order_global_shuffle",
-    "mix_budget_waterfill",
-    "docpipe_curation_manifest",
-    # --- rotation: tpch_rest ---
-    "tpch_q4_priority_check",
-    "tpch_q14_promo_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # --- rotation: relational_ext analytics ---
-    "customer_revenue_pareto",
-    "orders_cohort_ltv_matrix",
-    # --- rotation: multimodal / linkage / text ---
-    "mm_image_decode_bmp",  # round-4 upgrade: REAL BMP parser, new oracle
-    "linkage_blocked_fuzzy_match",
-    "text_vocab_growth_curve",
-    "text_bpe_merge_candidates",
+    # --- rotation: 42 first-time entries, led by the two ex-rows-only
+    # conversions whose new contract/replay oracles have never faced the
+    # real driver (VERDICT r04 #1); breadth-first across every module
+    # with a backlog. The r06 window (published in NEXT.md) takes the
+    # remaining 48, zeroing the never-driver-checked backlog by round 6.
+    "approx_distinct_users_by_type",
+    "pack_sequences_ffd",
+    "corpus_curation_pipeline",
+    "events_cohort_retention",
+    "events_asof_next_purchase",
+    "dedup_candidate_containment",
+    "ann_cosine_topk_ivf_trained",
+    "nation_revenue_trend_grouped_ols",
+    "dq_benford_first_digit",
+    "pagination_keyset",
+    "docpipe_quality_dup_profile",
+    "events_daily_autocorr",
+    "setop_yearly_customer_retention",
+    "tpch_q12_shipdelay_priority",
+    "events_transition_matrix",
+    "emb_vector_quality_audit",
+    "emb_dim_stats",
+    "from_json_typed_props",
+    "events_attribution_first_last",
+    "dedup_canonical_doc_per_component",
+    "ann_hard_negative_mining",
+    "skew_salted_join_agg",
+    "dq_k_anonymity_audit",
+    "stats_chi2_brand_type",
+    "text_ks_length_drift",
+    "events_daily_kl_drift",
+    "sla_ship_latency_by_priority",
+    "tpch_q19_disjunctive_revenue",
+    "graph_copurchase_affinity",
+    "cogroup_fulfillment_pandas",
+    "ivf_kmeans_lloyd",
+    "map_priority_rates",
+    "events_conversion_interval",
+    "dedup_cluster_canonical_select",
+    "ann_ivf_nprobe_curve",
+    "tpch_q15_top_supplier",
+    "ivm_join_view_delta",
+    "text_vocab_coverage",
+    "events_level_shift_detector",
+    "topk_global_with_per_group_cap",
+    "mm_frame_hashes",
+    "dedup_lsh_banding_curve",
 )
 
 

@@ -317,6 +317,23 @@ def read_versioned(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(versioned_table_path(root))
 
 
+def read_versioned_at(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read of a RETAINED version. The protocol keeps the
+    live version N and its immediate predecessor N-1 (GC lag for
+    in-flight readers), so those are the only versions guaranteed
+    readable; anything older raises FileNotFoundError rather than
+    silently reading a partially-GC'd directory."""
+    import os
+
+    path = os.path.join(root, f"v{version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {version} of {root} is not retained "
+            f"(the protocol keeps only the live version and its predecessor)"
+        )
+    return spark.read.parquet(path)
+
+
 def write_versioned(spark: SparkSession, df: DataFrame, root: str) -> str:
     """Commit ``df`` as the table's next immutable snapshot; returns the
     new version directory. Safe under concurrent readers: they hold the

@@ -266,6 +266,89 @@ def main() -> None:
         )
         t_range = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # sketch shape (sketch_cms_heavy_hitters / sketch_hll_cardinality,
+        # VERDICT r04 #7): rows fold map-side-combinably into a FIXED
+        # 2^p register grid + a constant-size final agg; a linear curve
+        # proves the reduce side never grows with data (the mergeable
+        # 100 TB posture — register grids union across executors)
+        uv = replicate(ev_raw.select("user_id"), ["user_id"], mult)
+        hh = F.hash(F.col("user_id").cast("string"))
+        reg = (
+            uv.select(
+                F.pmod(hh, F.lit(1 << 12)).alias("idx"),
+                (31 - F.floor(F.log2(F.abs(hh) + 1))).cast("int").alias("rho"),
+            )
+            .groupBy("idx")
+            .agg(F.max("rho").alias("m"))
+        )
+        reg.agg(F.count("*"), F.sum("m")).collect()
+        t_sketch = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # pq-adc shape (pq_adc_topk_recall, VERDICT r04 #7): a broadcast
+        # integer LUT (M x K literal) gathered per row — map-only ADC —
+        # then a global top-k via sort-limit (TakeOrdered, no single-
+        # partition sort); linear in vectors since the LUT is constant
+        M, K = 8, 16
+        lut = [[(m * 131 + c * 17) % 997 for c in range(K)] for m in range(M)]
+        codes = replicate(emb, ["vec_id"], mult).select(
+            "vec_id",
+            *[
+                F.pmod(F.hash(F.col("vec_id") + F.lit(m)), F.lit(K)).alias(f"c{m}")
+                for m in range(M)
+            ],
+        )
+        lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        dist = None
+        for m in range(M):
+            term = F.element_at(
+                F.element_at(lut_col, m + 1), (F.col(f"c{m}") + 1).cast("int")
+            )
+            dist = term if dist is None else dist + term
+        codes.select("vec_id", dist.alias("d")).orderBy("d").limit(10).collect()
+        t_adc = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # rrf shape (hybrid_rrf_fusion, VERDICT r04 #7): two ranked lists,
+        # each pruned to top-k PER BUCKET before its tiny global window
+        # (<= k x 32 rows however big the corpus), fused by 1/(60+rank);
+        # a ~flat-per-row curve proves the unpartitioned windows stay
+        # row-bounded as the corpus grows
+        from pyspark.sql import Window as _W
+
+        docs_raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        dd = replicate(docs_raw.select("doc_id"), ["doc_id"], mult).select(
+            "doc_id",
+            F.pmod(F.hash("doc_id"), F.lit(32)).alias("bucket"),
+            F.pmod(F.hash(F.col("doc_id") + 1), F.lit(10_000)).alias("lex"),
+            F.pmod(F.hash(F.col("doc_id") + 2), F.lit(10_000)).alias("sem"),
+        )
+        k_rrf = 10
+
+        def _pruned_rank(col):
+            wb = _W.partitionBy("bucket").orderBy(F.col(col).desc(), "doc_id")
+            pruned = dd.withColumn("rb", F.row_number().over(wb)).filter(
+                F.col("rb") <= k_rrf
+            )
+            wg = _W.orderBy(F.col(col).desc(), "doc_id")
+            return (
+                pruned.withColumn("r", F.row_number().over(wg))
+                .filter(F.col("r") <= k_rrf)
+                .select("doc_id", (1.0 / (60 + F.col("r"))).alias("s"))
+            )
+
+        (
+            _pruned_rank("lex")
+            .unionByName(_pruned_rank("sem"))
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("rrf"))
+            .orderBy(F.col("rrf").desc())
+            .limit(k_rrf)
+            .collect()
+        )
+        t_rrf = time.perf_counter() - t0
+
         rows = 600_572 * mult  # sf0.1 lineitem rows x replicas
         orows = 150_000 * mult
         erows = 100_000 * mult
@@ -281,7 +364,10 @@ def main() -> None:
             f"band-skew plain={t_skew_plain:6.2f}s salted={t_skew_salt:6.2f}s "
             f"({n_salted:,} pairs, {t_skew_plain/t_skew_salt:4.1f}x)  "
             f"basket-proj={t_basket:6.2f}s ({n_pairs:,} pairs)  "
-            f"range-join={t_range:6.2f}s ({n_nb:,} nb)"
+            f"range-join={t_range:6.2f}s ({n_nb:,} nb)  "
+            f"sketch={t_sketch:6.2f}s ({erows/t_sketch/1e6:5.2f}M rows/s)  "
+            f"pq-adc={t_adc:6.2f}s ({vrows/t_adc/1e3:5.1f}k vec/s)  "
+            f"rrf={t_rrf:6.2f}s"
         )
 
 

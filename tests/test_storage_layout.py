@@ -419,3 +419,26 @@ def test_compact_versioned_no_reader_window(spark, tmp_path):
     assert sorted(r["id"] for r in read_versioned(spark, root).collect()) == before
     # the pointer flip is os.replace: the path always resolves
     assert os.path.isdir(versioned_table_path(root))
+
+
+def test_read_versioned_at_time_travel_and_retention(spark, tmp_path):
+    """Time-travel reads resolve any RETAINED version (live + its
+    predecessor); a GC'd version raises FileNotFoundError instead of
+    silently reading a partially-collected directory."""
+    import os
+
+    import pytest
+
+    from coviddatapipeline_spark.sources import (
+        read_versioned_at,
+        write_versioned,
+    )
+
+    root = os.path.join(str(tmp_path), "vt")
+    write_versioned(spark, spark.range(10), root)  # v0
+    write_versioned(spark, spark.range(20), root)  # v1
+    write_versioned(spark, spark.range(30), root)  # v2 (v0 GC'd)
+    assert read_versioned_at(spark, root, 2).count() == 30
+    assert read_versioned_at(spark, root, 1).count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_versioned_at(spark, root, 0)
