@@ -75,31 +75,38 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     for name in names:
-        # One DISCARDED run at the measured SF first (VERDICT r04 #4):
+        # Two DISCARDED runs at the measured SF first (VERDICT r04 #4):
         # the sf0.001 warmup above compiles the same plans, but the
-        # first execution at the real SF still pays one-time costs the
+        # first executions at the real SF still pay one-time costs the
         # tiny tables cannot trigger — Python-worker pool spin-up for
-        # the Arrow kernels, broadcast builds at real size, codegen
-        # specializations on larger batches. That cold first run was the
-        # source of the ±30% round-to-round swing in dedup_minhash_lsh
-        # (~9.7 s cold vs ~1.2 s steady); discarding it leaves the
-        # median measuring steady-state execution only.
-        qs[name](spark, sf_dir).collect()
-        # Median of 3 timed runs: single-run numbers on a shared box
-        # carry contention noise bigger than real plan changes; the
-        # median is robust to one slow outlier while still charging full
-        # planning + execution each run (no result caching — each run
-        # rebuilds the DataFrame from the registry callable).
+        # the Arrow kernels, broadcast builds at real size, and the
+        # C2-JIT tail on the widest codegen stages. Measured on a quiet
+        # host: dedup_minhash_lsh decays 3.5 -> 1.9 -> 1.7 -> ~1.5 s
+        # over its first executions even after the sf0.001 warmup, so a
+        # single discard still left +-20% round-to-round swing; two
+        # discards put the timed runs past the steep part of that curve.
+        for _ in range(2):
+            qs[name](spark, sf_dir).collect()
+        # Min of 5 timed runs: the minimum is the standard steady-state
+        # estimator — every source of noise on a shared box (GC pause,
+        # neighbor load, residual JIT) only ever INFLATES a run, so the
+        # fastest run is the least-noisy measurement of the plan's true
+        # cost. Five samples (not three) because the sub-second queries
+        # carry ~100 ms of absolute scheduler/GC noise, which is 20-30%
+        # relative at their scale; the extra samples give each query a
+        # clean window. Each run still charges full planning + execution
+        # (no result caching — each rebuilds the DataFrame from the
+        # registry callable).
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = len(df.collect())
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(min(runs), 3)
         spread = max(runs) - min(runs)
         print(
-            f"# {name}: {timings[name]:.3f}s median ({n} rows, "
+            f"# {name}: {timings[name]:.3f}s min-of-5 ({n} rows, "
             f"spread {spread:.3f}s)",
             file=sys.stderr,
         )
