@@ -1460,6 +1460,29 @@ MIN_RUN = 3  # consecutive shared k-grams => >= K_GRAM + MIN_RUN - 1 shared toke
 MAX_KGRAM_DF = 50  # boilerplate guard: k-grams in more docs are dropped
 
 
+def kgram_window_structs(tk: Column, k: int = K_GRAM) -> Column:
+    """array<struct<pos,h>> of every k-token rolling window of token
+    array ``tk``: 1-based start position + md5 of the space-joined
+    window. Short-doc guarded the same way as text._trigrams_all
+    (ADVICE r01): fewer than k tokens yields an EMPTY array, matching
+    DuckDB's empty ``generate_series(1, len-k+1)``. Without the guard
+    Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (step is
+    inferred as -1 when start > stop) and ``slice(tk, 0, k)`` aborts
+    the whole job — a latent crash on any corpus with one short doc,
+    invisible at the test SFs because every synthetic doc has >= k
+    tokens."""
+    return F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(tk, i, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+
 @register(
     "dedup_exact_substring_runs",
     oracle=f"""
@@ -1534,17 +1557,7 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = (
         docs.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(tk) - (K_GRAM - 1), F.lit(0))
-                    ),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.md5(F.concat_ws(" ", F.slice(tk, i, K_GRAM))).alias("h"),
-                    ),
-                )
-            ).alias("w"),
+            F.explode(kgram_window_structs(tk, K_GRAM)).alias("w"),
         )
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
         .persist()
