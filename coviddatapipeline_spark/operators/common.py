@@ -15,6 +15,15 @@ DUCKDB_INITCAP = (
     "w -> upper(w[1]) || w[2:]), ' ')"
 )
 
+# Corpus embedding dimensionality contract. Operators whose algebra
+# requires uniform vector dimensions (k-means training, blocked exact
+# GEMM) filter to exactly this size: a NULL / empty / wrong-dimension
+# vector cannot be assigned a cell or stacked into a BLAS matrix, and
+# without the filter one poison row aborts the entire job (ANSI
+# INVALID_ARRAY_INDEX on q[i], ragged np.vstack). At 100 TB this value
+# comes from the embedding model card; testdata is 64-d at every SF.
+EMB_DIM = 64
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table as a DataFrame (lazy parquet scan)."""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import EMB_DIM, t
 from coviddatapipeline_spark.operators.text import _SW_SQL, _TOKENS, _tokens, STOPWORDS
 from coviddatapipeline_spark.queries.catalog import register
 
@@ -506,7 +506,7 @@ def ivf_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-iteration Lloyd (NEXT.md round-2 #4) ----------------------------
 
 KM_SCALE = 1_000_000  # fixed-point: coord -> round(coord * 1e6) as int64
-KM_DIM = 64
+KM_DIM = EMB_DIM  # quantizer trains in the corpus dimensionality
 KM_ITERS = 2  # centroid updates; KM_ITERS + 1 assignment passes total
 
 
@@ -612,13 +612,22 @@ def km_train_centroids(
     (similarity.ann_cosine_topk_ivf_trained), so 'the model the audit
     verified' and 'the model the index probes' are the same code."""
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-        ).alias("q"),
-    ).persist()
+    # A NULL / empty / wrong-dimension vector cannot be assigned a cell
+    # in KM_DIM-space, and the per-dim centroid sums index q[i] (ANSI:
+    # INVALID_ARRAY_INDEX aborts the job on the first short array) —
+    # train and assign only corpus-dimensional vectors (size(NULL) is
+    # NULL, so NULL embeddings are filtered too). No-op on clean data.
+    q = (
+        emb.filter(F.size("embedding") == KM_DIM)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
 
     seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
     cent: dict[int, list[int]] = {

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t, t_fanout
+from coviddatapipeline_spark.operators.common import EMB_DIM, t, t_fanout
 from coviddatapipeline_spark.operators.text import (
     _NORM,
     _SW_SQL,
@@ -737,8 +737,13 @@ def dedup_simhash_banded_pairs_salted(spark: SparkSession, sf_dir: str) -> DataF
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks = 8
+    # The BLAS matmul stacks each block into ONE (n/B, dim) matrix, so a
+    # single NULL / empty / wrong-dimension vector makes np.vstack ragged
+    # and aborts the whole job — exact GEMM is only defined over
+    # corpus-dimensional vectors. No-op on clean data.
     emb = (
         t(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == EMB_DIM)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(n_blocks)))
     )

@@ -112,7 +112,10 @@ def mm_decode_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this deterministic byte-level fake keeps the identical batch
         # shape, schema contract, and per-partition parallelism.
         for pdf in batches:
-            payloads = pdf["payload"]
+            # Production binary columns contain NULLs (failed fetch,
+            # unset asset); a NULL payload is a 0-byte asset, never a
+            # kernel TypeError that aborts the job.
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -310,7 +313,8 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                blob = make_bmp(int(doc_id), len(payload))
+                # NULL payload = 0-byte asset (see mm_decode_features)
+                blob = make_bmp(int(doc_id), len(payload) if payload is not None else 0)
                 d = decode(blob)
                 out.append(
                     (int(doc_id),) + d + (True,)
@@ -398,7 +402,8 @@ def mm_resize_plan_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # A real kernel would `img.thumbnail((224, 224))`; the planning
         # math below is exactly what that performs internally.
         for pdf in batches:
-            n = pdf["payload"].map(len)
+            # NULL payload = 0-byte asset (see mm_decode_features)
+            n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
             w = (n % 640 + 1).astype("int64")
             h = (n % 480 + 1).astype("int64")
             m = pd.concat([w, h], axis=1).max(axis=1)
@@ -470,10 +475,14 @@ _CODECS = ("h264", "aac", "opus", "vp9")
     tags=("multimodal", "agg"),
 )
 def mm_av_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A NULL payload must still be probed (0-byte asset): with a NULL
+    # n_bytes the dispatch-array subscript compiles to a getItem whose
+    # NULL index ANSI-aborts the whole job (INVALID_ARRAY_INDEX) — make
+    # the header features total before indexing. ascii('') is already 0.
     p = _payloads(spark, sf_dir).select(
         "doc_id",
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.ascii(F.col("payload").cast("string")).alias("b0"),
+        F.coalesce(F.col("meta.n_bytes"), F.lit(0)).alias("n_bytes"),
+        F.coalesce(F.ascii(F.col("payload").cast("string")), F.lit(0)).alias("b0"),
     )
     container = F.array(*[F.lit(c) for c in _CONTAINERS])[
         F.pmod(F.col("n_bytes"), F.lit(3)).cast("int")
@@ -497,9 +506,14 @@ def mm_av_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             F.round(F.sum("av.duration_ms"), 2).alias("total_duration_ms"),
+            # try_divide: a 0-byte asset has duration 0 — bitrate is
+            # undefined (NULL, skipped by avg), not a job abort
             F.round(
                 F.avg(
-                    F.col("n_bytes") * 8.0 / (F.col("av.duration_ms") / 1000.0) / 1000
+                    F.try_divide(
+                        F.col("n_bytes") * 8.0, F.col("av.duration_ms") / 1000.0
+                    )
+                    / 1000
                 ),
                 3,
             ).alias("avg_kbps"),

@@ -836,12 +836,18 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_full", _dot("qv", "cv"))
         .withColumn(
             "cos_trunc",
-            F.aggregate(
-                F.zip_with(tr("qv"), tr("cv"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (norm("qv") * norm("cv")),
+            # try_divide: a zero-norm (or empty/short) prefix has no
+            # defined cosine — NULL ranks below every real score under
+            # the DESC window instead of ANSI-aborting the job on the
+            # first degenerate vector. Identical to `/` on clean data.
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(tr("qv"), tr("cv"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                norm("qv") * norm("cv"),
+            ),
         )
         .select("query_id", "neighbor_id", "cos_full", "cos_trunc")
     )

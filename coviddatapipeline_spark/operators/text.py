@@ -337,7 +337,12 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(pieces).alias("n_pieces"),
         F.size(_tokens(F.col("text"))).alias("n_words"),
-        F.round(F.length(norm) * 1.0 / F.size(pieces), 4).alias("chars_per_piece"),
+        # try_divide: an empty/whitespace/NULL document has zero pieces —
+        # chars_per_piece is undefined (NULL), not a job-aborting ANSI
+        # DIVIDE_BY_ZERO. Identical to `/` whenever n_pieces > 0.
+        F.round(F.try_divide(F.length(norm) * 1.0, F.size(pieces)), 4).alias(
+            "chars_per_piece"
+        ),
     ).orderBy("doc_id")
 
 
@@ -1122,7 +1127,10 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr("CAST(substring(source, 4) AS INT)").alias("source_idx"),
+        # TRY_CAST: a source label that doesn't follow the src<N> naming
+        # (inevitable somewhere in a 100 TB crawl manifest) groups under
+        # NULL instead of ANSI-aborting the job on the first bad label.
+        F.expr("TRY_CAST(substring(source, 4) AS INT)").alias("source_idx"),
         _tokens(F.col("text")).alias("toks"),
     )
     pers = docs.groupBy("source_idx").agg(
@@ -1153,9 +1161,12 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(_W.orderBy("source_idx").rowsBetween(_W.unboundedPreceding, 0))
         .cast("long")
         .alias("cum_vocab"),
-        F.expr("CAST(new_words * 10000 DIV n_tokens AS BIGINT)").alias(
-            "new_word_rate_e4"
-        ),
+        # the NULL-source group can be all-empty docs (n_tokens 0):
+        # rate undefined, never a DIVIDE_BY_ZERO abort
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0"
+            "     THEN new_words * 10000 DIV n_tokens END AS BIGINT)"
+        ).alias("new_word_rate_e4"),
     ).orderBy("source_idx")
 
 
