@@ -491,7 +491,13 @@ def window_moving_avg_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+            # try_cast: a NaN/Inf price (present in any real 100 TB fact
+            # table somewhere) quantizes to NULL — skipped by sum — not
+            # an ANSI CAST_OVERFLOW that kills the job. Identical to
+            # cast() for every finite price.
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).try_cast("long")
+            ).alias("cents")
         )
     )
     day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
@@ -983,10 +989,16 @@ def cogroup_fulfillment_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"o_orderkey": [], "n_items": [], "max_delay_days": []}
             )
-        if ldf.empty:
+        od = odf["od"].iloc[0]
+        sds = ldf["sd"].dropna()
+        # NULL order date or no non-NULL ship date: the lag is undefined
+        # and the oracle's max(date_diff(...)) is NULL -> coalesce(-1).
+        # Matching that here also keeps a poison row (NULL date) from
+        # raising TypeError on date arithmetic and killing the task.
+        if od is None or pd.isna(od) or sds.empty:
             delay = -1
         else:
-            delay = int((ldf["sd"].max() - odf["od"].iloc[0]).days)
+            delay = int((sds.max() - od).days)
         return pd.DataFrame(
             {
                 "o_orderkey": [int(key[0])],

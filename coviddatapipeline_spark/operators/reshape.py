@@ -538,7 +538,12 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.select(
         "yr",
         F.round("rev", 2).alias("revenue"),
-        F.round(100.0 * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+        # try_divide: a prior year with zero (or fully-NULL) revenue has
+        # no defined growth rate — NULL, not an ANSI DIVIDE_BY_ZERO that
+        # kills the job. Identical to `/` for every nonzero prior year.
+        F.round(F.try_divide(100.0 * (F.col("rev") - prev), prev), 4).alias(
+            "yoy_pct"
+        ),
     ).orderBy("yr")
 
 

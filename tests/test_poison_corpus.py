@@ -46,6 +46,12 @@ POISONED_ENTRIES = [
     # never crashed, but exercises the same guarded k-gram builder the
     # round-5 short-doc fix landed in (dedup.kgram_window_structs)
     "dedup_exact_substring_runs",
+    # second probe axis (events/orders/lineitem poison): NULL order
+    # date / all-NULL ship dates in the cogroup kernel, NaN price in
+    # the integer-cents quantizer, zero prior-year revenue in the lag
+    "cogroup_fulfillment_pandas",
+    "window_moving_avg_7day_revenue",
+    "orders_yoy_growth",
 ]
 
 
