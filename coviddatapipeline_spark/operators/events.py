@@ -1217,7 +1217,7 @@ PATH_TOP = 10
                         OR lag(ts) OVER
                              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         sess AS (
             SELECT user_id, ts, event_id, event_type,
@@ -1264,7 +1264,13 @@ PATH_TOP = 10
     tags=("events", "window", "sequence"),
 )
 def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events(spark, sf_dir)
+    # An event with no timestamp has no position in any session:
+    # excluded HERE, in the oracle, and in the streaming twin
+    # (stream_session_paths), symmetrically. Without the filter the
+    # engines silently disagree on dirty data (Spark windows sort NULL
+    # ts first, DuckDB last) and the streaming kernel's NaT -> int64
+    # cast fabricates session breaks. No-op on clean data.
+    ev = events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = (
         W.partitionBy("user_id")

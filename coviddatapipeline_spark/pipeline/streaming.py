@@ -364,6 +364,12 @@ def stream_session_paths(
     stream = spark.readStream.schema(schema).parquet(input_dir)
     out = (
         stream.select("user_id", "ts", "event_id", "event_type")
+        # NULL event time: no position in any session — excluded, same
+        # contract as the batch sibling. Unfiltered, the kernel's NaT ->
+        # int64 cast is int64-min, fabricating a session break and a
+        # phantom path entry inside PERSISTENT state (observed:
+        # 'b>c>NULLTS' emitted on a poison stream).
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
