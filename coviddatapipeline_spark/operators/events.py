@@ -90,7 +90,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                              > INTERVAL 30 MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new_session
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         sessions AS (
             SELECT user_id, ts,
@@ -113,7 +113,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window"),
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events(spark, sf_dir)
+    # Session contract (see events_session_path_mining): an event with
+    # no timestamp has no position in any session — excluded here and
+    # in the oracle alike (engines otherwise place NULL ts on opposite
+    # ends of the window sort). No-op on clean data.
+    ev = events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
     prev = F.lag("ts").over(w_order)
@@ -938,7 +942,7 @@ def events_rate_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
                              > INTERVAL 30 MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new_session
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         sessions AS (
             SELECT user_id, ts,
@@ -978,7 +982,8 @@ def events_rate_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("events", "window", "agg"),
 )
 def events_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events(spark, sf_dir)
+    # Session contract: NULL-ts events excluded (see events_sessionization)
+    ev = events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -1325,7 +1330,7 @@ def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OR lag(ts) OVER
                              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         sess AS (
             SELECT user_id,
@@ -1382,7 +1387,8 @@ def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coviddatapipeline_spark.operators.ranking import with_global_running_sum
 
-    ev = events(spark, sf_dir)
+    # Session contract: NULL-ts events excluded (see events_sessionization)
+    ev = events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = (
         W.partitionBy("user_id")

@@ -103,6 +103,15 @@ def test_vocab_growth_bad_source_groups_under_null(spark, poison_dir):
     assert None in idx  # out-of-scheme labels grouped, not job-aborting
 
 
+def test_sessionization_excludes_null_ts(spark, poison_dir):
+    """Session contract: an event with no timestamp has no position in
+    any session. Poison user 77001 has one NULL-ts event (excluded) and
+    one far-future event (a real, placeable event — included)."""
+    rows = catalog.all_queries()["events_sessionization"].fn(spark, poison_dir)
+    r = rows.filter("user_id = 77001").collect()[0]
+    assert (r["n_sessions"], r["n_events"]) == (1, 1)
+
+
 def test_mm_null_payload_is_zero_byte_asset(spark, poison_dir):
     feats = catalog.all_queries()["mm_decode_features_pandas"].fn(spark, poison_dir)
     row = feats.filter("doc_id = 990000005").collect()[0]
