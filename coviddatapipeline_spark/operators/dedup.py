@@ -1986,7 +1986,8 @@ def dedup_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "linkage_blocked_fuzzy_match",
     oracle="""
-        WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+        WITH clean AS (SELECT DISTINCT p_name AS name FROM part
+                       WHERE p_name IS NOT NULL AND length(p_name) > 0),
         dirty AS (
             SELECT name,
                    CAST(concat('0x', substr(md5(name), 1, 8)) AS BIGINT)
@@ -2054,7 +2055,17 @@ def dedup_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "linkage", "join"),
 )
 def linkage_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clean = t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    # A zero-length (or NULL) name cannot be corrupted by deleting a
+    # character — the md5-position arithmetic is `% length(name)`, an
+    # ANSI REMAINDER_BY_ZERO job-killer on the first empty dim row.
+    # Linkage is defined over non-empty names; filtered in the oracle
+    # identically. No-op on clean data.
+    clean = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull() & (F.length("p_name") > 0))
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
     corrupted = clean.select(
         F.col("name").alias("true_name"),
         F.expr(

@@ -52,6 +52,10 @@ POISONED_ENTRIES = [
     "cogroup_fulfillment_pandas",
     "window_moving_avg_7day_revenue",
     "orders_yoy_growth",
+    # third probe axis (customer/supplier/part poison): the linkage
+    # dirty-feed's md5-position arithmetic is `% length(name)` —
+    # REMAINDER_BY_ZERO on the first empty part name
+    "linkage_blocked_fuzzy_match",
 ]
 
 

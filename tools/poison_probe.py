@@ -91,6 +91,25 @@ POISON_LINEITEM = [
      _dt.datetime(2024, 1, 3)),
 ]
 
+# (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+POISON_CUSTOMER = [
+    (990_000_001, None, None, NAN, None),  # all-degenerate dim row
+    (990_000_002, "", 0, -INF, "weird segment"),
+    (990_000_003, "Customer#bad-suffix", 9999, 0.0, "FURNITURE"),  # dangling FK
+]
+
+# (s_suppkey, s_name, s_nationkey, s_acctbal)
+POISON_SUPPLIER = [
+    (990_000_001, None, None, NAN),
+    (990_000_002, "", 9999, INF),  # dangling FK, infinite balance
+]
+
+# (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+POISON_PART = [
+    (990_000_001, None, None, None, None, NAN),
+    (990_000_002, "", "NotBrand", "weird type", -1, 0.0),  # out-of-scheme brand
+]
+
 
 def _spike(spark, base_sf: str, out: str, table: str, rows) -> None:
     """Union poison rows (created with the BASE table's exact schema, so
@@ -132,6 +151,9 @@ def build_poison_dir(spark, base_sf: str = BASE_SF, out: str | None = None) -> s
         "events.parquet",
         "orders.parquet",
         "lineitem.parquet",
+        "customer.parquet",
+        "supplier.parquet",
+        "part.parquet",
     }
     for name in os.listdir(base_sf):
         src = os.path.join(base_sf, name)
@@ -146,6 +168,9 @@ def build_poison_dir(spark, base_sf: str = BASE_SF, out: str | None = None) -> s
     _spike(spark, base_sf, out, "events", POISON_EVENTS)
     _spike(spark, base_sf, out, "orders", POISON_ORDERS)
     _spike(spark, base_sf, out, "lineitem", POISON_LINEITEM)
+    _spike(spark, base_sf, out, "customer", POISON_CUSTOMER)
+    _spike(spark, base_sf, out, "supplier", POISON_SUPPLIER)
+    _spike(spark, base_sf, out, "part", POISON_PART)
     return out
 
 
