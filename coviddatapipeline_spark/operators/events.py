@@ -223,40 +223,72 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
         "((2p + q) div 2q) before one final division — the sf0.1 "
         "sweep caught a 1e-4 divergence when pandas' float median "
         "and DuckDB's interpolated quantile rounded an exact "
-        "half-tie differently. Scale: one shuffle on user_id; each "
-        "group processed independently on its executor."
+        "half-tie differently. Scale: one shuffle — on a USER BUCKET, "
+        "not the raw user id: a per-user kernel call costs ~ms of "
+        "Python overhead each (the cogroup entry measured 2.4 ms/call "
+        "— overhead-bound, near-flat across SFs), so the kernel takes "
+        "one bucket of users and computes every member's median with "
+        "vectorized pandas (sort + cumcount nth-element selection, the "
+        "same derivation as the oracle's row_number form)."
     ),
     tags=("events", "udf"),
 )
 def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events(spark, sf_dir).select("user_id", "event_id", "ts")
+    n_buckets = 64  # kernel calls; at scale ~ cluster parallelism x small k
+    ev = (
+        events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())  # a time gap needs a time
+        .select("user_id", "event_id", "ts")
+        .withColumn("bk", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+    )
 
     # Kernel is nested so cloudpickle ships it by value (foreign-cwd
     # consumers have no package on the worker path).
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "median_gap_s": pd.Series(dtype="float64"),
+                "n_gaps": pd.Series(dtype="int64"),
+            }
+        )
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         # integer MICROseconds regardless of the ns/us unit Arrow hands
         # over; all median math stays integral (see oracle doc)
         t_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        gaps = t_us.diff().dropna().astype("int64")
-        n = len(gaps)
-        if n == 0:
-            return pd.DataFrame(
-                {"user_id": [], "median_gap_s": [], "n_gaps": []}
-            ).astype({"user_id": "int64", "median_gap_s": "float64", "n_gaps": "int64"})
-        g = gaps.sort_values().to_numpy()
-        med2_us = int(g[(n - 1) // 2]) + int(g[n // 2])  # 2x the median
-        e4 = (2 * med2_us + 200) // 400  # round-half-up to 1e-4 s
+        uid = pdf["user_id"].to_numpy()
+        gap = t_us.diff().to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]  # gap defined within a user
+        g = pd.DataFrame({"user_id": uid[same], "gap": gap[same].astype("int64")})
+        if g.empty:
+            return empty
+        # nth-element selection per user, fully vectorized: sort by
+        # (user, gap), index each user's gaps 0..n-1, keep the lower and
+        # upper middle, SUM them (even n: the two middles; odd n: the
+        # middle twice) — the exact-integer median x2 of the oracle.
+        g = g.sort_values(["user_id", "gap"], kind="mergesort")
+        n = g.groupby("user_id")["gap"].transform("size").to_numpy()
+        rn = g.groupby("user_id").cumcount().to_numpy()
+        lower, upper = (n - 1) // 2, n // 2
+        pick = g[(rn == lower) | (rn == upper)]
+        agg = pick.groupby("user_id")["gap"].agg(["sum", "count"])
+        med2 = np.where(agg["count"] == 1, 2 * agg["sum"], agg["sum"])
+        e4 = (2 * med2 + 200) // 400  # round-half-up to 1e-4 s
+        n_gaps = g.groupby("user_id")["gap"].size()
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "median_gap_s": [e4 / 10000.0],
-                "n_gaps": [n],
+                "user_id": agg.index.astype("int64"),
+                "median_gap_s": e4 / 10000.0,
+                "n_gaps": n_gaps.reindex(agg.index).astype("int64"),
             }
         )
 
     return (
-        ev.groupBy("user_id")
+        ev.groupBy("bk")
         .applyInPandas(median_gap, schema="user_id long, median_gap_s double, n_gaps long")
         .orderBy("user_id")
     )
