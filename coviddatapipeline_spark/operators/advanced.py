@@ -1005,12 +1005,18 @@ def cogroup_fulfillment_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_delay_days": pd.Series(dtype="int64"),
                 }
             )
+        # Nullable Int64, not int64: a NULL order key arrives from Arrow
+        # as float64-with-NaN and .astype('int64') would abort the task
+        # — the oracle keeps the NULL-key group (its LEFT JOIN matches
+        # nothing: 0 items, -1 delay), so must we. NULL-key lineitems
+        # can match no order and are dropped, as the join drops them.
         out = pd.DataFrame(
             {
-                "o_orderkey": odf["o_orderkey"].astype("int64"),
+                "o_orderkey": odf["o_orderkey"].astype("Int64"),
                 "od": pd.to_datetime(odf["od"]),
             }
         )
+        ldf = ldf.dropna(subset=["l_orderkey"])
         if ldf.empty:
             out["n_items"] = 0
             out["max_delay_days"] = -1

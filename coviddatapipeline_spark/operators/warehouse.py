@@ -329,9 +329,18 @@ def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the diff algebra: v0 = snapshot 1 (multi-file), v1 = its compacted
     # rewrite (rows must survive OPTIMIZE), v2 = snapshot 2. GC keeps
     # {v1, v2} — exactly the two versions the diff reads back.
+    # Root keyed by (sf_dir, pid): the single-writer assumption of the
+    # versioned protocol holds per TABLE, and two concurrent processes
+    # running this entry on the same sf_dir (sweep + bench is a routine
+    # overlap here) would otherwise rmtree each other's version dirs
+    # mid-scan. Within one process, a rebuilt plan reuses (and first
+    # resets) its own root — so collect a prior invocation's DataFrame
+    # before building a new one, like any builder with storage effects.
     root = os.path.join(
         tempfile.gettempdir(),
-        "cdp_versioned_cdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "cdp_versioned_cdc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)  # idempotent re-run, single writer
     write_versioned(spark, v1.repartition(4), root)

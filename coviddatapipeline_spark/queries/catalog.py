@@ -122,18 +122,23 @@ _LOADED = False
 # backlog entry exactly once, finishing the round-2 goal (a driver row
 # for all 255) by round 6.
 _PRIORITY: tuple[str, ...] = (
-    # --- sentinels (green in every round they have sat) ---
+    # --- sentinels (green in every round they have sat; two yielded
+    # their slots to the late-round-5 changed implementations below) ---
     "flagship_revenue_by_nation",
-    "s1_scan_count_orders",
-    "q4_topk_other_share",
     "dedup_minhash_lsh",
     "ann_cosine_topk_ivf",
     "text_token_stats",
     "events_sessionization",
-    # --- round-5 changed implementation: CDC diff now commits both
-    # snapshots through the versioned-table protocol (write_versioned /
-    # compact_versioned / read_versioned_at) — re-verify (VERDICT r04 #6)
+    # --- round-5 changed implementations, re-verify (VERDICT r04 #6
+    # policy: a changed implementation re-enters the window):
+    # CDC diff now commits both snapshots through the versioned-table
+    # protocol; the triangle close was re-anchored to the degree
+    # orientation; the gap-median kernel was re-bucketed + vectorized.
+    # The latter two displaced the s1/q4 sentinels (each already green
+    # in multiple rounds) so the 42 first-time slots stay intact.
     "warehouse_snapshot_diff_cdc",
+    "graph_triangle_stats",
+    "events_user_gap_median_pandas",
     # --- rotation: 42 first-time entries, led by the two ex-rows-only
     # conversions whose new contract/replay oracles have never faced the
     # real driver (VERDICT r04 #1); breadth-first across every module

@@ -273,7 +273,10 @@ def main() -> None:
         # proves the reduce side never grows with data (the mergeable
         # 100 TB posture — register grids union across executors)
         uv = replicate(ev_raw.select("user_id"), ["user_id"], mult)
-        hh = F.hash(F.col("user_id").cast("string"))
+        # widen to LONG before abs/+1: F.hash is int32, and under ANSI
+        # abs(INT_MIN) and INT_MAX + 1 both raise ARITHMETIC_OVERFLOW —
+        # ~3/2^32 per key, a certainty over billions of keys
+        hh = F.hash(F.col("user_id").cast("string")).cast("long")
         reg = (
             uv.select(
                 F.pmod(hh, F.lit(1 << 12)).alias("idx"),

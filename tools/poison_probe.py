@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from coviddatapipeline_spark.queries import catalog  # noqa: E402
 from coviddatapipeline_spark.session import get_spark  # noqa: E402
 
-BASE_SF = "/root/testdata/sf0.001"
+BASE_SF = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
 
 NAN = float("nan")
 INF = float("inf")
@@ -80,6 +82,7 @@ POISON_ORDERS = [
     (990_000_001, None, "X", 0.0, None, "9-WEIRD"),
     (990_000_002, 1, "O", -10.5, _dt.datetime(2024, 1, 2), None),
     (990_000_003, 1, None, NAN, _dt.datetime(1970, 1, 1), "1-URGENT"),
+    (None, 1, "O", 5.0, _dt.datetime(2024, 1, 2), "1-URGENT"),  # NULL PK
 ]
 
 # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -89,6 +92,8 @@ POISON_LINEITEM = [
     (990_000_001, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, None, None, None),
     (990_000_002, None, 1, 2, NAN, -1.0, 1.5, 0.0, "Z", "?",
      _dt.datetime(2024, 1, 3)),
+    (None, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O",
+     _dt.datetime(2024, 1, 4)),  # NULL FK
 ]
 
 # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
