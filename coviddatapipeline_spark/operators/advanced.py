@@ -981,7 +981,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 def cogroup_fulfillment_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    n_buckets = 64  # kernel calls; at scale ~ cluster parallelism x small k
+    # Scales with the cluster (see events_user_gap_median_pandas): each
+    # cogroup kernel call gets ~1/n_buckets of BOTH sides as pandas
+    # frames, so the bucket count must grow with data/parallelism to
+    # keep per-call frames Arrow-batch-sized; floor 64 guards tiny
+    # sessions (local[1]). Semantics-free by construction — both
+    # sides bucket by the same join key.
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
 
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("od")

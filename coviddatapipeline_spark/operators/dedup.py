@@ -736,7 +736,15 @@ def dedup_simhash_banded_pairs_salted(spark: SparkSession, sf_dir: str) -> DataF
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_blocks = 8
+    # B^2/2 block-pair tasks should track cluster parallelism, and each
+    # task's frames shrink as n/B — so B grows with the cluster instead
+    # of staying a literal: B = ceil(sqrt(2p)) makes B^2/2 ~ p tasks.
+    # local[32] -> B=8 (36 tasks), a 1000-exec/8-core cluster -> B=127.
+    # Floor 8 guards tiny sessions. Semantics-free: every unordered
+    # pair is computed exactly once for any B.
+    import math
+
+    n_blocks = max(8, math.isqrt(2 * spark.sparkContext.defaultParallelism - 1) + 1)
     # The BLAS matmul stacks each block into ONE (n/B, dim) matrix, so a
     # single NULL / empty / wrong-dimension vector makes np.vstack ragged
     # and aborts the whole job — exact GEMM is only defined over
@@ -1655,6 +1663,165 @@ def _neardup_ingest_oracle() -> str:
             (SELECT count(*) FROM documents, thr WHERE doc_id >= thr.t)
                 - (SELECT count(DISTINCT inc_id) FROM ver) AS n_admitted
     """
+
+
+def _lrs_oracle(n_steps: int = 16) -> str:
+    """Binary search on LRS length as an UNROLLED CTE chain.
+
+    Deliberately NOT a recursive CTE: DuckDB 1.0 miscompiles a
+    correlated EXISTS inside WITH RECURSIVE — the same ``bs`` CTE
+    returned a correct 10-row trace under ``SELECT *`` but
+    ``max(lo) = 0`` and an empty final join under other consumers
+    (observed in this repo, round 6). A fixed chain of ``n_steps``
+    self-contained steps sidesteps that optimizer path entirely;
+    16 steps converge for any max doc length < 2^16, and converged
+    steps are no-ops by the ``lo >= hi`` guard. Each step's EXISTS
+    probes the shared MATERIALIZED position table (recursive-oracle
+    hygiene: materialize what every iteration re-reads)."""
+    steps = []
+    prev = "s0"
+    for i in range(1, n_steps + 1):
+        steps.append(f"""
+        s{i} AS (
+            SELECT CASE WHEN q.lo >= q.hi THEN q.lo
+                        WHEN q.d THEN q.m ELSE q.lo END AS lo,
+                   CASE WHEN q.lo >= q.hi THEN q.hi
+                        WHEN q.d THEN q.hi ELSE q.m - 1 END AS hi
+            FROM (
+                SELECT s.lo, s.hi, s.m,
+                       EXISTS (
+                           SELECT 1 FROM (
+                               SELECT substr(pos.text, pos.p, s.m) AS g
+                               FROM pos WHERE pos.p <= pos.len - s.m + 1
+                           ) t GROUP BY g HAVING count(*) >= 2
+                       ) AS d
+                FROM (SELECT lo, hi, (lo + hi + 1) // 2 AS m FROM {prev}) s
+            ) q
+        )""")
+        prev = f"s{i}"
+    return f"""
+        WITH pos AS MATERIALIZED (
+            SELECT text, length(text) AS len,
+                   CAST(unnest(generate_series(1, length(text))) AS BIGINT) AS p
+            FROM documents WHERE text IS NOT NULL
+        ),
+        s0(lo, hi) AS (
+            SELECT CAST(0 AS BIGINT),
+                   CAST((SELECT COALESCE(max(length(text)), 0)
+                         FROM documents WHERE text IS NOT NULL) AS BIGINT)
+        ),{",".join(steps)}
+        SELECT md5(t.g) AS lrs_md5, CAST(f.lo AS BIGINT) AS lrs_len,
+               CAST(t.n AS BIGINT) AS n_occ
+        FROM {prev} f
+        CROSS JOIN LATERAL (
+            SELECT g, count(*) AS n FROM (
+                SELECT substr(pos.text, pos.p, f.lo) AS g
+                FROM pos WHERE pos.p <= pos.len - f.lo + 1
+            ) tt
+            GROUP BY g HAVING count(*) >= 2
+            ORDER BY g LIMIT 1
+        ) t
+        WHERE f.lo > 0 AND f.lo = f.hi
+    """
+
+
+@register(
+    "dedup_longest_repeated_substring",
+    oracle=_lrs_oracle(),
+    doc=(
+        "Corpus-wide LONGEST repeated substring (character-level, "
+        "overlaps allowed, across and within docs) — the suffix-array "
+        "summit of the Lee et al. 2021 exact-substring family, "
+        "computed WITHOUT materializing suffixes: binary search on "
+        "answer length L, where the monotone predicate 'some L-gram "
+        "occurs >= 2 times' (any repeat of length >= L contains a "
+        "repeated L-gram, so P(L) is downward-closed) is one "
+        "map-side-combinable count per probe. Each probe explodes "
+        "positions, groups 8-byte xxhash64 prefilter keys first "
+        "(shuffle carries hashes, not L-char strings), then verifies "
+        "the surviving candidate hashes on the raw grams — exact, "
+        "collision-proof. ~log2(maxlen) probes, each a driver-side "
+        "boolean (metadata-sized, like the Lloyd-iteration pattern); "
+        "the result row is the lexicographically smallest LRS "
+        "reported as (md5, length, occurrence count). The DuckDB "
+        "oracle replays the IDENTICAL binary search as an UNROLLED "
+        "16-step CTE chain over a materialized position table — the "
+        "sequential-fold replay pattern (pack_sequences_ffd "
+        "convention), unrolled because DuckDB 1.0 miscompiles a "
+        "correlated EXISTS inside WITH RECURSIVE (see _lrs_oracle) — "
+        "so the hash match certifies every probe decision, not just "
+        "the final answer. Scale: no suffix array is ever built; at "
+        "100 TB each probe is a pass over corpus positions with "
+        "map-side partial aggregation collapsing repeated grams, and "
+        "probe count stays log2(max doc length) regardless of corpus "
+        "size. Complements dedup_exact_substring_runs (which finds "
+        "ALL shared spans >= a threshold at token level); this finds "
+        "the single deepest repeat at character level."
+    ),
+    tags=("dedup", "text"),
+)
+def dedup_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("text", F.length("text").alias("len"))
+    )
+
+    def grams(L: int) -> DataFrame:
+        # length >= L filter first: F.sequence(1, n) with n < 1 would
+        # generate a DESCENDING sequence (Spark semantics), not empty.
+        return (
+            docs.filter(F.col("len") >= L)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.col("len") - F.lit(L) + 1)).alias("p"),
+                "text",
+            )
+            .select(F.substring(F.col("text"), F.col("p"), F.lit(L)).alias("g"))
+        )
+
+    def has_dup(L: int) -> bool:
+        g = grams(L).select(F.xxhash64("g").alias("h"), "g")
+        # Hash-prefilter: the first groupBy shuffles 8-byte hashes with
+        # map-side combine; only rows whose hash survives re-shuffle
+        # their raw grams for the exact (collision-proof) verification.
+        # AQE broadcasts cand when it is small (the usual case).
+        cand = g.groupBy("h").agg(F.count("*").alias("c")).filter("c >= 2").select("h")
+        return (
+            g.join(cand, "h")
+            .groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .filter("c >= 2")
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    # Driver-side binary search: ~log2(max doc length) probes, each
+    # collecting ONE scalar — the same bounded-driver-state shape as
+    # the allowlisted Lloyd iteration (km_train_centroids).
+    hi_row = docs.agg(F.max("len").alias("m")).first()
+    lo, hi = 0, int(hi_row["m"] or 0)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_dup(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    if lo == 0:
+        return spark.createDataFrame([], "lrs_md5 string, lrs_len long, n_occ long")
+    return (
+        grams(lo)
+        .groupBy("g")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .orderBy("g")
+        .limit(1)
+        .select(
+            F.md5("g").alias("lrs_md5"),
+            F.lit(lo).cast("long").alias("lrs_len"),
+            "n_occ",
+        )
+    )
 
 
 @register(

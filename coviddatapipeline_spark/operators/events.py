@@ -234,7 +234,16 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
     tags=("events", "udf"),
 )
 def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_buckets = 64  # kernel calls; at scale ~ cluster parallelism x small k
+    # Kernel-call count scales with the cluster, not a literal: each
+    # bucket materializes ~1/n_buckets of the keyspace as ONE pandas
+    # frame, so at 100x data a fixed 64 would grow per-call frames
+    # 100x. 4x parallelism keeps per-call frames Arrow-batch-sized
+    # (rows_per_call ~ |events| / (4 * cores)) while the per-call
+    # Python overhead (~2.4 ms) stays amortized over thousands of
+    # users per bucket. Floor 64 guards tiny sessions (local[1]).
+    # Bucketing is semantics-free: results are per-user, independent
+    # of which bucket a user lands in.
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
     ev = (
         events(spark, sf_dir)
         .filter(F.col("ts").isNotNull())  # a time gap needs a time

@@ -16,6 +16,32 @@ from pyspark.sql import functions as F
 from coviddatapipeline_spark.operators.common import t
 from coviddatapipeline_spark.queries.catalog import register
 
+# Per-process scratch bookkeeping for warehouse_snapshot_diff_cdc: maps
+# each per-(sf_dir, pid) base dir to a build counter. Every build gets
+# its own subdir (b0, b1, ...) so earlier builds' returned DataFrames
+# stay readable; one atexit per base removes everything at process exit.
+_VERSIONED_SCRATCH_COUNTERS: dict[str, "object"] = {}
+
+
+def _versioned_scratch_root(sf_dir: str) -> str:
+    import atexit
+    import hashlib
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cdp_versioned_cdc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
+    )
+    if base not in _VERSIONED_SCRATCH_COUNTERS:
+        _VERSIONED_SCRATCH_COUNTERS[base] = itertools.count()
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return os.path.join(base, f"b{next(_VERSIONED_SCRATCH_COUNTERS[base])}")
+
 
 @register(
     "sql_api_flagship_twin",
@@ -288,11 +314,6 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("warehouse", "join", "cdc", "versioned"),
 )
 def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from coviddatapipeline_spark.sources import (
         compact_versioned,
         read_versioned,
@@ -329,20 +350,16 @@ def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the diff algebra: v0 = snapshot 1 (multi-file), v1 = its compacted
     # rewrite (rows must survive OPTIMIZE), v2 = snapshot 2. GC keeps
     # {v1, v2} — exactly the two versions the diff reads back.
-    # Root keyed by (sf_dir, pid): the single-writer assumption of the
-    # versioned protocol holds per TABLE, and two concurrent processes
-    # running this entry on the same sf_dir (sweep + bench is a routine
-    # overlap here) would otherwise rmtree each other's version dirs
-    # mid-scan. Within one process, a rebuilt plan reuses (and first
-    # resets) its own root — so collect a prior invocation's DataFrame
-    # before building a new one, like any builder with storage effects.
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "cdp_versioned_cdc_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        + f"_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-run, single writer
+    # Scratch layout (ADVICE r05): a per-(sf_dir, pid) BASE dir — so two
+    # concurrent processes (sweep + bench is a routine overlap here)
+    # never rmtree each other's version dirs mid-scan — with a fresh
+    # per-BUILD subdir underneath, so a rebuilt plan never invalidates
+    # the DataFrame a prior build in this process returned (the
+    # registry's build-then-collect-anytime contract). The whole base
+    # is atexit-rmtree'd: normal exits leak nothing; the snapshots are
+    # a few MB of customer rows, so builds accumulating until exit is
+    # cheap.
+    root = _versioned_scratch_root(sf_dir)
     write_versioned(spark, v1.repartition(4), root)
     compact_versioned(spark, root, target_rows_per_file=10_000_000)
     write_versioned(spark, v2, root)
@@ -369,6 +386,97 @@ def warehouse_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op")
         .agg(F.count("*").alias("n"))
         .orderBy("op")
+    )
+
+
+TT_CUTOFF = "1995-01-01"  # snapshot-1 cut: orders strictly before this date
+
+
+@register(
+    "warehouse_time_travel_read",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderdate < DATE '{TT_CUTOFF}'
+            GROUP BY 1
+        ),
+        s2 AS (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT COALESCE(s2.priority, s1.priority) AS priority,
+               CAST(COALESCE(s1.n, 0) AS BIGINT) AS n_asof,
+               CAST(COALESCE(s2.n, 0) AS BIGINT) AS n_live,
+               CAST(COALESCE(s2.n, 0) - COALESCE(s1.n, 0) AS BIGINT) AS n_delta,
+               round(COALESCE(s1.total, 0), 2) AS total_asof,
+               round(COALESCE(s2.total, 0), 2) AS total_live
+        FROM s1 FULL OUTER JOIN s2 ON s1.priority = s2.priority
+        ORDER BY priority
+    """,
+    doc=(
+        "Time-travel read (AS OF) over the versioned-table protocol: "
+        "commit snapshot v0 (per-priority order aggregates BEFORE the "
+        "cutoff date), then commit the full-history snapshot v1, then "
+        "read BOTH the live pointer and AT the historical version 0 "
+        "and join them into an as-of-vs-live delta report. The oracle "
+        "recomputes both states from the raw orders table, so the "
+        "cross-engine hash certifies that a version read back AT its "
+        "number is byte-equal to the pre-update state even after a "
+        "later commit moved the live pointer — the lossless-history "
+        "guarantee a lakehouse time-travel query relies on (Delta/"
+        "Iceberg VERSION AS OF semantics re-expressed over the "
+        "repo's atomic-pointer protocol, sources.py read_versioned_at). "
+        "Scale: the committed snapshots are per-priority aggregates "
+        "(5 rows), so storage round-trip cost is metadata-sized; the "
+        "aggregation itself is one map-side-combinable groupBy per "
+        "snapshot and the final join is 5x5. Re-expresses reference "
+        "dags/ETL.py:47-62 run-bookkeeping (which backfills from "
+        "named historical state) as first-class versioned reads."
+    ),
+    tags=("warehouse", "versioned", "timetravel"),
+)
+def warehouse_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.sources import (
+        read_versioned,
+        read_versioned_at,
+        write_versioned,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    s1 = snap(orders.filter(F.col("o_orderdate") < F.lit(TT_CUTOFF).cast("date")))
+    s2 = snap(orders)
+    root = _versioned_scratch_root(sf_dir)
+    write_versioned(spark, s1, root)  # v0: the historical snapshot
+    write_versioned(spark, s2, root)  # v1: live; GC retains {v0, v1}
+    asof = read_versioned_at(spark, root, 0)
+    live = read_versioned(spark, root)
+    a = asof.select(
+        F.col("priority").alias("p1"), F.col("n").alias("n1"), F.col("total").alias("t1")
+    )
+    b = live.select(
+        F.col("priority").alias("p2"), F.col("n").alias("n2"), F.col("total").alias("t2")
+    )
+    return (
+        a.join(b, F.col("p1") == F.col("p2"), "full_outer")
+        .select(
+            F.coalesce("p2", "p1").alias("priority"),
+            F.coalesce("n1", F.lit(0)).alias("n_asof"),
+            F.coalesce("n2", F.lit(0)).alias("n_live"),
+            (F.coalesce("n2", F.lit(0)) - F.coalesce("n1", F.lit(0))).alias("n_delta"),
+            F.round(F.coalesce("t1", F.lit(0.0)), 2).alias("total_asof"),
+            F.round(F.coalesce("t2", F.lit(0.0)), 2).alias("total_live"),
+        )
+        .orderBy("priority")
     )
 
 

@@ -115,77 +115,67 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 #
-# Round-5 window (VERDICT r04 #1/#3): continue the coverage rotation —
-# 7 sentinels, the one implementation changed this round (the versioned-
-# table CDC conversion), and 42 never-driver-checked entries. Together
-# with the r06 window published in NEXT.md this covers every remaining
-# backlog entry exactly once, finishing the round-2 goal (a driver row
-# for all 255) by round 6.
+# Round-6 window (VERDICT r05 #1): install the published r06 rotation
+# verbatim (NEXT.md "r06 window") — 2 sentinels plus the ENTIRE 48-entry
+# never-driver-checked backlog. After this round every one of the 255
+# registered entries has a green driver hash row (the round-2 goal);
+# the registry unfreezes in round 7 with new entries entering BELOW the
+# window carrying three-SF sweep stamps.
 _PRIORITY: tuple[str, ...] = (
-    # --- sentinels (green in every round they have sat; two yielded
-    # their slots to the late-round-5 changed implementations below) ---
+    # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
-    "ann_cosine_topk_ivf",
-    "text_token_stats",
-    "events_sessionization",
-    # --- round-5 changed implementations, re-verify (VERDICT r04 #6
-    # policy: a changed implementation re-enters the window):
-    # CDC diff now commits both snapshots through the versioned-table
-    # protocol; the triangle close was re-anchored to the degree
-    # orientation; the gap-median kernel was re-bucketed + vectorized.
-    # The latter two displaced the s1/q4 sentinels (each already green
-    # in multiple rounds) so the 42 first-time slots stay intact.
-    "warehouse_snapshot_diff_cdc",
-    "graph_triangle_stats",
-    "events_user_gap_median_pandas",
-    # --- rotation: 42 first-time entries, led by the two ex-rows-only
-    # conversions whose new contract/replay oracles have never faced the
-    # real driver (VERDICT r04 #1); breadth-first across every module
-    # with a backlog. The r06 window (published in NEXT.md) takes the
-    # remaining 48, zeroing the never-driver-checked backlog by round 6.
-    "approx_distinct_users_by_type",
-    "pack_sequences_ffd",
-    "corpus_curation_pipeline",
-    "events_cohort_retention",
-    "events_asof_next_purchase",
-    "dedup_candidate_containment",
-    "ann_cosine_topk_ivf_trained",
-    "nation_revenue_trend_grouped_ols",
-    "dq_benford_first_digit",
-    "pagination_keyset",
-    "docpipe_quality_dup_profile",
-    "events_daily_autocorr",
-    "setop_yearly_customer_retention",
-    "tpch_q12_shipdelay_priority",
-    "events_transition_matrix",
-    "emb_vector_quality_audit",
-    "emb_dim_stats",
-    "from_json_typed_props",
-    "events_attribution_first_last",
-    "dedup_canonical_doc_per_component",
-    "ann_hard_negative_mining",
-    "skew_salted_join_agg",
-    "dq_k_anonymity_audit",
-    "stats_chi2_brand_type",
-    "text_ks_length_drift",
-    "events_daily_kl_drift",
-    "sla_ship_latency_by_priority",
-    "tpch_q19_disjunctive_revenue",
-    "graph_copurchase_affinity",
-    "cogroup_fulfillment_pandas",
-    "ivf_kmeans_lloyd",
-    "map_priority_rates",
-    "events_conversion_interval",
-    "dedup_cluster_canonical_select",
-    "ann_ivf_nprobe_curve",
-    "tpch_q15_top_supplier",
-    "ivm_join_view_delta",
-    "text_vocab_coverage",
-    "events_level_shift_detector",
-    "topk_global_with_per_group_cap",
-    "mm_frame_hashes",
-    "dedup_lsh_banding_curve",
+    # --- rotation: the final 48 first-time entries, alphabetical; this
+    # is the complete remaining backlog (events 9+, timeseries, text,
+    # relational_ext, tpch_more/rest, graph, warehouse, datapipe tails).
+    "ann_lsh_hyperplane_topk",
+    "ann_recall_trained_vs_exact",
+    "dedup_components_labelprop",
+    "dedup_levenshtein_candidates",
+    "dedup_source_mirror_detection",
+    "events_funnel_time_bounded",
+    "events_funnel_view_click_purchase",
+    "events_hourly_gapfill_locf",
+    "events_incident_interval_join",
+    "events_lateness_watermark_profile",
+    "events_rate_percentiles_exact",
+    "events_seasonality_decomposition",
+    "ivf_kmeans_one_step",
+    "knn_graph_within_cell",
+    "label_centroid_similarity",
+    "layout_rle_run_profile",
+    "mix_epoch_schedule",
+    "mix_source_temperature_weights",
+    "mm_frame_dup_crossdoc",
+    "orders_market_basket_lift",
+    "orders_open_backlog_sweepline",
+    "orders_weekday_seasonality",
+    "orders_yoy_growth",
+    "pack_chunks_with_overlap",
+    "pack_span_corruption_plan",
+    "part_price_histogram",
+    "pref_pairs_by_quality",
+    "profile_orders_columns",
+    "sample_balanced_per_lang",
+    "sample_bottomk_per_source",
+    "sample_weighted_bernoulli",
+    "scd2_point_in_time",
+    "setops_multiset_variants",
+    "split_leakage_audit",
+    "split_unigram_kl_audit",
+    "sql_api_flagship_twin",
+    "stats_mad_per_segment",
+    "stats_regression_qty_price",
+    "supplier_balance_winsorized",
+    "supplier_balance_zscore",
+    "text_zipf_fit",
+    "text_zipf_rank_frequency",
+    "tpch_q16_supplier_count_by_part",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "union_by_name_evolved_schemas",
+    "window_percent_rank_cume",
 )
 
 

@@ -15,7 +15,7 @@ import math
 from decimal import Decimal
 
 
-def canon_cell(v):
+def canon_cell(v, *, int_floats=False):
     """Canonicalize one cell for cross-engine comparison.
 
     Decimal is deliberately NOT coerced to float: the driver's pandas
@@ -24,6 +24,15 @@ def canon_cell(v):
     (round-1 ``tpch_q7`` red row), so a query whose Spark side returns
     Decimal while its oracle returns float must FAIL here too. Decimal
     vs Decimal still compares scale-insensitively.
+
+    ``int_floats=True`` (poison-parity inventory ONLY — never the
+    driver-faithful default) collapses integral floats to ints on both
+    sides. A NULL anywhere in an integer column makes pandas deliver
+    the whole DuckDB column as float64 (``1970.0`` vs Spark's
+    ``1970``) — a compare-harness dtype artifact, not a semantic
+    divergence. The default stays strict because the driver hashes
+    that pairing as a MISMATCH (round-2 HUGEINT-sum red row), and a
+    lenient local compare would go green where the driver goes red.
     """
     if v is None:
         return None
@@ -38,6 +47,8 @@ def canon_cell(v):
         # collapse -0.0 / 0.0 and format stably
         if v == 0:
             return "0"
+        if int_floats and v.is_integer() and abs(v) < 2**53:
+            return int(v)  # equals the raw-int canon of the other side
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
         # DuckDB DATE arrives as a midnight pandas Timestamp via .df()
@@ -52,14 +63,16 @@ def canon_cell(v):
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(canon_cell(x) for x in v)
+        return tuple(canon_cell(x, int_floats=int_floats) for x in v)
     return v
 
 
-def rows_to_canon(rows, colnames):
+def rows_to_canon(rows, colnames, *, int_floats=False):
     """Sort columns by name, canonicalize cells, sort rows."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out = [
+        tuple(canon_cell(r[i], int_floats=int_floats) for i in order) for r in rows
+    ]
     out.sort(key=lambda tup: tuple((x is None, str(x)) for x in tup))
     return out
 
@@ -114,8 +127,13 @@ def fetch_duck_pandas(duck_con, oracle_sql: str):
     return cols, rows
 
 
-def compare(spark_df, duck_con, oracle_sql: str):
-    """Return (ok, message) comparing a Spark DataFrame against DuckDB."""
+def compare(spark_df, duck_con, oracle_sql: str, *, int_floats=False):
+    """Return (ok, message) comparing a Spark DataFrame against DuckDB.
+
+    ``int_floats`` must stay False for anything mirroring the driver
+    (see :func:`canon_cell`); poison-parity sets it True to strip the
+    pandas NULL-promotion dtype artifact from its divergence inventory.
+    """
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     d_cols, d_rows = fetch_duck_pandas(duck_con, oracle_sql)
@@ -124,8 +142,8 @@ def compare(spark_df, duck_con, oracle_sql: str):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    s_canon = rows_to_canon(s_rows, [c.lower() for c in s_cols])
-    d_canon = rows_to_canon(d_rows, [c.lower() for c in d_cols])
+    s_canon = rows_to_canon(s_rows, [c.lower() for c in s_cols], int_floats=int_floats)
+    d_canon = rows_to_canon(d_rows, [c.lower() for c in d_cols], int_floats=int_floats)
     for i, (a, b) in enumerate(zip(s_canon, d_canon)):
         if a != b:
             return False, f"value mismatch at sorted-row {i}: spark={a!r} duck={b!r}"

@@ -129,9 +129,14 @@ def _spike(spark, base_sf: str, out: str, table: str, rows) -> None:
         i for i, f in enumerate(base.schema.fields)
         if isinstance(f.dataType, LongType)
     }
+    # Naive datetimes are interpreted as UTC (ADVICE r05): a bare
+    # .timestamp() would read them in the HOST's local timezone and
+    # shift the fixture's long ts values by the UTC offset across
+    # machines — boundary-sensitive assertions must see identical
+    # fixtures everywhere.
     rows = [
         tuple(
-            int(v.timestamp() * 1_000_000) * 1000
+            int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000) * 1000
             if i in long_fields and isinstance(v, _dt.datetime)
             else v
             for i, v in enumerate(r)
