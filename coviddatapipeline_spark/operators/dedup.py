@@ -1665,6 +1665,135 @@ def _neardup_ingest_oracle() -> str:
     """
 
 
+@register(
+    "dedup_exact_substring_removal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS.format(x='text')} AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        kg AS (
+            SELECT doc_id, u.i AS pos,
+                   md5(array_to_string(tk[u.i:u.i + {K_GRAM - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - {K_GRAM - 1}, 0)))
+                     AS u(i)
+        ),
+        duph AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM kg GROUP BY h)
+            WHERE c >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT kg.doc_id, kg.pos + u.o AS tpos
+            FROM kg JOIN duph USING (h),
+                 unnest(generate_series(0, {K_GRAM - 1})) AS u(o)
+        ),
+        tok AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, tk[u.i] AS tok
+            FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tok t
+            LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.pos
+            WHERE c.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tok,
+               CAST(len(tk) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(agg.kept_md5, md5('')) AS kept_md5
+        FROM toks LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc=(
+        "The FULL Lee et al. 2021 exact-substring dedup OUTPUT — not a "
+        "profile of duplicated spans but the deduplicated corpus "
+        "itself: every token covered by any duplicated window of "
+        f"{K_GRAM} consecutive tokens (md5 window fingerprint occurring "
+        ">= 2 times corpus-wide, INCLUDING self-repeats within a doc, "
+        "per the paper's remove-all-copies semantics) is cut, and each "
+        "doc reports (n_tok, n_removed, md5 of the kept token "
+        "sequence) so the hash certifies the exact post-removal text, "
+        "not just counts. No MAX_KGRAM_DF boilerplate cap here, unlike "
+        "dedup_exact_substring_runs: the cap exists there to bound the "
+        "PAIR join fan-out, while removal never joins pairs — "
+        "frequency counting is one map-side-combinable groupBy(h) and "
+        "coverage is a semi-join back, so high-df boilerplate (exactly "
+        "what removal most wants to cut) costs nothing extra. Window "
+        "fingerprints use the repo's cross-engine md5-of-space-joined-"
+        "window contract (kgram_window_structs == DuckDB "
+        "array_to_string slice), so matching is hash-exact in both "
+        "engines. Scale: shuffle keys are window hashes and (doc, "
+        "position) pairs — no doc x doc term; the kept-text rebuild "
+        "is a per-doc collect_list bounded by doc length (documents "
+        "are chunk-sized in a training pipeline). Re-expresses what "
+        "dedup_exact_substring_runs only measures; reference parity: "
+        "the reference's row-wise transform (dags/ETL.py:96-102) has "
+        "no dedup surface — this is pipeline-extension territory per "
+        "SURVEY §2's LLM-data-ops mandate."
+    ),
+    tags=("dedup", "text"),
+)
+def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("tk"))
+    )
+    kg = docs.select(
+        "doc_id", F.explode(kgram_window_structs(F.col("tk"), K_GRAM)).alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    duph = (
+        kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
+    )
+    cov = (
+        kg.join(duph, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (K_GRAM - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.col("tk")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "tok")
+    kept = tok.join(
+        cov,
+        (tok.doc_id == cov.doc_id) & (tok.pos == cov.tpos),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    base = docs.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lrs_oracle(n_steps: int = 16) -> str:
     """Binary search on LRS length as an UNROLLED CTE chain.
 

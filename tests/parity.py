@@ -127,16 +127,49 @@ def fetch_duck_pandas(duck_con, oracle_sql: str):
     return cols, rows
 
 
-def compare(spark_df, duck_con, oracle_sql: str, *, int_floats=False):
+def fetch_duck_native(duck_con, oracle_sql: str):
+    """Fetch a DuckDB result via ``fetchall()`` — NOT driver-faithful.
+
+    Poison-parity inventory ONLY. The pandas fetch path cannot
+    distinguish NULL from NaN in a float64 column (both arrive as NaN
+    and ``_from_pandas`` maps them to None) and promotes nullable
+    integer columns to float64 — two verifier-side artifact classes
+    that exist in no engine: DuckDB propagates NaN through sum/avg/
+    min/max exactly like Spark (measured: ``sum(1.0, NaN) = NaN`` in
+    both), and the integers are integers until pandas touches them.
+    A native fetch preserves NaN-vs-NULL and int-vs-float as DuckDB
+    computed them, so the inventory's divergence list contains only
+    genuine cross-engine semantic differences. The driver-faithful
+    strict gate must keep :func:`fetch_duck_pandas` (the round-2
+    HUGEINT class must keep failing locally — see ``_from_pandas``).
+    """
+    rel = duck_con.execute(oracle_sql)
+    cols = [c[0] for c in rel.description]
+    rows = [tuple(_from_native(v) for v in tup) for tup in rel.fetchall()]
+    return cols, rows
+
+
+def _from_native(v):
+    """Unwrap a DuckDB ``fetchall`` cell (floats/NaN/ints arrive exact)."""
+    if isinstance(v, (list, tuple)):
+        return [_from_native(x) for x in v]
+    return v
+
+
+def compare(spark_df, duck_con, oracle_sql: str, *, int_floats=False,
+            duck_fetch="pandas"):
     """Return (ok, message) comparing a Spark DataFrame against DuckDB.
 
-    ``int_floats`` must stay False for anything mirroring the driver
-    (see :func:`canon_cell`); poison-parity sets it True to strip the
-    pandas NULL-promotion dtype artifact from its divergence inventory.
+    ``int_floats`` and ``duck_fetch="native"`` must stay off for
+    anything mirroring the driver (see :func:`canon_cell` /
+    :func:`fetch_duck_native`); poison-parity sets them to strip the
+    two pandas fetch-path artifact classes (NULL-promotion dtype,
+    NaN-collapsed-to-NULL) from its divergence inventory.
     """
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
-    d_cols, d_rows = fetch_duck_pandas(duck_con, oracle_sql)
+    fetch = fetch_duck_native if duck_fetch == "native" else fetch_duck_pandas
+    d_cols, d_rows = fetch(duck_con, oracle_sql)
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
