@@ -1794,6 +1794,125 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "dedup_boilerplate_maximal_kgrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {{tokens}} AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        occ AS (
+            SELECT doc_id,
+                   md5(array_to_string(tk[u.i:u.i + {K_GRAM - 1}], ' ')) AS h,
+                   CASE WHEN u.i > 1 THEN tk[u.i - 1] END AS prev_tok,
+                   CASE WHEN u.i + {K_GRAM} <= len(tk)
+                        THEN tk[u.i + {K_GRAM}] END AS next_tok
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - {K_GRAM - 1}, 0)))
+                     AS u(i)
+        ),
+        g AS (
+            SELECT h,
+                   count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(DISTINCT prev_tok) AS dp, count(prev_tok) AS np,
+                   count(DISTINCT next_tok) AS dn, count(next_tok) AS nn
+            FROM occ GROUP BY h HAVING count(*) >= 2
+        )
+        SELECT h AS gram_md5,
+               CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM g
+        WHERE (dp >= 2 OR np < n_occ) AND (dn >= 2 OR nn < n_occ)
+        ORDER BY n_occ DESC, gram_md5 LIMIT 20
+    """.format(tokens=_TOKENS.format(x="text")),
+    doc=(
+        "Boilerplate mining: the top-20 MAXIMAL repeated "
+        f"{K_GRAM}-token windows corpus-wide, ranked by occurrence "
+        "count. A duplicated window is non-maximal when every one of "
+        "its occurrences extends with the SAME neighbor token on a "
+        "side (its occurrence set is wholly subsumed by a longer "
+        "repeat), so the filter keeps a window iff each side has >= 2 "
+        "distinct extension tokens or at least one occurrence hitting "
+        "a document boundary (NULL neighbor) — the token-level "
+        "left/right-maximality test of suffix-structure repeat "
+        "mining, expressed as plain distinct-count algebra instead of "
+        "a suffix automaton. Interior windows of a long repeated "
+        "passage are suppressed (single extension on both sides); "
+        "what survives is the passage's boundary fingerprints — the "
+        "boilerplate units themselves, not every sliding fragment of "
+        "them. Engine/oracle matching is hash-exact via the repo's "
+        "md5-of-space-joined-window contract; neighbor tokens are "
+        "ANSI-guarded element_at accesses (i+k bounds-checked — "
+        "out-of-range element_at is a whole-job INVALID_ARRAY_INDEX "
+        "crash under ANSI mode, the poison-probe class). Scale: "
+        "shuffle rows are (8-byte-ish hash, two tokens); the "
+        "multi-distinct agg Expands 4x but partial-aggregates "
+        "map-side, and the only global sort is the TakeOrdered "
+        "top-20. Complements dedup_longest_repeated_substring (the "
+        "single deepest repeat) and dedup_exact_substring_removal "
+        "(the cut corpus): this names WHICH repeated units dominate, "
+        "the curation report a 100 TB dedup pass starts from. "
+        "Reference parity: the reference's row-wise transform "
+        "(dags/ETL.py:96-102) has no text-mining surface — "
+        "pipeline-extension territory per SURVEY §2's LLM-data-ops "
+        "mandate."
+    ),
+    tags=("dedup", "text"),
+)
+def dedup_boilerplate_maximal_kgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = K_GRAM
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("tk"))
+    )
+    # Same short-doc guard as kgram_window_structs: < k tokens must
+    # yield an EMPTY window array, never sequence(1, 0)'s descending
+    # [1, 0] (slice with start 0 aborts the job under ANSI).
+    windows = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+            lambda i: F.struct(
+                F.md5(F.concat_ws(" ", F.slice("tk", i, k))).alias("h"),
+                F.when(i > 1, F.element_at("tk", i - 1)).alias("prev_tok"),
+                F.when(
+                    i + k <= F.size("tk"), F.element_at("tk", i + k)
+                ).alias("next_tok"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<h:string,prev_tok:string,next_tok:string>>"
+        )
+    )
+    occ = docs.select("doc_id", F.explode(windows).alias("w")).select(
+        "doc_id", "w.h", "w.prev_tok", "w.next_tok"
+    )
+    g = (
+        occ.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("prev_tok").alias("dp"),
+            F.count("prev_tok").alias("np"),
+            F.countDistinct("next_tok").alias("dn"),
+            F.count("next_tok").alias("nn"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    return (
+        g.filter(
+            ((F.col("dp") >= 2) | (F.col("np") < F.col("n_occ")))
+            & ((F.col("dn") >= 2) | (F.col("nn") < F.col("n_occ")))
+        )
+        .select(F.col("h").alias("gram_md5"), "n_occ", "n_docs")
+        .orderBy(F.desc("n_occ"), "gram_md5")
+        .limit(20)
+    )
+
+
 def _lrs_oracle(n_steps: int = 16) -> str:
     """Binary search on LRS length as an UNROLLED CTE chain.
 

@@ -119,8 +119,10 @@ _LOADED = False
 # verbatim (NEXT.md "r06 window") — 2 sentinels plus the ENTIRE 48-entry
 # never-driver-checked backlog. After this round every one of the 255
 # registered entries has a green driver hash row (the round-2 goal);
-# the registry unfreezes in round 7 with new entries entering BELOW the
-# window carrying three-SF sweep stamps.
+# the registry already unfroze THIS round — the round-6 additions
+# (LRS, time-travel read, substring removal, boilerplate maximal
+# k-grams) sit BELOW the window carrying three-SF sweep stamps and
+# take driver rows in round 7.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",

@@ -15,12 +15,15 @@ SCALE.md §14):
                 clean-data semantics, they are not the product.
   DIVERGE/dtype — compare-harness artifact only: a NULL in an integer
                 column makes pandas deliver the DuckDB side as float64
-                ('1970.0' vs 1970). Not a semantic difference. Since
-                round 6 this class is stripped at the source: the
-                inventory compares with ``int_floats=True`` (integral
-                floats collapse to ints on both sides), a leniency the
-                driver-faithful default deliberately does NOT have
-                (see tests/parity.py canon_cell docstring).
+                ('1970.0' vs 1970), and a genuine NaN in a float64
+                column is indistinguishable from NULL after a pandas
+                fetch. Neither is a semantic difference. Since round 6
+                both are stripped at the source: the inventory compares
+                with ``int_floats=True`` AND ``duck_fetch="native"``
+                (fetchall preserves NaN-vs-NULL and int-vs-float as
+                DuckDB computed them) — leniencies the driver-faithful
+                default deliberately does NOT have (see tests/parity.py
+                canon_cell / fetch_duck_native docstrings).
   DIVERGE/semantic — defined-but-different degenerate conventions:
                 Spark propagates NaN through sums/avgs where DuckDB
                 yields NULL; NULL-group rows placed differently;
@@ -79,7 +82,10 @@ def main() -> int:
     for name in names:
         q = qs[name]
         try:
-            ok, msg = compare(q.fn(spark, fx), con, q.oracle, int_floats=True)
+            ok, msg = compare(
+                q.fn(spark, fx), con, q.oracle, int_floats=True,
+                duck_fetch="native",
+            )
         except Exception as e:  # noqa: BLE001 — classifying, not handling
             errs.append((name, str(e).split("\n")[0][:160]))
             continue
