@@ -1815,15 +1815,18 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
             SELECT h,
                    count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs,
-                   count(DISTINCT prev_tok) AS dp, count(prev_tok) AS np,
-                   count(DISTINCT next_tok) AS dn, count(next_tok) AS nn
+                   min(prev_tok) AS p_lo, max(prev_tok) AS p_hi,
+                   count(prev_tok) AS np,
+                   min(next_tok) AS n_lo, max(next_tok) AS n_hi,
+                   count(next_tok) AS nn
             FROM occ GROUP BY h HAVING count(*) >= 2
         )
         SELECT h AS gram_md5,
                CAST(n_occ AS BIGINT) AS n_occ,
                CAST(n_docs AS BIGINT) AS n_docs
         FROM g
-        WHERE (dp >= 2 OR np < n_occ) AND (dn >= 2 OR nn < n_occ)
+        WHERE (COALESCE(p_lo <> p_hi, false) OR np < n_occ)
+          AND (COALESCE(n_lo <> n_hi, false) OR nn < n_occ)
         ORDER BY n_occ DESC, gram_md5 LIMIT 20
     """.format(tokens=_TOKENS.format(x="text")),
     doc=(
@@ -1846,10 +1849,13 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         "ANSI-guarded element_at accesses (i+k bounds-checked — "
         "out-of-range element_at is a whole-job INVALID_ARRAY_INDEX "
         "crash under ANSI mode, the poison-probe class). Scale: "
-        "shuffle rows are (8-byte-ish hash, two tokens); the "
-        "multi-distinct agg Expands 4x but partial-aggregates "
-        "map-side, and the only global sort is the TakeOrdered "
-        "top-20. Complements dedup_longest_repeated_substring (the "
+        "shuffle rows are (8-byte-ish hash, two tokens); '>= 2 "
+        "distinct neighbors' is computed as min != max — NOT "
+        "countDistinct, whose multi-distinct rewrite Expands the "
+        "shuffle input 4x and ships per-group distinct sets where "
+        "min/max partial-aggregates to two tokens per group map-side "
+        "(the lone surviving distinct, n_docs, regroups without "
+        "Expand). The only global sort is the TakeOrdered top-20. Complements dedup_longest_repeated_substring (the "
         "single deepest repeat) and dedup_exact_substring_removal "
         "(the cut corpus): this names WHICH repeated units dominate, "
         "the curation report a 100 TB dedup pass starts from. "
@@ -1895,17 +1901,30 @@ def dedup_boilerplate_maximal_kgrams(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count("*").alias("n_occ"),
             F.countDistinct("doc_id").alias("n_docs"),
-            F.countDistinct("prev_tok").alias("dp"),
+            F.min("prev_tok").alias("p_lo"),
+            F.max("prev_tok").alias("p_hi"),
             F.count("prev_tok").alias("np"),
-            F.countDistinct("next_tok").alias("dn"),
+            F.min("next_tok").alias("n_lo"),
+            F.max("next_tok").alias("n_hi"),
             F.count("next_tok").alias("nn"),
         )
         .filter(F.col("n_occ") >= 2)
     )
+    # min != max <=> >= 2 distinct non-null neighbors (NULL when zero
+    # non-null: coalesce to false, the boundary case is covered by the
+    # count term). min/max keep the agg single-pass with map-side
+    # combine; countDistinct here would trigger the multi-distinct
+    # Expand (4x shuffle input).
     return (
         g.filter(
-            ((F.col("dp") >= 2) | (F.col("np") < F.col("n_occ")))
-            & ((F.col("dn") >= 2) | (F.col("nn") < F.col("n_occ")))
+            (
+                F.coalesce(F.col("p_lo") != F.col("p_hi"), F.lit(False))
+                | (F.col("np") < F.col("n_occ"))
+            )
+            & (
+                F.coalesce(F.col("n_lo") != F.col("n_hi"), F.lit(False))
+                | (F.col("nn") < F.col("n_occ"))
+            )
         )
         .select(F.col("h").alias("gram_md5"), "n_occ", "n_docs")
         .orderBy(F.desc("n_occ"), "gram_md5")
