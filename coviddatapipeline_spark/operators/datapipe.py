@@ -522,10 +522,16 @@ def _km_parts() -> list[str]:
     parts = [
         f"""
         e AS (
+            -- mirrors the engine's KM_DIM uniform-dimension contract
+            -- (km_train_centroids filters size(embedding) == KM_DIM):
+            -- a no-op on clean data, it makes the oracle TOTAL on
+            -- poison corpora instead of crashing in list_dot_product
+            -- on the ragged/NULL vectors the engine excluded
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                                   x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
             FROM embeddings
+            WHERE len(embedding) = {KM_DIM}
         ),
         cent0 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < {KMEANS_K})
         """

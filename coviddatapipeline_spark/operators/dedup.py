@@ -713,11 +713,20 @@ def dedup_simhash_banded_pairs_salted(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "dedup_embedding_cosine_pairs",
-    oracle="""
+    # The ev CTE mirrors the engine's EMB_DIM uniform-dimension contract
+    # (the Spark side filters size(embedding) == EMB_DIM before the GEMM
+    # — see below): a no-op on clean data, it makes the oracle TOTAL on
+    # poison corpora too (round-6 parity inventory), instead of crashing
+    # in list_dot_product on a ragged/NULL vector the engine excluded.
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE len(embedding) = {EMB_DIM}
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
                    AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.44
         ORDER BY vec_a, vec_b
     """,
