@@ -81,6 +81,24 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_hits(shingles: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-doc contamination kernel, shared by the registered batch
+    entry and the streaming ingest guard
+    (``pipeline.streaming.stream_contamination_guard``) so 'the check
+    the audit verified' and 'the check the ingest path runs' are the
+    same code. ``shingles`` is the exploded (doc_id, source, s) frame
+    of DISTINCT per-doc shingles; ``bench`` is the (s) shingle set of
+    the held-out benchmark. Inverted-index equi-join on the shingle —
+    never doc×doc — then one combinable per-doc count; the bench side
+    is broadcast-sized for real eval suites and AQE picks that join
+    when it fits."""
+    return (
+        shingles.join(bench, "s")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
 @register(
     "contamination_ngram_overlap",
     oracle=f"""
@@ -129,12 +147,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(_trigrams(F.col("text"))).alias("s")
     ).persist()
     bench = sh.filter(F.col("source") == "src0").select("s").distinct()
-    hits = (
-        sh.filter(F.col("source") != "src0")
-        .join(bench, "s")
-        .groupBy("doc_id", "source")
-        .agg(F.count("*").alias("shared"))
-    )
+    hits = contamination_hits(sh.filter(F.col("source") != "src0"), bench)
     return (
         hits.groupBy("source")
         .agg(

@@ -557,3 +557,69 @@ def stream_dau_wau(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_contamination_guard(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    bench_docs,
+    threshold: int = 10,
+) -> StreamingQuery:
+    """Streaming twin of ``contamination_ngram_overlap``'s per-doc hit
+    detection — the benchmark-contamination check run ON the ingest
+    path instead of as a nightly batch audit: documents stream in,
+    each micro-batch's docs are shingled (distinct word trigrams, the
+    same ``dedup._trigrams`` the batch entry and its oracle pin) and
+    joined against the STATIC benchmark shingle set, and every doc
+    sharing at least one shingle is emitted as
+    (doc_id, source, shared, heavy) for quarantine upstream of
+    training. The join + per-doc count is
+    ``datapipe.contamination_hits`` — literally the same kernel the
+    registered batch entry runs, so the ingest guard and the audited
+    check cannot drift.
+
+    Exactness contract (tested): contamination of a doc depends only on
+    that doc and the static benchmark — there is NO cross-batch state —
+    so provided each doc arrives in exactly one micro-batch (the
+    file-source guarantee), the union of per-batch emissions equals the
+    batch kernel's hits on the union of the input, regardless of how
+    the stream is split into triggers. Scale: the benchmark shingle set
+    is computed ONCE (persisted) and is eval-suite-sized (broadcast
+    side); per-trigger work is shingle-explode + equi-join + combinable
+    count on just that batch's docs — state the engine carries is zero,
+    which is why this guard runs at ingest bandwidth. foreachBatch
+    append is at-least-once on trigger retry (same caveat as the other
+    foreachBatch twins); dedup downstream on (doc_id) if exactly-once
+    materialization matters."""
+    from coviddatapipeline_spark.operators.datapipe import contamination_hits
+    from coviddatapipeline_spark.operators.dedup import _trigrams
+
+    bench = (
+        bench_docs.select(F.explode(_trigrams(F.col("text"))).alias("s"))
+        .distinct()
+        .persist()
+    )
+    bench.count()  # materialize once, not per trigger
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def guard(batch_df, batch_id: int) -> None:
+        sh = batch_df.select(
+            "doc_id", "source", F.explode(_trigrams(F.col("text"))).alias("s")
+        )
+        (
+            contamination_hits(sh, bench)
+            .withColumn("heavy", F.col("shared") >= threshold)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(guard)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

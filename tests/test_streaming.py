@@ -725,6 +725,68 @@ def test_stream_session_paths_match_batch(spark, tmp_path, parity_sf_dir):
 # stream_* function added to pipeline/streaming.py without an entry
 # here (and a test referencing it) turns the audit red — the gap the
 # round-3 verdict asked to make structural.
+def test_stream_contamination_guard_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The streaming ingest-path contamination guard must emit EXACTLY
+    the per-doc hit rows the batch kernel computes over the same corpus
+    — across two incremental drains, so batch-split independence is
+    part of the assertion (contamination is stateless per doc by
+    construction; a doc straddling nothing, only the trigger boundary,
+    must not change any count)."""
+    from coviddatapipeline_spark.operators.datapipe import contamination_hits
+    from coviddatapipeline_spark.operators.dedup import _trigrams
+    from coviddatapipeline_spark.pipeline.streaming import (
+        stream_contamination_guard,
+    )
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    bench_docs = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "source", "text"
+    )
+    mid = corpus.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        import glob
+        import shutil
+
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(corpus.filter(F.col("doc_id") <= mid), "p1")
+    stream_contamination_guard(
+        spark, in_dir, out, ckpt, corpus.schema, bench_docs
+    ).awaitTermination(120)
+    stage(corpus.filter(F.col("doc_id") > mid), "p2")
+    stream_contamination_guard(
+        spark, in_dir, out, ckpt, corpus.schema, bench_docs
+    ).awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["source"], r["shared"], r["heavy"])
+        for r in spark.read.parquet(out).collect()
+    }
+    sh = corpus.select(
+        "doc_id", "source", F.explode(_trigrams(F.col("text"))).alias("s")
+    )
+    bench = bench_docs.select(
+        F.explode(_trigrams(F.col("text"))).alias("s")
+    ).distinct()
+    want = {
+        (r["doc_id"], r["source"], r["shared"], r["shared"] >= 10)
+        for r in contamination_hits(sh, bench).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 _TWIN_CONTRACTS = {
     "stream_csv_to_silver": "test_stream_resume_exactly_once",
     "stream_refresh_gold": "test_stream_refresh_gold_tracks_ingestion",
@@ -739,6 +801,7 @@ _TWIN_CONTRACTS = {
     "stream_daily_mix_drift": "test_stream_daily_mix_drift_matches_batch",
     "stream_cms_grid": "test_stream_cms_grid_matches_batch",
     "stream_dau_wau": "test_stream_dau_wau_matches_batch",
+    "stream_contamination_guard": "test_stream_contamination_guard_matches_batch",
 }
 
 

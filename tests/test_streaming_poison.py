@@ -179,3 +179,28 @@ def test_stream_dau_wau_survives(spark, staged, tmp_path):
     q.awaitTermination(180)
     assert q.exception() is None, f"dau_wau crashed: {q.exception()}"
     assert spark.read.parquet(out).count() >= 0
+
+
+def test_stream_contamination_guard_survives_poison_docs(spark, tmp_path):
+    """The ingest contamination guard on a poison DOCUMENT stream:
+    NULL / empty / whitespace / sub-shingle texts and a poison
+    benchmark side must all flow through (the _trigrams short-doc
+    guard covers the streaming path identically); the empty-output
+    write must also be abort-free (a micro-batch of only degenerate
+    docs emits zero hit rows, not a crash)."""
+    from tools.poison_probe import POISON_DOCS
+
+    root = str(tmp_path)
+    in_dir = os.path.join(root, "docs")
+    out = os.path.join(root, "hits")
+    ckpt = os.path.join(root, "ckpt")
+    docs = spark.createDataFrame(
+        POISON_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).select("doc_id", "source", "text")
+    docs.coalesce(1).write.parquet(in_dir)
+    q = st.stream_contamination_guard(
+        spark, in_dir, out, ckpt, docs.schema, docs
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, f"contamination_guard crashed: {q.exception()}"
+    assert spark.read.parquet(out).count() >= 0
