@@ -1941,6 +1941,121 @@ def dedup_boilerplate_maximal_kgrams(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "dedup_duplicated_passages_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {{tokens}} AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        kg AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   md5(array_to_string(tk[u.i:u.i + {K_GRAM - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - {K_GRAM - 1}, 0)))
+                     AS u(i)
+        ),
+        duph AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM kg GROUP BY h)
+            WHERE c >= 2
+        ),
+        dup AS (SELECT kg.doc_id, kg.pos FROM kg JOIN duph USING (h)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM dup
+        ),
+        runs AS (
+            SELECT doc_id, min(pos) AS start_pos,
+                   max(pos) - min(pos) + {K_GRAM} AS n_tok
+            FROM isl GROUP BY doc_id, grp
+        ),
+        top AS (
+            SELECT doc_id, start_pos, n_tok FROM runs
+            ORDER BY n_tok DESC, doc_id, start_pos LIMIT 20
+        )
+        SELECT t.doc_id, t.start_pos, CAST(t.n_tok AS BIGINT) AS n_tok,
+               md5(array_to_string(
+                   tk[t.start_pos : t.start_pos + t.n_tok - 1], ' '))
+                   AS passage_md5
+        FROM top t JOIN toks USING (doc_id)
+        ORDER BY n_tok DESC, doc_id, start_pos
+    """.format(tokens=_TOKENS.format(x="text")),
+    doc=(
+        "The top-20 LONGEST maximal duplicated passages corpus-wide — "
+        "the report that names what dedup_exact_substring_removal "
+        "would cut: positions whose rolling "
+        f"{K_GRAM}-token window fingerprint repeats anywhere in the "
+        "corpus (self-repeats included) are grouped into maximal "
+        "consecutive runs per doc by gaps-and-islands (pos minus "
+        "per-doc row_number — consecutive duplicated window STARTS "
+        "p..q cover tokens p..q+k-1, so passage length is "
+        "q-p+k), and each surviving passage certifies its exact text "
+        "with an md5 of the token slice. Completes the "
+        "exact-substring family's report set: runs = pairwise shared "
+        "spans, removal = the cut corpus, boilerplate = maximal "
+        "repeated UNITS, LRS = the single deepest repeat, and this = "
+        "the longest duplicated PASSAGES with their location and "
+        "identity. Scale: the only window is per-doc (bounded by doc "
+        "length); the top-20 cut is a TakeOrdered with a total "
+        "tiebreak (n_tok desc, doc_id, start_pos), and the text-slice "
+        "md5 join touches exactly the 20 winners (broadcast-sized) "
+        "rather than re-shipping every doc's tokens. Reference "
+        "parity: no dedup surface in the reference "
+        "(dags/ETL.py:96-102) — pipeline-extension territory per "
+        "SURVEY §2's LLM-data-ops mandate."
+    ),
+    tags=("dedup", "text", "window"),
+)
+def dedup_duplicated_passages_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = K_GRAM
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("tk"))
+    )
+    kg = docs.select(
+        "doc_id", F.explode(kgram_window_structs(F.col("tk"), k)).alias("w")
+    ).select("doc_id", F.col("w.pos").cast("long").alias("pos"), F.col("w.h").alias("h"))
+    duph = (
+        kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
+    )
+    dup = kg.join(duph, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("n_tok"),
+        )
+        .drop("grp")
+    )
+    top = runs.orderBy(F.desc("n_tok"), "doc_id", "start_pos").limit(20)
+    return (
+        top.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "start_pos",
+            "n_tok",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("tk"),
+                        F.col("start_pos").cast("int"),
+                        F.col("n_tok").cast("int"),
+                    ),
+                )
+            ).alias("passage_md5"),
+        )
+        .orderBy(F.desc("n_tok"), "doc_id", "start_pos")
+    )
+
+
 def _lrs_oracle(n_steps: int = 16) -> str:
     """Binary search on LRS length as an UNROLLED CTE chain.
 

@@ -149,3 +149,62 @@ def test_boilerplate_maximal_kgrams_matches_model(spark, texts):
         assert got == _maximal_model(texts)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _passages_model(texts):
+    """Pure-Python gaps-and-islands over corpus-duplicated window
+    starts: top-20 longest maximal duplicated passages as
+    (doc_id, start_pos, n_tok, md5-of-token-slice), 1-based."""
+    toks = {i: _tokens_model(t) for i, t in enumerate(texts) if t is not None}
+    counts: Counter[str] = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - K_GRAM + 1):
+            counts[" ".join(tk[i : i + K_GRAM])] += 1
+    rows = []
+    for doc_id, tk in sorted(toks.items()):
+        dup = [
+            i
+            for i in range(len(tk) - K_GRAM + 1)
+            if counts[" ".join(tk[i : i + K_GRAM])] >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in dup + [None]:
+            if run_start is not None and (p is None or p != prev + 1):
+                n_tok = prev - run_start + K_GRAM
+                rows.append(
+                    (
+                        doc_id,
+                        run_start + 1,
+                        n_tok,
+                        _md5(" ".join(tk[run_start : run_start + n_tok])),
+                    )
+                )
+                run_start = None
+            if p is not None and run_start is None:
+                run_start = p
+            prev = p
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:20]
+
+
+@given(texts=_corpus)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicated_passages_topk_matches_model(spark, texts):
+    from coviddatapipeline_spark.operators.dedup import (
+        dedup_duplicated_passages_topk,
+    )
+
+    d = _write_documents(spark, texts)
+    try:
+        got = [
+            (r["doc_id"], r["start_pos"], r["n_tok"], r["passage_md5"])
+            for r in dedup_duplicated_passages_topk(spark, d).collect()
+        ]
+        assert got == _passages_model(texts)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
