@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import duck_floor_long, t
 from coviddatapipeline_spark.queries.catalog import register
 
 # Per-process scratch bookkeeping for warehouse_snapshot_diff_cdc: maps
@@ -38,6 +38,15 @@ def _versioned_scratch_root(sf_dir: str) -> str:
         + f"_{os.getpid()}",
     )
     if base not in _VERSIONED_SCRATCH_COUNTERS:
+        # First touch this process: clear any stale base left by a
+        # crashed prior process that reused our pid — its _CURRENT
+        # pointer would otherwise make write_versioned continue from a
+        # stale version number while the build counter restarts at b0,
+        # breaking the absolute-version reads in snapshot_diff_cdc /
+        # time_travel_read. pid-keyed uniqueness still protects
+        # CONCURRENT processes; this restores the crash-staleness
+        # guarantee of the old rmtree-on-every-invocation behavior.
+        shutil.rmtree(base, ignore_errors=True)
         _VERSIONED_SCRATCH_COUNTERS[base] = itertools.count()
         atexit.register(shutil.rmtree, base, ignore_errors=True)
     return os.path.join(base, f"b{next(_VERSIONED_SCRATCH_COUNTERS[base])}")
@@ -822,7 +831,10 @@ _STATS_COLS = (
     ("o_orderstatus", "{v}", "{v}"),
     (
         "o_totalprice",
-        "CAST(CAST(floor({v} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        # duck_floor_long mirrors Spark's total floor(double)->BIGINT:
+        # a NaN max (NaN sorts greatest on both engines) renders as "0"
+        # instead of crashing DuckDB's CAST; no-op on finite prices.
+        "CAST((" + duck_floor_long("{v} * 100 + 0.5") + ") AS VARCHAR)",
         "CAST(CAST(floor({v} * 100 + 0.5) AS BIGINT) AS STRING)",
     ),
     ("o_orderdate", "CAST(CAST({v} AS DATE) AS VARCHAR)", "CAST(CAST({v} AS DATE) AS STRING)"),
@@ -1020,7 +1032,12 @@ _BENFORD_CASE = (
     "dq_benford_first_digit",
     oracle=f"""
         WITH digits AS (
-            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+            -- duck_floor_long mirrors Spark's total floor(double)->BIGINT
+            -- (NaN -> 0, +-inf -> Long extremes): a NaN price passes the
+            -- > 0 predicate on BOTH engines (NaN sorts greatest) and
+            -- lands in a digit-0 bucket the audit then surfaces, instead
+            -- of crashing DuckDB's CAST. No-op on finite prices.
+            SELECT CAST(substr(CAST(({duck_floor_long('o_totalprice')})
                                     AS VARCHAR), 1, 1) AS INTEGER) AS digit
             FROM orders WHERE o_totalprice > 0
         ),
@@ -1092,8 +1109,12 @@ KANON_K = 5  # the conventional re-identification threshold
         WITH classes AS (
             SELECT c_nationkey, c_mktsegment,
                    CAST(count(*) AS BIGINT) AS class_size,
-                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
-                                            AS BIGINT)) AS BIGINT) AS l_div
+                   -- duck_floor_long: Spark's floor(double) is total
+                   -- (NaN -> bucket 0, -inf -> Long.MIN); mirror it so a
+                   -- poisoned balance lands in the same l-diversity
+                   -- bucket instead of crashing DuckDB's CAST.
+                   CAST(count(DISTINCT ({duck_floor_long('c_acctbal / 1000')}))
+                        AS BIGINT) AS l_div
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
         ),

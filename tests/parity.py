@@ -44,11 +44,15 @@ def canon_cell(v, *, int_floats=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # int_floats first: int(v) already collapses -0.0/0.0 to 0,
+        # matching the raw-int canon of the other side — checking the
+        # v == 0 string branch first would leave a spurious "0"-vs-0
+        # dtype divergence at exactly zero under the lenient mode.
+        if int_floats and v.is_integer() and abs(v) < 2**53:
+            return int(v)  # equals the raw-int canon of the other side
         # collapse -0.0 / 0.0 and format stably
         if v == 0:
             return "0"
-        if int_floats and v.is_integer() and abs(v) < 2**53:
-            return int(v)  # equals the raw-int canon of the other side
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
         # DuckDB DATE arrives as a midnight pandas Timestamp via .df()
