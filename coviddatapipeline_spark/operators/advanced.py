@@ -17,13 +17,17 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t, events
+from coviddatapipeline_spark.operators.common import duck_floor_long, t, events
 
 
 @register(
     "json_props_topk",
     oracle="""
-        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        -- json_valid guard mirrors Spark's get_json_object (NULL on
+        -- malformed JSON) where DuckDB's json_extract raises; no-op on
+        -- well-formed props.
+        SELECT CAST(CASE WHEN json_valid(props)
+                         THEN json_extract(props, '$.k') END AS INTEGER) AS k,
                count(*) AS n,
                round(sum(value), 2) AS total_value
         FROM events
@@ -452,7 +456,10 @@ def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   -- TRY_CAST mirrors the engine's try_cast (NaN/Inf
+                   -- price -> NULL, skipped by sum) instead of a DuckDB
+                   -- conversion error; no-op on finite prices.
+                   CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS cents
             FROM orders GROUP BY 1
         )

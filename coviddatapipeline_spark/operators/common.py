@@ -15,6 +15,24 @@ DUCKDB_INITCAP = (
     "w -> upper(w[1]) || w[2:]), ' ')"
 )
 
+# Oracle-side twin of Spark's floor(double) -> BIGINT semantics, which
+# are TOTAL: NaN -> 0, -inf -> Long.MIN, +inf -> Long.MAX (measured on
+# this PySpark build; floor() itself returns LongType, so no ANSI cast
+# runs). DuckDB's CAST(floor(x) AS BIGINT) instead raises a conversion
+# error on any non-finite double, so every oracle that buckets a
+# possibly-poisoned measure with floor uses this template — a no-op on
+# finite (clean) data, it makes the verification SQL total on poison
+# corpora with the identical bucket values (round-7 parity pass).
+def duck_floor_long(x: str) -> str:
+    """DuckDB SQL snippet: Spark-semantics floor(``x``) as BIGINT."""
+    return (
+        f"CASE WHEN isnan({x}) THEN 0 "
+        f"WHEN {x} = 'infinity'::DOUBLE THEN 9223372036854775807 "
+        f"WHEN {x} = '-infinity'::DOUBLE THEN -9223372036854775808 "
+        f"ELSE CAST(floor({x}) AS BIGINT) END"
+    )
+
+
 # Corpus embedding dimensionality contract. Operators whose algebra
 # requires uniform vector dimensions (k-means training, blocked exact
 # GEMM) filter to exactly this size: a NULL / empty / wrong-dimension

@@ -125,7 +125,13 @@ def f1_f2_trim_initcap_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_f4_cast_with_default",
     oracle="""
         SELECT event_type,
-               CAST(sum(coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), 0)) AS BIGINT) AS k_total,
+               -- json_valid guard mirrors Spark's get_json_object, which
+               -- returns NULL on malformed JSON where DuckDB's
+               -- json_extract_string raises; no-op on well-formed props.
+               CAST(sum(coalesce(try_cast(
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS INTEGER), 0)) AS BIGINT) AS k_total,
                count(*) AS n
         FROM events
         GROUP BY event_type

@@ -449,9 +449,15 @@ KMEANS_K = 8
 @register(
     "ivf_kmeans_one_step",
     oracle=f"""
-        WITH seeds AS (
+        WITH ev AS (
+            -- EMB_DIM contract (SCALE.md §14), mirrored from the engine
+            -- filter below: total on poison corpora, no-op on clean data.
+            SELECT vec_id, embedding FROM embeddings
+            WHERE len(embedding) = {EMB_DIM}
+        ),
+        seeds AS (
             SELECT vec_id AS cid, embedding::DOUBLE[] AS c
-            FROM embeddings WHERE vec_id < {KMEANS_K}
+            FROM ev WHERE vec_id < {KMEANS_K}
         ),
         assigned AS (
             SELECT e.vec_id,
@@ -459,7 +465,7 @@ KMEANS_K = 8
                     ORDER BY list_dot_product(e.embedding::DOUBLE[], s.c) DESC,
                              s.cid ASC
                     LIMIT 1) AS cluster
-            FROM embeddings e
+            FROM ev e
         )
         SELECT cluster, count(*) AS n
         FROM assigned
@@ -480,7 +486,11 @@ KMEANS_K = 8
     tags=("datapipe", "similarity"),
 )
 def ivf_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # EMB_DIM uniform-dimension contract (SCALE.md §14): Lloyd
+    # assignment is defined over corpus-dimensional vectors; NULL /
+    # empty / ragged rows are excluded, mirrored by the oracle's ev
+    # CTE. No-op on clean corpora.
+    emb = t(spark, sf_dir, "embeddings").filter(F.size("embedding") == EMB_DIM)
     seeds = (
         emb.filter(F.col("vec_id") < KMEANS_K)
         .select("vec_id", "embedding")

@@ -191,9 +191,20 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_vector_quality_audit",
     oracle="""
         WITH norms AS (
+            -- The CASE mirrors the engine's fold semantics exactly so
+            -- the audit stays TOTAL on the degenerate rows it exists to
+            -- find: NULL vector -> NULL norm (Spark zip_with/aggregate
+            -- propagates NULL), empty vector -> 0.0 (the fold's init),
+            -- else the dot product. DuckDB's bare list_dot_product
+            -- would crash on an empty list (flat-vector INTERNAL
+            -- error), i.e. the unguarded oracle died on exactly the
+            -- failed-encoder rows this check is meant to count.
             SELECT label, len(embedding) AS dim,
-                   CAST(floor(list_dot_product(embedding::DOUBLE[],
-                                               embedding::DOUBLE[]) * 10000
+                   CAST(floor(CASE WHEN embedding IS NULL THEN NULL
+                                   WHEN len(embedding) = 0 THEN 0.0
+                                   ELSE list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])
+                              END * 10000
                               + 0.5) AS BIGINT) AS norm2_e4
             FROM embeddings
         )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t, events
+from coviddatapipeline_spark.operators.common import duck_floor_long, t, events
 
 
 @register(
@@ -103,9 +103,16 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "from_json_typed_props",
     oracle="""
-        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        -- json_valid guards mirror Spark's from_json, which yields a
+        -- NULL struct on malformed JSON where DuckDB's json_extract
+        -- raises; no-op on well-formed props.
+        SELECT CAST(CASE WHEN json_valid(props)
+                         THEN json_extract(props, '$.k') END AS INTEGER) % 10
+                   AS k_mod,
                count(*) AS n,
-               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+               round(avg(CAST(CASE WHEN json_valid(props)
+                                   THEN json_extract(props, '$.k') END
+                              AS INTEGER)), 4) AS avg_k
         FROM events
         GROUP BY 1
         ORDER BY k_mod
@@ -221,7 +228,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_money_totals",
     oracle="""
         SELECT o_orderstatus AS status,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+               -- The isfinite CASE mirrors Spark's cast(double AS
+               -- decimal), which yields NULL on NaN (measured, skipped by
+               -- sum); DuckDB's CAST — even TRY_CAST — raises on NaN.
+               -- No-op on finite prices.
+               CAST(sum(CASE WHEN isfinite(o_totalprice)
+                             THEN CAST(o_totalprice AS DECIMAL(18, 2))
+                        END) AS VARCHAR)
                    AS total_exact,
                count(*) AS n
         FROM orders
@@ -347,7 +360,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rfm_customer_segments",
-    oracle="""
+    oracle=f"""
         WITH rfm AS (
             SELECT o_custkey,
                    max(o_orderdate) AS last_order,
@@ -357,15 +370,26 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT o_custkey,
-                   ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
-                   ntile(4) OVER (ORDER BY frequency, o_custkey) AS f,
-                   ntile(4) OVER (ORDER BY monetary, o_custkey) AS m,
+                   -- NULLS FIRST pins DuckDB to Spark's ASC default (a
+                   -- NULL last_order from an all-NULL-date customer sorts
+                   -- first in Spark, last in bare DuckDB); NaN sorts
+                   -- greatest on both engines. No-op when keys are
+                   -- non-NULL (clean data).
+                   ntile(4) OVER (ORDER BY last_order NULLS FIRST,
+                                  o_custkey NULLS FIRST) AS r,
+                   ntile(4) OVER (ORDER BY frequency NULLS FIRST,
+                                  o_custkey NULLS FIRST) AS f,
+                   ntile(4) OVER (ORDER BY monetary NULLS FIRST,
+                                  o_custkey NULLS FIRST) AS m,
                    monetary
             FROM rfm
         )
         SELECT concat(r, f, m) AS segment,
                count(*) AS n_customers,
-               CAST(floor(avg(monetary) * 100 + 0.5) AS BIGINT) AS avg_monetary_cents
+               -- duck_floor_long mirrors Spark's total floor(double)
+               -- (NaN monetary -> 0 cents) instead of crashing DuckDB's
+               -- CAST; no-op on finite totals.
+               ({duck_floor_long('avg(monetary) * 100 + 0.5')}) AS avg_monetary_cents
         FROM scored
         GROUP BY 1
         ORDER BY segment
@@ -424,10 +448,19 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "profile_orders_columns",
     oracle="""
+        -- The sd CASE mirrors Spark's stddev_samp, which propagates
+        -- NaN (the profile then SHOWS the degenerate column as NaN —
+        -- the finding a profiler exists to surface); DuckDB's bare
+        -- STDDEV_SAMP raises out-of-range on NaN input instead.
+        -- avg/min/max propagate NaN identically unguarded.
+        -- No-op on finite prices.
         SELECT 'o_totalprice' AS col,
                count(o_totalprice) AS n_nonnull,
                round(avg(o_totalprice), 4) AS mean,
-               round(stddev_samp(o_totalprice), 4) AS sd,
+               round(CASE WHEN bool_or(isnan(o_totalprice)) THEN 'NaN'::DOUBLE
+                          ELSE stddev_samp(o_totalprice)
+                               FILTER (WHERE NOT isnan(o_totalprice))
+                     END, 4) AS sd,
                round(min(o_totalprice), 2) AS min_v,
                round(max(o_totalprice), 2) AS max_v,
                count(DISTINCT o_orderstatus) AS n_status
@@ -591,8 +624,13 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "part_price_histogram",
-    oracle="""
-        SELECT least(CAST(floor((p_retailprice - 900.0) / 10.0) AS INTEGER), 19)
+    oracle=f"""
+        -- duck_floor_long mirrors Spark's total floor(double)->BIGINT
+        -- (NaN -> bin 0), so a NaN price joins bin 0 on both engines
+        -- (its NaN then surfaces in that bin's hi) instead of crashing
+        -- DuckDB's CAST. No-op on finite prices.
+        SELECT CAST(least(({duck_floor_long('(p_retailprice - 900.0) / 10.0')}),
+                          19) AS INTEGER)
                    AS bin,
                count(*) AS n,
                round(min(p_retailprice), 2) AS lo,
@@ -667,7 +705,17 @@ ANOMALY_Z = 2.0
             FROM orders GROUP BY day
         ),
         stats AS (
-            SELECT avg(rev) AS mu, stddev_samp(rev) AS sigma FROM daily
+            -- The CASE mirrors Spark's stddev_samp, which propagates a
+            -- NaN day to a NaN sigma (every day then emits with z=NaN,
+            -- since NaN compares greatest on both engines); DuckDB's
+            -- bare STDDEV_SAMP instead raises an out-of-range error on
+            -- NaN input. avg already propagates NaN identically.
+            -- No-op on finite revenues.
+            SELECT avg(rev) AS mu,
+                   CASE WHEN bool_or(isnan(rev)) THEN 'NaN'::DOUBLE
+                        ELSE stddev_samp(rev) FILTER (WHERE NOT isnan(rev))
+                   END AS sigma
+            FROM daily
         )
         SELECT strftime(day, '%Y-%m-%d') AS day,
                round(rev, 2) AS revenue,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import EMB_DIM, t
 from coviddatapipeline_spark.operators.text import _NORM, _TOKENS, _norm, _tokens
 from coviddatapipeline_spark.queries.catalog import register
 
@@ -323,12 +323,18 @@ RRF_OUT = 20
             FROM bm25
             QUALIFY lex_rank <= {RRF_LIST}
         ),
-        qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        ev AS (
+            -- EMB_DIM contract (SCALE.md §14), mirrored from the engine
+            -- load below: total on poison corpora, no-op on clean data.
+            SELECT vec_id, embedding FROM embeddings
+            WHERE len(embedding) = {EMB_DIM}
+        ),
+        qv AS (SELECT embedding FROM ev WHERE vec_id = 0),
         sem_scored AS (
             SELECT c.vec_id AS doc_id,
                    list_dot_product(q.embedding::DOUBLE[],
                                     c.embedding::DOUBLE[]) AS cos
-            FROM embeddings c CROSS JOIN qv q
+            FROM ev c CROSS JOIN qv q
             WHERE c.vec_id <> 0
         ),
         sem AS (
@@ -427,8 +433,14 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= RRF_LIST)
         .select("doc_id", "lex_rank")
     )
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        # EMB_DIM uniform-dimension contract (SCALE.md §14): the sem
+        # side's dot products are defined over corpus-dimensional
+        # vectors; NULL / empty / ragged rows are excluded, mirrored by
+        # the oracle's ev CTE. No-op on clean corpora.
+        .filter(F.size("embedding") == EMB_DIM)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos = F.aggregate(

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import EMB_DIM, t
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -38,9 +38,41 @@ def _dot(va: str, vb: str) -> Column:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    # EMB_DIM uniform-dimension contract (SCALE.md §14), applied at the
+    # module's SINGLE load site: every ANN / quantization kernel below
+    # is defined over corpus-dimensional vectors, so NULL / empty /
+    # ragged rows are excluded here — a no-op on clean corpora, and the
+    # reason the whole module is total on poison input. Every oracle in
+    # this module mirrors the same predicate as
+    # ``len(embedding) = EMB_DIM`` (see _EMB_GUARDED), so the excluded
+    # set is identical on both sides and cross-engine hash agreement
+    # extends to degenerate corpora (round-7 poison-parity pass).
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == EMB_DIM)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     )
+
+
+# The oracle-side twin of _emb's filter: substituted for every bare
+# ``embeddings`` table reference in this module's verification SQL by
+# _g() below, so oracle and engine exclude the identical degenerate set.
+_EMB_GUARDED = (
+    f"(SELECT * FROM embeddings WHERE len(embedding) = {EMB_DIM})"
+)
+
+
+def _g(sql: str) -> str:
+    """Mirror the EMB_DIM contract into an oracle: rewrite every
+    ``embeddings`` table reference to the guarded subquery. Applied to
+    EVERY oracle in this module (matching _emb, the module's single
+    engine-side load path) — a clean-data no-op that makes the
+    verification SQL total on poison corpora instead of crashing in
+    list_dot_product on a NULL / empty / ragged vector the engine
+    excluded."""
+    import re
+
+    return re.sub(r"\bembeddings\b", _EMB_GUARDED, sql)
 
 
 _ORACLE_TOPK = """
@@ -95,7 +127,7 @@ def _topk(spark: SparkSession, sf_dir: str, same_cell_only: bool) -> DataFrame:
 
 @register(
     "ann_cosine_topk_bruteforce",
-    oracle=_ORACLE_TOPK.format(nq=N_QUERIES, k=TOP_K, cell_filter=""),
+    oracle=_g(_ORACLE_TOPK.format(nq=N_QUERIES, k=TOP_K, cell_filter="")),
     doc="Exact cosine top-k per query vector (brute force baseline).",
     tags=("similarity",),
 )
@@ -105,9 +137,9 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk_ivf",
-    oracle=_ORACLE_TOPK.format(
+    oracle=_g(_ORACLE_TOPK.format(
         nq=N_QUERIES, k=TOP_K, cell_filter="AND q.label = c.label"
-    ),
+    )),
     doc="IVF-style ANN: probe only the query's coarse cell (label = quantizer assignment).",
     tags=("similarity",),
 )
@@ -150,7 +182,7 @@ _ORACLE_RECALL = f"""
 
 @register(
     "ann_recall_ivf_vs_exact",
-    oracle=_ORACLE_RECALL,
+    oracle=_g(_ORACLE_RECALL),
     doc=(
         "Recall@k of the IVF probe against exact brute force, per query — "
         "the accuracy/cost dial every ANN deployment reports."
@@ -222,7 +254,7 @@ _ORACLE_MULTIPROBE = f"""
 
 @register(
     "ann_cosine_topk_multiprobe",
-    oracle=_ORACLE_MULTIPROBE,
+    oracle=_g(_ORACLE_MULTIPROBE),
     doc=(
         "Multi-probe IVF ANN: derive per-cell centroids (element-wise "
         "mean via posexplode + regroup), rank cells by query-to-centroid "
@@ -276,7 +308,7 @@ def ann_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroid_similarity",
-    oracle="""
+    oracle=_g("""
         WITH pe AS (
             SELECT label,
                    unnest(generate_series(1, len(embedding))) AS pos,
@@ -291,7 +323,7 @@ def ann_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
         GROUP BY a.label, b.label
         ORDER BY label_a, label_b
-    """,
+    """),
     doc=(
         "Inter-cluster geometry audit: pairwise cosine similarity "
         "between per-label embedding centroids — the 'are my IVF cells "
@@ -345,7 +377,7 @@ LSH_PLANES = 6
 
 @register(
     "knn_graph_within_cell",
-    oracle=f"""
+    oracle=_g(f"""
         WITH scored AS (
             SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                    list_dot_product(a.embedding::DOUBLE[],
@@ -362,7 +394,7 @@ LSH_PLANES = 6
         SELECT vec_id, neighbor_id, rank, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= {KNN_K}
         ORDER BY vec_id, rank
-    """,
+    """),
     doc=(
         f"k-NN graph (k={KNN_K}) over ALL vectors, restricted to each "
         "vector's IVF cell (label = coarse-quantizer assignment): the "
@@ -427,7 +459,7 @@ def _lsh_sig_duck(alias: str) -> str:
 
 @register(
     "ann_lsh_hyperplane_topk",
-    oracle=f"""
+    oracle=_g(f"""
         WITH sigs AS (
             SELECT e.vec_id, e.embedding,
                    {_lsh_sig_duck('e')} AS sig
@@ -450,7 +482,7 @@ def _lsh_sig_duck(alias: str) -> str:
         SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """,
+    """),
     doc=(
         f"Random-hyperplane LSH ANN: {LSH_PLANES} deterministic integer "
         "hyperplanes hash every vector to a 64-bucket signature; "
@@ -518,7 +550,7 @@ def _trained_ivf_oracle() -> str:
 
 @register(
     "ann_cosine_topk_ivf_trained",
-    oracle=_trained_ivf_oracle(),
+    oracle=_g(_trained_ivf_oracle()),
     doc=(
         "IVF ANN probing cells of the TRAINED coarse quantizer: the "
         "fixed-point Lloyd centroids from datapipe.km_train_centroids "
@@ -619,7 +651,7 @@ def _trained_recall_oracle() -> str:
 
 @register(
     "ann_recall_trained_vs_exact",
-    oracle=_trained_recall_oracle(),
+    oracle=_g(_trained_recall_oracle()),
     doc=(
         "Recall@k of the TRAINED-quantizer IVF probe "
         "(ann_cosine_topk_ivf_trained's cells) against exact brute "
@@ -701,7 +733,7 @@ NO_EARLIER = -2.0  # sentinel: first vector of its cell (cosine is always >= -1)
 
 @register(
     "semdedup_cell_prune",
-    oracle=f"""
+    oracle=_g(f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ),
@@ -717,7 +749,7 @@ NO_EARLIER = -2.0  # sentinel: first vector of its cell (cosine is always >= -1)
                          THEN 1 ELSE 0 END AS INT) AS pruned
         FROM e LEFT JOIN pairs p ON e.vec_id = p.vec_id
         ORDER BY e.vec_id
-    """,
+    """),
     doc=(
         "SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
         "within each coarse cell (the quantizer assignment, as in the "
@@ -764,7 +796,7 @@ TRUNC_DIM = 16  # Matryoshka audit: rank with the first 16 of 64 dims
 
 @register(
     "ann_matryoshka_recall",
-    oracle=f"""
+    oracle=_g(f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -799,7 +831,7 @@ TRUNC_DIM = 16  # Matryoshka audit: rank with the first 16 of 64 dims
         LEFT JOIN trunc t ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
         GROUP BY e.query_id
         ORDER BY e.query_id
-    """,
+    """),
     doc=(
         "Matryoshka-truncation audit (Kusupati et al. 2022, public): "
         "recall@k when ranking with only the FIRST 16 of 64 embedding "
@@ -885,7 +917,7 @@ PQ_SUBDIM = 8
 
 @register(
     "pq_codebook_assign",
-    oracle=f"""
+    oracle=_g(f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         seed AS (SELECT label, min(vec_id) AS mid FROM e GROUP BY label),
         med AS (
@@ -920,7 +952,7 @@ PQ_SUBDIM = 8
         FROM chosen WHERE r = 1
         GROUP BY s, code
         ORDER BY s, code
-    """,
+    """),
     doc=(
         "Product-quantization code assignment (Jegou et al. 2011, "
         "public — the PQ half of IVF-PQ): the 64-dim space splits into "
@@ -993,7 +1025,7 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pq_adc_topk_recall",
-    oracle=f"""
+    oracle=_g(f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         seed AS (SELECT label, min(vec_id) AS mid FROM e GROUP BY label),
         med AS (
@@ -1063,7 +1095,7 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND x.neighbor_id = a.neighbor_id
         GROUP BY x.query_id
         ORDER BY x.query_id
-    """,
+    """),
     doc=(
         "Asymmetric-distance PQ search (the ADC half of IVF-PQ, Jegou "
         "et al. 2011): each query precomputes a subspaces x codes "
@@ -1167,7 +1199,7 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_semantic_clusters",
-    oracle=f"""
+    oracle=_g(f"""
         WITH RECURSIVE scored AS MATERIALIZED (
             SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                    list_dot_product(a.embedding::DOUBLE[],
@@ -1201,7 +1233,7 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER (PARTITION BY component) AS n_in_cluster
         FROM labels
         ORDER BY vec_id
-    """,
+    """),
     doc=(
         "Semantic-cluster discovery: connected components over the "
         "within-cell kNN graph — the clustering step of graph-based "
@@ -1244,7 +1276,7 @@ NPROBES = (1, 2, 4, 10)  # 10 cells total -> nprobe=10 is the exhaustive scan
 
 @register(
     "ann_ivf_nprobe_curve",
-    oracle=f"""
+    oracle=_g(f"""
         WITH pe AS (
             SELECT label,
                    unnest(embedding::DOUBLE[]) AS x,
@@ -1303,7 +1335,7 @@ NPROBES = (1, 2, 4, 10)  # 10 cells total -> nprobe=10 is the exhaustive scan
                    AS mean_recall_e4
         FROM cost c JOIN hits h ON h.nprobe = c.nprobe
         ORDER BY c.nprobe
-    """,
+    """),
     doc=(
         "IVF nprobe cost/recall curve — the ANN counterpart of the LSH "
         "banding curve: for nprobe in (1, 2, 4, all-cells), the average "
@@ -1403,7 +1435,7 @@ HARD_NEG_K = 5  # negatives per query (positives reuse TOP_K)
 
 @register(
     "ann_hard_negative_mining",
-    oracle=f"""
+    oracle=_g(f"""
         WITH q AS (
             SELECT vec_id, label, embedding FROM embeddings
             WHERE vec_id < {N_QUERIES}
@@ -1443,7 +1475,7 @@ HARD_NEG_K = 5  # negatives per query (positives reuse TOP_K)
                round(cos, 4) AS cosine
         FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
         ORDER BY query_id, role DESC, role_rank
-    """,
+    """),
     doc=(
         f"Hard-negative mining for contrastive retrieval training "
         f"(in-batch-negatives lineage, e.g. DPR/Karpukhin 2020, "

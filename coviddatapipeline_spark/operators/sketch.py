@@ -270,9 +270,15 @@ HLL_RHO_ZERO = 27
     "sketch_hll_cardinality",
     oracle=f"""
         WITH hashed AS (
+            -- The NULL-key CASE mirrors Spark's conv(md5(NULL)) = NULL
+            -- chain: DuckDB's concat SKIPS a NULL argument, so a NULL
+            -- key would otherwise yield the unparseable literal '0x'
+            -- and crash the BIGINT cast. No-op on non-NULL keys.
             SELECT o_orderpriority AS grp,
-                   CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
-                        AS BIGINT) AS h
+                   CASE WHEN o_custkey IS NULL THEN NULL
+                        ELSE CAST(concat('0x',
+                                         substr(md5(CAST(o_custkey AS VARCHAR)),
+                                                1, 8)) AS BIGINT) END AS h
             FROM orders
         ),
         rho AS (

@@ -1073,7 +1073,9 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_vocab_growth_curve",
     oracle=f"""
         WITH src AS (
-            SELECT doc_id, CAST(substr(source, 4) AS INT) AS source_idx,
+            -- TRY_CAST mirrors the engine (a non-src<N> label groups
+            -- under NULL instead of raising); no-op on clean labels.
+            SELECT doc_id, TRY_CAST(substr(source, 4) AS INT) AS source_idx,
                    {_TOKENS.format(x="text")} AS toks
             FROM documents
         ),
@@ -1099,7 +1101,11 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pers p LEFT JOIN nw ON p.source_idx = nw.source_idx
         )
         SELECT source_idx, n_docs, n_tokens, new_words,
-               CAST(sum(new_words) OVER (ORDER BY source_idx) AS BIGINT)
+               -- NULLS FIRST pins DuckDB to Spark's ASC default so the
+               -- NULL-source group (non-src<N> labels) accumulates first
+               -- on both engines; no-op when every label parses.
+               CAST(sum(new_words) OVER (ORDER BY source_idx NULLS FIRST)
+                    AS BIGINT)
                    AS cum_vocab,
                CAST(new_words * 10000 // n_tokens AS BIGINT)
                    AS new_word_rate_e4

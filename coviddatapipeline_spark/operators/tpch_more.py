@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import duck_floor_long, t
 from coviddatapipeline_spark.queries.catalog import register
 
 
@@ -159,8 +159,13 @@ SALT_BUCKETS = 8
             FROM unnest(generate_series(0, 99)) AS u(i)
         )
         SELECT f.sk, count(*) AS n,
-               round(CAST(sum(CAST(f.l_quantity * d.weight AS DECIMAL(18, 4)))
-                          AS DOUBLE), 2) AS weighted_qty
+               -- The isfinite CASE mirrors Spark's cast(double AS
+               -- decimal): NULL on NaN (skipped by sum); DuckDB's CAST —
+               -- even TRY_CAST — raises on NaN. No-op on finite data.
+               round(CAST(sum(CASE WHEN isfinite(f.l_quantity * d.weight)
+                                   THEN CAST(f.l_quantity * d.weight
+                                             AS DECIMAL(18, 4))
+                              END) AS DOUBLE), 2) AS weighted_qty
         FROM fact f JOIN dim d USING (sk)
         GROUP BY f.sk
         ORDER BY f.sk
