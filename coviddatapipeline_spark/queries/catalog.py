@@ -115,69 +115,78 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 #
-# Round-6 window (VERDICT r05 #1): install the published r06 rotation
-# verbatim (NEXT.md "r06 window") — 2 sentinels plus the ENTIRE 48-entry
-# never-driver-checked backlog. After this round every one of the 255
-# registered entries has a green driver hash row (the round-2 goal);
-# the registry already unfroze THIS round — the round-6 additions
-# (LRS, time-travel read, substring removal, boilerplate maximal
-# k-grams) sit BELOW the window carrying three-SF sweep stamps and
-# take driver rows in round 7.
+# Round-7 window (VERDICT r06 #1 + #3): (a) the FIVE round-6 unfreeze
+# entries take their first driver rows — after this round every one of
+# the 260+ registered entries is driver-verified; (b) the round-6
+# changed-oracle re-entries (EMB_DIM/KM_DIM guards landed r06); (c) the
+# 33 entries whose oracles (and, where noted, engine loads) changed in
+# the round-7 poison-totality pass — EMB_DIM guards module-wide in
+# similarity.py, Spark-semantics floor/decimal/JSON/NULL-ordering
+# mirrors elsewhere (all clean-data no-ops, each re-proven by a
+# targeted poison-parity run AND the full three-SF sweep); (d) the
+# versioned-table scratch-staleness fix re-enters both its consumers.
+# Remaining slots: multiply-green sentinels. New round-7 entries sit
+# BELOW the window with three-SF stamps and take driver rows in r08.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",
     "dedup_minhash_lsh",
-    # --- rotation: the final 48 first-time entries, alphabetical; this
-    # is the complete remaining backlog (events 9+, timeseries, text,
-    # relational_ext, tpch_more/rest, graph, warehouse, datapipe tails).
+    # --- round-6 unfreeze: first driver rows (VERDICT r06 #1) ---
+    "dedup_longest_repeated_substring",
+    "dedup_exact_substring_removal",
+    "dedup_boilerplate_maximal_kgrams",
+    "dedup_duplicated_passages_topk",
+    "warehouse_time_travel_read",
+    # --- round-6 changed-oracle re-entries (NEXT.md r07 MUSTs) ---
+    "dedup_embedding_cosine_pairs",
+    "ivf_kmeans_lloyd",
+    "ann_cosine_topk_ivf_trained",
+    # --- round-7 poison-totality oracle changes: similarity.py
+    #     (module-wide EMB_DIM guard, engine _emb + oracle _g) ---
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_ivf",
+    "ann_recall_ivf_vs_exact",
+    "ann_cosine_topk_multiprobe",
+    "label_centroid_similarity",
+    "knn_graph_within_cell",
     "ann_lsh_hyperplane_topk",
     "ann_recall_trained_vs_exact",
-    "dedup_components_labelprop",
-    "dedup_levenshtein_candidates",
-    "dedup_source_mirror_detection",
-    "events_funnel_time_bounded",
-    "events_funnel_view_click_purchase",
-    "events_hourly_gapfill_locf",
-    "events_incident_interval_join",
-    "events_lateness_watermark_profile",
-    "events_rate_percentiles_exact",
-    "events_seasonality_decomposition",
+    "semdedup_cell_prune",
+    "ann_matryoshka_recall",
+    "pq_codebook_assign",
+    "pq_adc_topk_recall",
+    "graph_semantic_clusters",
+    "ann_ivf_nprobe_curve",
+    "ann_hard_negative_mining",
+    # --- round-7 poison-totality oracle changes: other modules ---
+    "emb_vector_quality_audit",
+    "hybrid_rrf_fusion",
     "ivf_kmeans_one_step",
-    "knn_graph_within_cell",
-    "label_centroid_similarity",
-    "layout_rle_run_profile",
-    "mix_epoch_schedule",
-    "mix_source_temperature_weights",
-    "mm_frame_dup_crossdoc",
-    "orders_market_basket_lift",
-    "orders_open_backlog_sweepline",
-    "orders_weekday_seasonality",
-    "orders_yoy_growth",
-    "pack_chunks_with_overlap",
-    "pack_span_corruption_plan",
+    "decimal_money_totals",
     "part_price_histogram",
-    "pref_pairs_by_quality",
+    "rfm_customer_segments",
+    "from_json_typed_props",
+    "daily_revenue_anomalies",
     "profile_orders_columns",
-    "sample_balanced_per_lang",
-    "sample_bottomk_per_source",
-    "sample_weighted_bernoulli",
-    "scd2_point_in_time",
-    "setops_multiset_variants",
-    "split_leakage_audit",
-    "split_unigram_kl_audit",
-    "sql_api_flagship_twin",
-    "stats_mad_per_segment",
-    "stats_regression_qty_price",
-    "supplier_balance_winsorized",
-    "supplier_balance_zscore",
-    "text_zipf_fit",
-    "text_zipf_rank_frequency",
-    "tpch_q16_supplier_count_by_part",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "union_by_name_evolved_schemas",
-    "window_percent_rank_cume",
+    "dq_benford_first_digit",
+    "dq_k_anonymity_audit",
+    "table_stats_analyze_audit",
+    "skew_salted_join_agg",
+    "window_moving_avg_7day_revenue",
+    "json_props_topk",
+    "f3_f4_cast_with_default",
+    "text_vocab_growth_curve",
+    "sketch_hll_cardinality",
+    # --- versioned-table scratch-staleness fix (ADVICE r06) touched
+    #     this entry's storage protocol path; re-verify ---
+    "warehouse_snapshot_diff_cdc",
+    # --- multiply-green sentinels filling the remaining slots ---
+    "s1_scan_count_orders",
+    "q4_topk_other_share",
+    "text_token_stats",
+    "events_sessionization",
+    "pricing_summary",
+    "q5_sum_group_order_asc",
 )
 
 
