@@ -2056,7 +2056,144 @@ def dedup_duplicated_passages_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _lrs_oracle(n_steps: int = 16) -> str:
+@register(
+    "dedup_passage_occurrences_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {{tokens}} AS tk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        kg AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   md5(array_to_string(tk[u.i:u.i + {K_GRAM - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - {K_GRAM - 1}, 0)))
+                     AS u(i)
+        ),
+        duph AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM kg GROUP BY h)
+            WHERE c >= 2
+        ),
+        dup AS (SELECT kg.doc_id, kg.pos FROM kg JOIN duph USING (h)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM dup
+        ),
+        runs AS (
+            SELECT doc_id, min(pos) AS start_pos,
+                   max(pos) - min(pos) + {K_GRAM} AS n_tok
+            FROM isl GROUP BY doc_id, grp
+        ),
+        spans AS (
+            SELECT r.doc_id,
+                   md5(array_to_string(
+                       tk[r.start_pos : r.start_pos + r.n_tok - 1], ' '))
+                       AS passage_md5,
+                   r.n_tok
+            FROM runs r JOIN toks USING (doc_id)
+        ),
+        per_doc AS (
+            SELECT passage_md5, doc_id,
+                   count(*) AS c, max(n_tok) AS m
+            FROM spans GROUP BY passage_md5, doc_id
+        )
+        SELECT passage_md5,
+               CAST(max(m) AS BIGINT) AS n_tok,
+               CAST(sum(c) AS BIGINT) AS n_occ,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM per_doc
+        GROUP BY passage_md5
+        ORDER BY n_occ DESC, n_tok DESC, passage_md5 LIMIT 20
+    """.format(tokens=_TOKENS.format(x="text")),
+    doc=(
+        "Per-passage OCCURRENCE counts — the multiplicity report the "
+        "passages entry above deliberately omits (NEXT.md round-6 "
+        "'genuinely open'): every maximal duplicated run (the same "
+        "gaps-and-islands construction as dedup_duplicated_passages_"
+        "topk) is fingerprinted by the md5 of its EXACT token slice, "
+        "runs with identical content collapse into one passage "
+        "cluster, and the report ranks the top-20 clusters by how "
+        "often they repeat (n_occ), then by length — the number a "
+        "curation decision thresholds on ('drop passages duplicated "
+        ">= N times'). Semantics: n_occ counts identical-EXTENT "
+        "maximal runs, so a passage embedded inside a strictly longer "
+        "repeat elsewhere is counted under the longer cluster, not "
+        "this one — extents partition the duplicated token mass. "
+        "Scale: unlike the top-20 entry (which slices only its 20 "
+        "winners), every run is sliced here because identity IS the "
+        "group key; that join is doc_id-co-partitioned against the "
+        "token arrays and total slice work is bounded by the corpus "
+        "token count. The multiplicity rollup is TWO map-side-"
+        "combinable aggregations — (passage, doc) then passage — "
+        "never a countDistinct Expand; top-20 is a TakeOrdered with a "
+        "total (n_occ, n_tok, md5) tiebreak. No doc x doc term "
+        "anywhere: shuffle keys are window hashes, (doc, pos), and "
+        "content md5s. Sum of per-doc counts (BIGINT on both sides — "
+        "Spark sum(long) stays long; DuckDB sum is cast) equals the "
+        "group count(*), certified by the shared oracle CTE chain."
+    ),
+    tags=("dedup", "text", "window"),
+)
+def dedup_passage_occurrences_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = K_GRAM
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("tk"))
+    )
+    kg = docs.select(
+        "doc_id", F.explode(kgram_window_structs(F.col("tk"), k)).alias("w")
+    ).select("doc_id", F.col("w.pos").cast("long").alias("pos"), F.col("w.h").alias("h"))
+    duph = (
+        kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
+    )
+    dup = kg.join(duph, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("n_tok"),
+        )
+        .drop("grp")
+    )
+    # identity slice for EVERY run (content is the group key) — a
+    # doc_id-co-partitioned join; slice work <= corpus token count
+    spans = runs.join(docs, "doc_id").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("tk"),
+                    F.col("start_pos").cast("int"),
+                    F.col("n_tok").cast("int"),
+                ),
+            )
+        ).alias("passage_md5"),
+        "n_tok",
+    )
+    per_doc = spans.groupBy("passage_md5", "doc_id").agg(
+        F.count("*").alias("c"), F.max("n_tok").alias("m")
+    )
+    return (
+        per_doc.groupBy("passage_md5")
+        .agg(
+            F.max("m").alias("n_tok"),
+            F.sum("c").alias("n_occ"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.desc("n_tok"), "passage_md5")
+        .limit(20)
+    )
+
+
+def _lrs_oracle(n_steps: int = 32) -> str:
     """Binary search on LRS length as an UNROLLED CTE chain.
 
     Deliberately NOT a recursive CTE: DuckDB 1.0 miscompiles a
@@ -2065,8 +2202,15 @@ def _lrs_oracle(n_steps: int = 16) -> str:
     ``max(lo) = 0`` and an empty final join under other consumers
     (observed in this repo, round 6). A fixed chain of ``n_steps``
     self-contained steps sidesteps that optimizer path entirely;
-    16 steps converge for any max doc length < 2^16, and converged
-    steps are no-ops by the ``lo >= hi`` guard. Each step's EXISTS
+    32 steps converge for any max doc length < 2^32 (any 32-bit
+    length — the extra steps past convergence are no-ops by the
+    ``lo >= hi`` guard, each costing one trivially-true CASE pass).
+    Non-convergence can therefore only mean a >4 GiB document; if it
+    ever happens the final SELECT emits a LOUD sentinel row
+    (lrs_md5 = 'UNCONVERGED', lrs_len = -1) instead of silently
+    returning zero rows, so the divergence from the Spark side (a
+    true while-loop, always converges) names itself rather than
+    surfacing as an opaque row-count mismatch. Each step's EXISTS
     probes the shared MATERIALIZED position table (recursive-oracle
     hygiene: materialize what every iteration re-reads)."""
     steps = []
@@ -2113,6 +2257,12 @@ def _lrs_oracle(n_steps: int = 16) -> str:
             ORDER BY g LIMIT 1
         ) t
         WHERE f.lo > 0 AND f.lo = f.hi
+        UNION ALL
+        SELECT 'UNCONVERGED' AS lrs_md5,
+               CAST(-1 AS BIGINT) AS lrs_len,
+               CAST(-1 AS BIGINT) AS n_occ
+        FROM {prev} f
+        WHERE f.lo <> f.hi
     """
 
 
@@ -2136,7 +2286,7 @@ def _lrs_oracle(n_steps: int = 16) -> str:
         "the result row is the lexicographically smallest LRS "
         "reported as (md5, length, occurrence count). The DuckDB "
         "oracle replays the IDENTICAL binary search as an UNROLLED "
-        "16-step CTE chain over a materialized position table — the "
+        "32-step CTE chain over a materialized position table — the "
         "sequential-fold replay pattern (pack_sequences_ffd "
         "convention), unrolled because DuckDB 1.0 miscompiles a "
         "correlated EXISTS inside WITH RECURSIVE (see _lrs_oracle) — "

@@ -208,3 +208,66 @@ def test_duplicated_passages_topk_matches_model(spark, texts):
         assert got == _passages_model(texts)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _occurrences_model(texts):
+    """Pure-Python model of dedup_passage_occurrences_topk: group the
+    maximal duplicated runs (same islands as _passages_model) by the
+    md5 of their exact token slice; top-20 clusters as
+    (passage_md5, n_tok, n_occ, n_docs) by (n_occ DESC, n_tok DESC,
+    md5)."""
+    toks = {i: _tokens_model(t) for i, t in enumerate(texts) if t is not None}
+    counts: Counter[str] = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - K_GRAM + 1):
+            counts[" ".join(tk[i : i + K_GRAM])] += 1
+    per_md5_occ: Counter[str] = Counter()
+    per_md5_docs: dict[str, set[int]] = defaultdict(set)
+    per_md5_len: dict[str, int] = {}
+    for doc_id, tk in sorted(toks.items()):
+        dup = [
+            i
+            for i in range(len(tk) - K_GRAM + 1)
+            if counts[" ".join(tk[i : i + K_GRAM])] >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in dup + [None]:
+            if run_start is not None and (p is None or p != prev + 1):
+                n_tok = prev - run_start + K_GRAM
+                m = _md5(" ".join(tk[run_start : run_start + n_tok]))
+                per_md5_occ[m] += 1
+                per_md5_docs[m].add(doc_id)
+                per_md5_len[m] = n_tok  # content determines length
+                run_start = None
+            if p is not None and run_start is None:
+                run_start = p
+            prev = p
+    rows = [
+        (m, per_md5_len[m], n, len(per_md5_docs[m]))
+        for m, n in per_md5_occ.items()
+    ]
+    rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    return rows[:20]
+
+
+@given(texts=_corpus)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_passage_occurrences_topk_matches_model(spark, texts):
+    from coviddatapipeline_spark.operators.dedup import (
+        dedup_passage_occurrences_topk,
+    )
+
+    d = _write_documents(spark, texts)
+    try:
+        got = [
+            (r["passage_md5"], r["n_tok"], r["n_occ"], r["n_docs"])
+            for r in dedup_passage_occurrences_topk(spark, d).collect()
+        ]
+        assert got == _occurrences_model(texts)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
