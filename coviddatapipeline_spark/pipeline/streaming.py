@@ -623,3 +623,91 @@ def stream_contamination_guard(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_versioned_pinned_read(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    join_key: str,
+    version: int | None = None,
+) -> StreamingQuery:
+    """Streaming enrichment against a PINNED snapshot of a versioned
+    table — the concurrency half of ``warehouse_time_travel_read``'s
+    guarantee (VERDICT r06 #7): rows stream in, every micro-batch joins
+    them against ONE version of the dim table, and commits that advance
+    the live ``_CURRENT`` pointer while the stream runs must not change
+    a single output row. This is Delta/Iceberg initial-snapshot
+    semantics re-expressed over sources.py's atomic-pointer protocol:
+    the pinned version directory is immutable by construction, so
+    per-batch reads of it are byte-stable no matter how many writers
+    commit concurrently — snapshot isolation without any lock.
+
+    The pin itself must survive restarts (a resumed stream that
+    re-resolved the live pointer would silently mix dim versions across
+    the restart boundary), so the FIRST start persists the chosen
+    version under the stream's own checkpoint dir with the same
+    write-temp-then-``os.replace`` commit the table pointer uses;
+    every restart reads the pin back instead of re-resolving.
+    ``version=None`` pins the live version at first start.
+
+    Retention contract (documented at ``read_versioned_at``): the
+    protocol keeps the live version and its immediate predecessor, so a
+    pinned stream is guaranteed readable while at most ONE commit lands
+    after the pin. Beyond that the pinned directory may be GC'd and the
+    next trigger fails LOUDLY (FileNotFoundError at resolve, or a
+    missing-file read error mid-batch) instead of silently joining a
+    different snapshot — rebuild the stream (new checkpoint) to re-pin;
+    production deployments would widen retention instead.
+
+    Scale: the dim side is a broadcast per trigger (dim tables are the
+    small side by definition here); the stream side is file-source
+    micro-batches with exactly-once offsets. foreachBatch append is
+    at-least-once on trigger retry, same caveat as the other twins.
+    """
+    import json
+    import os
+    import tempfile
+
+    from coviddatapipeline_spark.sources import (
+        read_versioned_at,
+        versioned_table_path,
+    )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pin_file = os.path.join(checkpoint_dir, "pinned_version.json")
+    if os.path.exists(pin_file):
+        with open(pin_file) as f:
+            pinned = json.load(f)["version"]
+    else:
+        if version is None:
+            live = versioned_table_path(table_root)
+            pinned = int(os.path.basename(live)[1:])
+        else:
+            pinned = int(version)
+        fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, prefix="._pin_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": pinned}, f)
+        os.replace(tmp, pin_file)  # atomic: restart sees old pin or new, never half
+    # Resolves (and fails loudly) NOW if the pinned version fell out of
+    # retention; the directory is immutable once resolved.
+    dim = read_versioned_at(spark, table_root, pinned)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def enrich(batch_df, batch_id: int) -> None:
+        (
+            batch_df.join(F.broadcast(dim), join_key, "left")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -802,6 +802,7 @@ _TWIN_CONTRACTS = {
     "stream_cms_grid": "test_stream_cms_grid_matches_batch",
     "stream_dau_wau": "test_stream_dau_wau_matches_batch",
     "stream_contamination_guard": "test_stream_contamination_guard_matches_batch",
+    "stream_versioned_pinned_read": "test_stream_pinned_read_snapshot_isolation",
 }
 
 
@@ -829,3 +830,89 @@ def test_every_streaming_twin_has_an_exactness_test():
     here = globals()
     gone = [t for t in _TWIN_CONTRACTS.values() if t not in here]
     assert not gone, f"twin tests named in the registry do not exist: {gone}"
+
+def test_stream_pinned_read_snapshot_isolation(spark, tmp_path, parity_sf_dir):
+    """Snapshot isolation under concurrent commits + restart: a stream
+    pinned to version 0 of a versioned dim must enrich EVERY micro-batch
+    — including batches processed after a writer committed version 1,
+    and batches processed by a restarted-from-checkpoint stream — with
+    v0's attribute values, byte-for-byte. A control batch read through
+    the LIVE pointer must see v1, proving the pin (not staleness of the
+    table) is what held the stream's view still."""
+    import glob
+    import json
+    import shutil
+
+    from coviddatapipeline_spark.pipeline.streaming import (
+        stream_versioned_pinned_read,
+    )
+    from coviddatapipeline_spark.sources import read_versioned, write_versioned
+
+    root = str(tmp_path)
+    in_dir, out, ckpt, table = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "dim"),
+    )
+    os.makedirs(in_dir)
+
+    # v0: priority -> weight 1.0x; v1 doubles every weight.
+    dims = spark.createDataFrame(
+        [(f"{i}-P", float(i)) for i in range(1, 6)], "priority string, weight double"
+    )
+    write_versioned(spark, dims, table)  # v0 (pinned)
+
+    orders = (
+        spark.read.parquet(os.path.join(parity_sf_dir, "orders.parquet"))
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.substring("o_orderpriority", 1, 1), F.lit("-P")
+            ).alias("priority"),
+        )
+    )
+    mid = orders.approxQuantile("o_orderkey", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    schema = orders.schema
+
+    # drain 1: pinned at the live version (v0)
+    stage(orders.filter(F.col("o_orderkey") <= mid), "p1")
+    stream_versioned_pinned_read(
+        spark, in_dir, table, out, ckpt, schema, "priority"
+    ).awaitTermination(120)
+
+    # concurrent commit: v1 doubles the weights and moves the pointer
+    write_versioned(
+        spark, dims.withColumn("weight", F.col("weight") * 2), table
+    )
+    assert {r["weight"] for r in read_versioned(spark, table).collect()} == {
+        2.0, 4.0, 6.0, 8.0, 10.0,
+    }
+
+    # drain 2: RESTART from checkpoint after the commit — the persisted
+    # pin, not a re-resolved pointer, must drive the join
+    stage(orders.filter(F.col("o_orderkey") > mid), "p2")
+    stream_versioned_pinned_read(
+        spark, in_dir, table, out, ckpt, schema, "priority"
+    ).awaitTermination(120)
+
+    with open(os.path.join(ckpt, "pinned_version.json")) as f:
+        assert json.load(f)["version"] == 0
+
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()  # every row, exactly once
+    # every enriched row carries a v0 weight (1..5), never a v1 double
+    want = {
+        (r["o_orderkey"], r["priority"], float(r["priority"][0]))
+        for r in orders.collect()
+    }
+    assert {
+        (r["o_orderkey"], r["priority"], r["weight"]) for r in got.collect()
+    } == want
