@@ -33,7 +33,12 @@ def test_lenient_collapses_integral_floats_to_ints():
 def test_lenient_leaves_everything_else_alone():
     assert canon_cell(1.5, int_floats=True) == repr(1.5)
     assert canon_cell(float("nan"), int_floats=True) == "NaN"
-    assert canon_cell(0.0, int_floats=True) == "0"  # -0.0/0.0 collapse first
+    # ADVICE r06: the int_floats collapse runs BEFORE the zero-string
+    # branch, so a float 0.0 meets a native int 0 as the same canon
+    # (int(v) collapses -0.0/0.0 too); strict mode still yields "0".
+    assert canon_cell(0.0, int_floats=True) == 0
+    assert canon_cell(-0.0, int_floats=True) == 0
+    assert canon_cell(0.0, int_floats=False) == "0"
     assert canon_cell(None, int_floats=True) is None
     assert canon_cell("1970.0", int_floats=True) == "1970.0"
 
