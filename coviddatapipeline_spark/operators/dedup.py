@@ -1748,18 +1748,19 @@ def _neardup_ingest_oracle() -> str:
     ),
     tags=("dedup", "text"),
 )
-def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        t_fanout(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", _tokens(F.col("text")).alias("tk"))
-    )
+def substring_removal_report(docs: DataFrame, duph: DataFrame) -> DataFrame:
+    """The Lee-et-al cut kernel, shared verbatim by the registered batch
+    entry (which mines ``duph`` from the corpus itself) and the
+    ``stream_substring_scrub`` ingest twin (which passes a STATIC
+    reference corpus's window hashes) so audit and ingest paths cannot
+    drift. ``docs`` = (doc_id, tk token array); ``duph`` = one column
+    ``h`` of k-gram window hashes to cut. Every token covered by any
+    matching window is removed; each doc certifies its post-removal
+    text with an md5 of the kept token sequence. Unordered output —
+    callers order (or append) as they need."""
     kg = docs.select(
         "doc_id", F.explode(kgram_window_structs(F.col("tk"), K_GRAM)).alias("w")
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    duph = (
-        kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
-    )
     cov = (
         kg.join(duph, "h")
         .select(
@@ -1791,16 +1792,27 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("kept_md5"),
     )
     base = docs.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
-    return (
-        base.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tok",
-            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
-        )
-        .orderBy("doc_id")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t_fanout(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("tk"))
+    )
+    kg = docs.select(
+        "doc_id", F.explode(kgram_window_structs(F.col("tk"), K_GRAM)).alias("w")
+    ).select("doc_id", F.col("w.h").alias("h"))
+    duph = (
+        kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
+    )
+    return substring_removal_report(docs, duph).orderBy("doc_id")
 
 
 @register(

@@ -711,3 +711,77 @@ def stream_versioned_pinned_read(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_substring_scrub(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    ref_docs,
+) -> StreamingQuery:
+    """Exact-substring scrubbing ON the ingest path (the 16th twin) —
+    the removal side of the Lee et al. 2021 family run as a stream
+    guard, the way dedup-against-the-existing-corpus actually deploys:
+    documents stream in, every micro-batch's docs are cut against the
+    STATIC reference corpus's k-gram window hashes (any token covered
+    by a window that appears anywhere in the reference is removed), and
+    each doc emits (doc_id, n_tok, n_removed, kept_md5) with the
+    post-removal text certified by md5 of the kept token sequence. The
+    cut kernel is ``dedup.substring_removal_report`` — literally the
+    same function the registered batch entry runs, so the ingest scrub
+    and the audited removal cannot drift.
+
+    Exactness contract (tested): removal of a doc against a static
+    reference depends only on that doc and the reference — no
+    cross-batch state — so provided each doc arrives in exactly one
+    micro-batch (the file-source guarantee), the union of per-batch
+    emissions equals the batch kernel on the union of the input,
+    regardless of trigger split. Scale: the reference window-hash set
+    is computed ONCE (persisted, distinct hashes only — set size is
+    reference-corpus-bounded, join-key-sized rows of one md5 each);
+    per trigger the work is window-explode + hash semi-join + per-doc
+    rebuild on just that batch's docs; engine-carried state is zero.
+    foreachBatch append is at-least-once on trigger retry (same caveat
+    as the other twins); dedup downstream on doc_id if exactly-once
+    materialization matters.
+    """
+    from coviddatapipeline_spark.operators.dedup import (
+        K_GRAM,
+        _tokens,
+        kgram_window_structs,
+        substring_removal_report,
+    )
+
+    ref = (
+        ref_docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                kgram_window_structs(_tokens(F.col("text")), K_GRAM)
+            ).alias("w")
+        )
+        .select(F.col("w.h").alias("h"))
+        .distinct()
+        .persist()
+    )
+    ref.count()  # materialize once, not per trigger
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def scrub(batch_df, batch_id: int) -> None:
+        docs = batch_df.filter(F.col("text").isNotNull()).select(
+            "doc_id", _tokens(F.col("text")).alias("tk")
+        )
+        (
+            substring_removal_report(docs, ref)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -803,6 +803,7 @@ _TWIN_CONTRACTS = {
     "stream_dau_wau": "test_stream_dau_wau_matches_batch",
     "stream_contamination_guard": "test_stream_contamination_guard_matches_batch",
     "stream_versioned_pinned_read": "test_stream_pinned_read_snapshot_isolation",
+    "stream_substring_scrub": "test_stream_substring_scrub_matches_batch",
 }
 
 
@@ -916,3 +917,74 @@ def test_stream_pinned_read_snapshot_isolation(spark, tmp_path, parity_sf_dir):
     assert {
         (r["o_orderkey"], r["priority"], r["weight"]) for r in got.collect()
     } == want
+
+def test_stream_substring_scrub_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The ingest-path substring scrub must emit EXACTLY the per-doc
+    removal report the shared batch kernel computes over the same
+    corpus against the same static reference — across two incremental
+    drains, so batch-split independence is part of the assertion
+    (removal against a static reference is stateless per doc)."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.dedup import (
+        K_GRAM,
+        _tokens,
+        kgram_window_structs,
+        substring_removal_report,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_substring_scrub
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    ref_docs = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    mid = corpus.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(corpus.filter(F.col("doc_id") <= mid), "p1")
+    stream_substring_scrub(
+        spark, in_dir, out, ckpt, corpus.schema, ref_docs
+    ).awaitTermination(120)
+    stage(corpus.filter(F.col("doc_id") > mid), "p2")
+    stream_substring_scrub(
+        spark, in_dir, out, ckpt, corpus.schema, ref_docs
+    ).awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_tok"], r["n_removed"], r["kept_md5"])
+        for r in spark.read.parquet(out).collect()
+    }
+    ref = (
+        ref_docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                kgram_window_structs(_tokens(F.col("text")), K_GRAM)
+            ).alias("w")
+        )
+        .select(F.col("w.h").alias("h"))
+        .distinct()
+    )
+    batch_docs = corpus.filter(F.col("text").isNotNull()).select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    )
+    want = {
+        (r["doc_id"], r["n_tok"], r["n_removed"], r["kept_md5"])
+        for r in substring_removal_report(batch_docs, ref).collect()
+    }
+    assert got == want and len(want) > 0
+    # the scrub must actually cut something on this corpus (src0 shares
+    # boilerplate with the other sources in the synthetic testdata) —
+    # a vacuous all-zero report would pass set equality
+    assert any(r[2] > 0 for r in got)
