@@ -1674,6 +1674,58 @@ def _neardup_ingest_oracle() -> str:
     """
 
 
+def substring_removal_report(docs: DataFrame, duph: DataFrame) -> DataFrame:
+    """The Lee-et-al cut kernel, shared verbatim by the registered batch
+    entry (which mines ``duph`` from the corpus itself) and the
+    ``stream_substring_scrub`` ingest twin (which passes a STATIC
+    reference corpus's window hashes) so audit and ingest paths cannot
+    drift. ``docs`` = (doc_id, tk token array); ``duph`` = one column
+    ``h`` of k-gram window hashes to cut. Every token covered by any
+    matching window is removed; each doc certifies its post-removal
+    text with an md5 of the kept token sequence. Unordered output —
+    callers order (or append) as they need."""
+    kg = docs.select(
+        "doc_id", F.explode(kgram_window_structs(F.col("tk"), K_GRAM)).alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    cov = (
+        kg.join(duph, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (K_GRAM - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.col("tk")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "tok")
+    kept = tok.join(
+        cov,
+        (tok.doc_id == cov.doc_id) & (tok.pos == cov.tpos),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    base = docs.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
 @register(
     "dedup_exact_substring_removal",
     oracle=f"""
@@ -1748,58 +1800,6 @@ def _neardup_ingest_oracle() -> str:
     ),
     tags=("dedup", "text"),
 )
-def substring_removal_report(docs: DataFrame, duph: DataFrame) -> DataFrame:
-    """The Lee-et-al cut kernel, shared verbatim by the registered batch
-    entry (which mines ``duph`` from the corpus itself) and the
-    ``stream_substring_scrub`` ingest twin (which passes a STATIC
-    reference corpus's window hashes) so audit and ingest paths cannot
-    drift. ``docs`` = (doc_id, tk token array); ``duph`` = one column
-    ``h`` of k-gram window hashes to cut. Every token covered by any
-    matching window is removed; each doc certifies its post-removal
-    text with an md5 of the kept token sequence. Unordered output —
-    callers order (or append) as they need."""
-    kg = docs.select(
-        "doc_id", F.explode(kgram_window_structs(F.col("tk"), K_GRAM)).alias("w")
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    cov = (
-        kg.join(duph, "h")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (K_GRAM - 1))).alias(
-                "tpos"
-            ),
-        )
-        .distinct()
-    )
-    tok = docs.select(
-        "doc_id", F.posexplode(F.col("tk")).alias("i0", "tok")
-    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "tok")
-    kept = tok.join(
-        cov,
-        (tok.doc_id == cov.doc_id) & (tok.pos == cov.tpos),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            )
-        ).alias("kept_md5"),
-    )
-    base = docs.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
-    )
-
-
 def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t_fanout(spark, sf_dir, "documents")
