@@ -988,3 +988,53 @@ def test_stream_substring_scrub_matches_batch(spark, tmp_path, parity_sf_dir):
     # boilerplate with the other sources in the synthetic testdata) —
     # a vacuous all-zero report would pass set equality
     assert any(r[2] > 0 for r in got)
+
+
+def test_stream_pinned_read_fails_loudly_past_retention(spark, tmp_path):
+    """The other half of the pin contract: once a SECOND commit lands
+    after the pin (the pinned version falls out of the live+predecessor
+    retention set), a restarted stream must fail LOUDLY at resolve —
+    FileNotFoundError naming the version — never silently re-join a
+    different snapshot."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from coviddatapipeline_spark.pipeline.streaming import (
+        stream_versioned_pinned_read,
+    )
+    from coviddatapipeline_spark.sources import write_versioned
+
+    root = str(tmp_path)
+    in_dir, out, ckpt, table = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "dim"),
+    )
+    os.makedirs(in_dir)
+    dims = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, weight double"
+    )
+    write_versioned(spark, dims, table)  # v0 (will be pinned)
+
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    tmp = os.path.join(root, "stage")
+    rows.coalesce(1).write.parquet(tmp)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+        shutil.move(f, os.path.join(in_dir, f"p1_{i}.parquet"))
+
+    stream_versioned_pinned_read(
+        spark, in_dir, table, out, ckpt, rows.schema, "k"
+    ).awaitTermination(120)
+
+    # two commits: v0 leaves the {live, predecessor} retention set
+    write_versioned(spark, dims.withColumn("weight", F.col("weight") * 2), table)
+    write_versioned(spark, dims.withColumn("weight", F.col("weight") * 3), table)
+    assert not os.path.isdir(os.path.join(table, "v0"))
+
+    with pytest.raises(FileNotFoundError, match="version 0"):
+        stream_versioned_pinned_read(
+            spark, in_dir, table, out, ckpt, rows.schema, "k"
+        )
