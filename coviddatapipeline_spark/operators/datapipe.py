@@ -632,6 +632,21 @@ def km_assign(df: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
     return df.withColumn("cluster", (-F.array_max(scored)["neg_cid"]).cast("long"))
 
 
+def km_quantize(emb: DataFrame) -> DataFrame:
+    """Fixed-point quantization + EMB_DIM gate shared by the Lloyd
+    trainer and the streaming ingest twin (stream_ivf_cell_assign):
+    corpus-dimensional vectors only, coordinates as round(x * KM_SCALE)
+    int64 — the bit-deterministic representation every assignment and
+    centroid mean is computed in."""
+    return emb.filter(F.size("embedding") == KM_DIM).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
 def km_train_centroids(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict[int, list[int]]]:
@@ -646,17 +661,7 @@ def km_train_centroids(
     # INVALID_ARRAY_INDEX aborts the job on the first short array) —
     # train and assign only corpus-dimensional vectors (size(NULL) is
     # NULL, so NULL embeddings are filtered too). No-op on clean data.
-    q = (
-        emb.filter(F.size("embedding") == KM_DIM)
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-            ).alias("q"),
-        )
-        .persist()
-    )
+    q = km_quantize(emb).persist()
 
     seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
     cent: dict[int, list[int]] = {

@@ -785,3 +785,62 @@ def stream_substring_scrub(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ivf_cell_assign(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    ref_sf_dir: str,
+) -> StreamingQuery:
+    """IVF index maintenance ON the embedding-ingest path (the 17th
+    twin): the quantizer trains ONCE on the reference corpus (the same
+    fixed-point Lloyd loop the registered ``ivf_kmeans_lloyd`` entry
+    audits — ``datapipe.km_train_centroids``), then vectors stream in
+    and every micro-batch is quantized (``km_quantize``) and assigned
+    to its trained coarse cell (``km_assign``), appending
+    (vec_id, cluster) — the rows an ANN index's inverted lists ingest.
+    All three kernels are shared verbatim with the batch entries, so
+    'the model the audit verified' and 'the index the stream builds'
+    cannot drift.
+
+    Exactness contract (tested): assignment depends only on the vector
+    and the trained centroids — no cross-batch state — so the union of
+    per-batch emissions equals the batch assignment of the union,
+    regardless of trigger split. Determinism: fixed-point int64 dot
+    products, ties to the lowest centroid id (km_assign), so the same
+    vector gets the same cell on every engine, every run. Scale: the
+    trained model is k x dim ints on the driver (broadcast-literal
+    centroids → map-only assignment, no shuffle per trigger);
+    non-corpus-dimensional vectors are excluded by the km_quantize
+    EMB_DIM gate exactly as in training. foreachBatch append is
+    at-least-once on trigger retry; dedup on vec_id downstream if
+    exactly-once materialization matters.
+    """
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_quantize,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, ref_sf_dir)
+    q.unpersist()  # the twin needs only the trained model
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def assign(batch_df, batch_id: int) -> None:
+        (
+            km_assign(km_quantize(batch_df), cent)
+            .select("vec_id", "cluster")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -804,6 +804,7 @@ _TWIN_CONTRACTS = {
     "stream_contamination_guard": "test_stream_contamination_guard_matches_batch",
     "stream_versioned_pinned_read": "test_stream_pinned_read_snapshot_isolation",
     "stream_substring_scrub": "test_stream_substring_scrub_matches_batch",
+    "stream_ivf_cell_assign": "test_stream_ivf_cell_assign_matches_batch",
 }
 
 
@@ -1038,3 +1039,65 @@ def test_stream_pinned_read_fails_loudly_past_retention(spark, tmp_path):
         stream_versioned_pinned_read(
             spark, in_dir, table, out, ckpt, rows.schema, "k"
         )
+
+def test_stream_ivf_cell_assign_matches_batch(spark, tmp_path, parity_sf_dir):
+    """Streaming IVF cell assignment must emit EXACTLY the (vec_id,
+    cluster) rows the shared batch kernels produce for the same vectors
+    under the same trained quantizer — across two incremental drains
+    (assignment is stateless per vector), including vectors the
+    EMB_DIM gate excludes."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_quantize,
+        km_train_centroids,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_ivf_cell_assign
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    emb = spark.read.parquet(os.path.join(parity_sf_dir, "embeddings.parquet"))
+    # stream the corpus back through the ingest path, split in two;
+    # shift ids so the "incoming" vectors are distinct from training
+    incoming = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    mid = incoming.approxQuantile("vec_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(incoming.filter(F.col("vec_id") <= mid), "p1")
+    stream_ivf_cell_assign(
+        spark, in_dir, out, ckpt, incoming.schema, parity_sf_dir
+    ).awaitTermination(120)
+    stage(incoming.filter(F.col("vec_id") > mid), "p2")
+    stream_ivf_cell_assign(
+        spark, in_dir, out, ckpt, incoming.schema, parity_sf_dir
+    ).awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(out).collect()
+    }
+    q, cent = km_train_centroids(spark, parity_sf_dir)
+    q.unpersist()
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in km_assign(km_quantize(incoming), cent)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # every trained cell receives traffic on this corpus (k=8 cells,
+    # thousands of vectors) — a collapsed assignment would still pass
+    # set equality, so pin the spread
+    assert len({c for _, c in got}) == len(cent)
