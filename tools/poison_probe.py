@@ -49,6 +49,22 @@ POISON_DOCS = [
     (990_000_006, "a" * 5000, "en", "web", 5000),  # one huge token
     (990_000_007, "unicode éü中文 mixed tokens here", "zz", "web", 30),
     (990_000_008, "seven little tokens precisely in this row", None, "web", 41),
+    # Unicode hazard classes (round 7): the string-semantics seams where
+    # JVM UTF-16 (Spark) and UTF-8 (DuckDB) engines can disagree on
+    # length/substr/regex — all present in any 100 TB web crawl.
+    # astral-plane chars (UTF-16 surrogate pairs on the JVM)
+    (990_000_009, "emoji \U0001F389\U0001F680 astral \U0001F600 plane",
+     "en", "web", 28),
+    # zero-width space / joiner INSIDE tokens (invisible, never split
+    # by the \\s+ tokenizer on either engine)
+    (990_000_010, "zero\u200bwidth joined\u200dtokens here", "en", "web", 30),
+    # combining marks: decomposed e+\u0301 vs precomposed \u00e9 are
+    # DIFFERENT code-point sequences (no engine normalizes)
+    (990_000_011, "combining e\u0301 marks and a\u030a ring vs \u00e9 \u00e5",
+     "en", "web", 40),
+    # non-breaking / thin spaces: NOT \\s in Java or RE2, so they glue
+    # tokens on both engines rather than splitting them
+    (990_000_012, "nbsp\u00a0inside and\u2009thin space", "en", "web", 27),
 ]
 
 
