@@ -90,10 +90,15 @@ _FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, n_space_bytes int"
 @register(
     "mm_decode_features_pandas",
     oracle="""
+        -- COALESCE/CASE mirror the kernel's documented degenerate-
+        -- payload convention (NULL payload = 0-byte asset; empty asset
+        -- has first_byte -1): total on poison corpora, no-op on clean.
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               ascii(substr(text, 1, 1)) AS first_byte,
-               octet_length(encode(text)) - octet_length(encode(replace(text, ' ', '')))
+               COALESCE(octet_length(encode(text)), 0) AS n_bytes,
+               CASE WHEN text IS NULL OR text = '' THEN -1
+                    ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+               COALESCE(octet_length(encode(text))
+                        - octet_length(encode(replace(text, ' ', ''))), 0)
                    AS n_space_bytes
         FROM documents
         ORDER BY doc_id
@@ -173,6 +178,202 @@ def encode_bmp(width: int, height: int, pixels_bgr_topdown: bytes) -> bytes:
     return header + info + pixel_array
 
 
+def make_png_encoder():
+    """Factory returning the REAL PNG serializer as a closure (8-bit
+    truecolor RGB, non-interlaced): signature, CRC-stamped
+    IHDR/IDAT/IEND chunks, zlib-compressed scanlines. With
+    ``filter_cycle`` each row r uses filter type r % 5, so a decoder
+    must implement ALL FIVE PNG filters (None/Sub/Up/Average/Paeth) to
+    reconstruct the pixels — the encode side of the round-trip
+    property. IDAT is split into two chunks when large enough,
+    exercising the spec's multi-IDAT concatenation rule. A closure (not
+    a module-level function) because the query kernel captures it:
+    cloudpickle ships closures BY VALUE, so Python workers that cannot
+    import this package still run it (the round-4 /tmp-mimic lesson)."""
+    import struct
+    import zlib
+
+    def encode_png(width: int, height: int, pixels_rgb_topdown: bytes,
+                   filter_cycle: bool = True) -> bytes:
+
+        bpp = 3
+
+        def paeth(a: int, b: int, c: int) -> int:
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        raw = pixels_rgb_topdown
+        rowlen = width * bpp
+        prior = bytes(rowlen)
+        lines = []
+        for r in range(height):
+            row = raw[r * rowlen : (r + 1) * rowlen]
+            ft = (r % 5) if filter_cycle else 0
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = bytes(
+                    (row[i] - (row[i - bpp] if i >= bpp else 0)) % 256
+                    for i in range(rowlen)
+                )
+            elif ft == 2:
+                filt = bytes((row[i] - prior[i]) % 256 for i in range(rowlen))
+            elif ft == 3:
+                filt = bytes(
+                    (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                    % 256
+                    for i in range(rowlen)
+                )
+            else:
+                filt = bytes(
+                    (
+                        row[i]
+                        - paeth(
+                            row[i - bpp] if i >= bpp else 0,
+                            prior[i],
+                            prior[i - bpp] if i >= bpp else 0,
+                        )
+                    )
+                    % 256
+                    for i in range(rowlen)
+                )
+            lines.append(bytes([ft]) + filt)
+            prior = row
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        comp = zlib.compress(b"".join(lines))
+        mid = len(comp) // 2
+        idats = (
+            chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+            if len(comp) > 64
+            else chunk(b"IDAT", comp)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + idats
+            + chunk(b"IEND", b"")
+        )
+
+    return encode_png
+
+
+def encode_png(width: int, height: int, pixels_rgb_topdown: bytes,
+               filter_cycle: bool = True) -> bytes:
+    """Module-level convenience over make_png_encoder() for tests and
+    driver-side callers."""
+    return make_png_encoder()(width, height, pixels_rgb_topdown, filter_cycle)
+
+
+def make_png_decoder():
+    """Factory returning a REAL PNG parser as a closure (same
+    pickled-by-value convention as make_bmp_decoder). Spec-complete for
+    the 8-bit truecolor non-interlaced profile: signature check,
+    chunk walk with CRC32 verification, IHDR validation, multi-IDAT
+    concatenation, zlib inflate, and the full five-filter scanline
+    reconstruction (None/Sub/Up/Average/Paeth) — it decodes any
+    conforming RGB8 PNG, not just this repo's synthesized ones.
+    Malformed input (bad magic, CRC mismatch, wrong profile, truncated
+    or oversized pixel payload, corrupt deflate stream) returns None,
+    never raises — the same crash-proof contract as the BMP decoder
+    (ADVICE r04). Interlaced / paletted / 16-bit / alpha profiles are
+    rejected as unsupported rather than misdecoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def decode_png_stats(blob: bytes):
+        """(width, height, channels, n_pixel_bytes, top_left_b,
+        mean_pixel_e4) for an 8-bit truecolor non-interlaced PNG,
+        else None."""
+        if len(blob) < 8 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos = 8
+        ihdr = None
+        idat = []
+        try:
+            while pos + 8 <= len(blob):
+                (length,) = struct.unpack_from(">I", blob, pos)
+                ctype = blob[pos + 4 : pos + 8]
+                data = blob[pos + 8 : pos + 8 + length]
+                if len(data) < length or pos + 12 + length > len(blob):
+                    return None  # truncated chunk
+                (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    return None
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat.append(data)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                return None
+            w, h, depth, ctype_, comp_, filt_, inter = ihdr
+            if (depth, ctype_, comp_, filt_, inter) != (8, 2, 0, 0, 0):
+                return None  # unsupported profile — reject, don't misdecode
+            if w <= 0 or h <= 0:
+                return None
+            bpp = 3
+            rowlen = w * bpp
+            raw = zlib.decompress(b"".join(idat))
+        except (struct.error, zlib.error):
+            return None
+        if len(raw) != h * (1 + rowlen):
+            return None
+        out = np.zeros((h, rowlen), dtype=np.uint8)
+        prior = np.zeros(rowlen, dtype=np.int64)
+        for r in range(h):
+            line = raw[r * (1 + rowlen) : (r + 1) * (1 + rowlen)]
+            ft = line[0]
+            filt = np.frombuffer(line, dtype=np.uint8, count=rowlen, offset=1).astype(
+                np.int64
+            )
+            if ft == 0:
+                rec = filt
+            elif ft == 2:
+                rec = (filt + prior) % 256
+            elif ft in (1, 3, 4):
+                rec = np.zeros(rowlen, dtype=np.int64)
+                for i in range(rowlen):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (filt[i] + pred) % 256
+            else:
+                return None  # filter type outside the spec
+            out[r] = rec.astype(np.uint8)
+            prior = rec
+        flat = out.reshape(-1)
+        n = int(flat.size)
+        return (
+            int(w), int(h), 3, n,
+            int(flat[0]),
+            int(flat.sum(dtype=np.int64)) * 10000 // n,
+        )
+
+    return decode_png_stats
+
+
 def make_bmp_decoder():
     """Factory returning the REAL 24bpp-BMP parser as a closure.
 
@@ -227,9 +428,12 @@ def make_bmp_decoder():
     "mm_image_decode_bmp",
     oracle=f"""
         WITH dims AS (
+            -- COALESCE mirrors the kernel (NULL payload = 0-byte
+            -- asset, which still decodes as the deterministic 4x4):
+            -- total on poison corpora, no-op on clean data.
             SELECT doc_id,
-                   (octet_length(encode(text)) % 64 + 4) AS w,
-                   (octet_length(encode(text)) % 48 + 4) AS h,
+                   (COALESCE(octet_length(encode(text)), 0) % 64 + 4) AS w,
+                   (COALESCE(octet_length(encode(text)), 0) % 48 + 4) AS h,
                    (doc_id * 31) % 256 AS a
             FROM documents
         ),
@@ -268,12 +472,13 @@ def make_bmp_decoder():
         "BMP, not just these). The decoded statistics (dimensions, "
         "top-left byte, e4 mean pixel) hash-match a closed-form DuckDB "
         "recomputation, so the encode->parse round trip is verified "
-        "cross-engine. Compressed formats (JPEG/PNG) remain out of "
-        "scope — no imaging libs in this container; at 100 TB the "
-        "kernel body is the only thing that changes (PIL/libvips "
-        "behind the same Arrow-batched mapInPandas shape), while the "
-        "plumbing here — binary columns, batch iteration, integer "
-        "stats — is the production path."
+        "cross-engine. PNG (a COMPRESSED format) is in scope via the "
+        "stdlib-zlib decoder below (mm_image_decode_png); JPEG remains "
+        "out — entropy-coded DCT needs a codec library this container "
+        "lacks. At 100 TB the kernel body is the only thing that "
+        "changes (PIL/libvips behind the same Arrow-batched "
+        "mapInPandas shape), while the plumbing here — binary columns, "
+        "batch iteration, integer stats — is the production path."
     ),
     tags=("multimodal", "udf"),
 )
@@ -334,11 +539,123 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_decode_png",
+    # Identical closed form to mm_image_decode_bmp: the synthesized
+    # pixel pattern is the same deterministic function of (doc_id,
+    # payload size), and a CORRECT decode recovers it exactly — so the
+    # oracle needs no knowledge of PNG at all. What the hash certifies
+    # is therefore the whole compressed round trip: five-filter encode,
+    # zlib deflate, chunk/CRC framing, inflate, five-filter
+    # reconstruction.
+    oracle=f"""
+        WITH dims AS (
+            -- COALESCE mirrors the kernel (NULL payload = 0-byte
+            -- asset, which still decodes as the deterministic 4x4):
+            -- total on poison corpora, no-op on clean data.
+            SELECT doc_id,
+                   (COALESCE(octet_length(encode(text)), 0) % 64 + 4) AS w,
+                   (COALESCE(octet_length(encode(text)), 0) % 48 + 4) AS h,
+                   (doc_id * 31) % 256 AS a
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, a, w * h * 3 AS n,
+                   (w * h * 3) // 256 AS full_cycles,
+                   (w * h * 3) % 256 AS rem
+            FROM dims
+        ),
+        tail AS (
+            SELECT p.doc_id, COALESCE(sum((p.a + s.i) % 256), 0) AS tail_sum
+            FROM px p
+            LEFT JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
+              ON s.i < p.rem
+            GROUP BY p.doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.w AS INT) AS width,
+               CAST(p.h AS INT) AS height,
+               3 AS channels,
+               CAST(p.n AS BIGINT) AS n_pixel_bytes,
+               CAST(p.a AS INT) AS top_left_b,
+               CAST((p.full_cycles * {_BYTE_CYCLE_SUM} + t.tail_sum) * 10000 // p.n
+                    AS BIGINT) AS mean_pixel_e4,
+               true AS decoded
+        FROM px p JOIN tail t ON p.doc_id = t.doc_id
+        ORDER BY p.doc_id
+    """,
+    doc=(
+        "REAL decode of a COMPRESSED image format via mapInPandas — "
+        "PNG, built entirely on the stdlib (zlib deflate + CRC32): "
+        "each document's payload size seeds the same deterministic "
+        "pixel pattern as the BMP entry, serialized into a spec-valid "
+        "8-bit RGB PNG whose rows CYCLE through all five PNG filter "
+        "types (None/Sub/Up/Average/Paeth) and whose IDAT is split in "
+        "two, then parsed back by an actual PNG decoder (signature, "
+        "CRC-verified chunk walk, IHDR profile validation, multi-IDAT "
+        "inflate, per-row filter reconstruction — it decodes any "
+        "conforming RGB8 non-interlaced PNG). Because the decoded "
+        "stats hash-match the SAME closed-form oracle as the "
+        "uncompressed BMP path, the cross-engine check certifies the "
+        "full compression round trip, not just header math. Scale: "
+        "map-only Arrow-batched kernel, one row per asset — the "
+        "production shape with libpng swapped in; the per-row filter "
+        "scan is O(pixel bytes) exactly like a real decoder. JPEG "
+        "remains out of scope (entropy-coded DCT needs a codec "
+        "library this container lacks)."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Built DRIVER-side; both closures travel to workers by value.
+    decode = make_png_decoder()
+    encode = make_png_encoder()
+
+    def decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def make_pixels(doc_id: int, n_bytes: int):
+            w = n_bytes % 64 + 4
+            h = n_bytes % 48 + 4
+            a = (doc_id * 31) % 256
+            flat = ((a + np.arange(w * h * 3)) % 256).astype(np.uint8)
+            return w, h, flat.tobytes()
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # NULL payload = 0-byte asset (see mm_decode_features)
+                w, h, px = make_pixels(
+                    int(doc_id), len(payload) if payload is not None else 0
+                )
+                d = decode(encode(w, h, px))
+                out.append(
+                    (int(doc_id),) + d + (True,)
+                    if d is not None
+                    else (int(doc_id), 0, 0, 0, 0, 0, 0, False)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_pixel_bytes", "top_left_b", "mean_pixel_e4", "decoded",
+                ],
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(decode_png_batch, schema=_IMAGE_SCHEMA).orderBy("doc_id")
+
+
+@register(
     "mm_frame_offsets",
     oracle="""
+        -- the CASE mirrors the engine's NULL/zero guard (a NULL or
+        -- empty payload plans 0 frames, never a NULL plan): total on
+        -- poison corpora, no-op on clean data.
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
-               len(generate_series(0, octet_length(encode(text)) - 1, 32)) AS n_frames
+               CASE WHEN octet_length(encode(text)) > 0
+                    THEN len(generate_series(0, octet_length(encode(text)) - 1, 32))
+                    ELSE 0 END AS n_frames
         FROM documents
         ORDER BY doc_id
     """,
@@ -374,9 +691,11 @@ _RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
     "mm_resize_plan_pandas",
     oracle="""
         WITH dims AS (
+            -- COALESCE mirrors the kernel (NULL payload = 0-byte asset
+            -- planning a 1x1): total on poison, no-op on clean data.
             SELECT doc_id,
-                   (octet_length(encode(text)) % 640 + 1) AS w,
-                   (octet_length(encode(text)) % 480 + 1) AS h
+                   (COALESCE(octet_length(encode(text)), 0) % 640 + 1) AS w,
+                   (COALESCE(octet_length(encode(text)), 0) % 480 + 1) AS h
             FROM documents
         )
         SELECT doc_id, w AS width, h AS height,
@@ -436,9 +755,13 @@ _CODECS = ("h264", "aac", "opus", "vp9")
     "mm_av_header_probe",
     oracle=f"""
         WITH probe AS (
+            -- COALESCE mirrors the engine's total header features (a
+            -- NULL payload is a probed 0-byte asset; DuckDB's x/0 is
+            -- NULL exactly like the engine's try_divide): total on
+            -- poison corpora, no-op on clean data.
             SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   ascii(substring(text, 1, 1)) AS b0
+                   COALESCE(octet_length(encode(text)), 0) AS n_bytes,
+                   COALESCE(ascii(substring(text, 1, 1)), 0) AS b0
             FROM documents
         ),
         typed AS (

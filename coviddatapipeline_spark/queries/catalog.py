@@ -180,13 +180,16 @@ _PRIORITY: tuple[str, ...] = (
     # --- versioned-table scratch-staleness fix (ADVICE r06) touched
     #     this entry's storage protocol path; re-verify ---
     "warehouse_snapshot_diff_cdc",
-    # --- multiply-green sentinels filling the remaining slots ---
+    # --- round-7 multimodal oracle mirrors (the NULL-payload
+    #     degenerate class converged: COALESCE/CASE twins of the
+    #     kernels' documented 0-byte-asset conventions) ---
+    "mm_image_decode_bmp",
+    "mm_decode_features_pandas",
+    "mm_resize_plan_pandas",
+    "mm_frame_offsets",
+    "mm_av_header_probe",
+    # --- multiply-green sentinel filling the remaining slot ---
     "s1_scan_count_orders",
-    "q4_topk_other_share",
-    "text_token_stats",
-    "events_sessionization",
-    "pricing_summary",
-    "q5_sum_group_order_asc",
 )
 
 

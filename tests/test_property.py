@@ -524,3 +524,74 @@ def test_bmp_decoder_rejects_offset_past_end():
         + b"\x00" * 64
     )
     assert decode(blob) is None
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=41),
+    h=st.integers(min_value=1, max_value=29),
+    filter_cycle=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, filter_cycle, seed):
+    """ANY (width, height, filter choice, pixel seed) must survive the
+    full COMPRESSED round trip — five-filter encode, zlib deflate,
+    CRC-stamped chunking, inflate, filter reconstruction — back to the
+    closed-form stats; and any truncation or single-byte corruption of
+    a valid blob must be rejected with None (CRC/size/zlib guards),
+    never an exception."""
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_png,
+        make_png_decoder,
+    )
+
+    decode = make_png_decoder()
+    n = w * h * 3
+    flat = ((seed % 251) + 7 * np.arange(n, dtype=np.int64)) % 256
+    px = flat.astype(np.uint8).tobytes()
+    blob = encode_png(w, h, px, filter_cycle=filter_cycle)
+
+    expect = (w, h, 3, n, int(flat[0]), int(flat.sum()) * 10000 // n)
+    assert decode(blob) == expect
+
+    assert decode(blob[:-1]) is None
+    assert decode(blob[: len(blob) // 2]) is None
+    # flip one byte inside the first IDAT chunk's data: CRC must catch it
+    idat = blob.index(b"IDAT") + 4
+    corrupt = blob[:idat] + bytes([blob[idat] ^ 0xFF]) + blob[idat + 1 :]
+    assert decode(corrupt) is None
+
+
+def test_png_decoder_rejects_unsupported_profiles():
+    """Paletted / 16-bit / interlaced IHDRs are rejected with None —
+    unsupported profiles must never be misdecoded as RGB8."""
+    import struct
+    import zlib
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_png,
+        make_png_decoder,
+    )
+
+    decode = make_png_decoder()
+    blob = encode_png(2, 2, bytes(12))
+
+    def with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        i = blob.index(b"IHDR") - 4
+        j = i + 12 + 13
+        return blob[:i] + chunk + blob[j:]
+
+    assert decode(with_ihdr(8, 3, 0)) is None   # paletted
+    assert decode(with_ihdr(16, 2, 0)) is None  # 16-bit
+    assert decode(with_ihdr(8, 2, 1)) is None   # interlaced
+    assert decode(with_ihdr(8, 2, 0)) == decode(blob)  # control
