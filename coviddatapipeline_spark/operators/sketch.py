@@ -433,3 +433,284 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch SET OPERATIONS (union + intersection cardinality)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # retained minima per sketch (rel. error ~ 1/sqrt(k-2) ~ 13%)
+KMV_HEX = 15  # md5-prefix hex digits: 60-bit hash space, fits BIGINT
+KMV_H = 16 ** KMV_HEX  # hash-space size 2^60
+KMV_TYPES = ("click", "purchase", "view")
+_KMV_A63 = str((KMV_K - 1) * KMV_H)  # (k-1)*H: > int64, exact in DECIMAL(38)
+_KMV_PAIRS = (
+    ("click", "purchase"),
+    ("click", "view"),
+    ("purchase", "view"),
+)
+
+
+def _kmv_est_sql(maxh: str, duck: bool) -> str:
+    """Exact integer floor((k-1)*H / maxh) on either engine. The
+    numerator exceeds int64, so DuckDB widens to HUGEINT and Spark uses
+    the DECIMAL(38) mod-subtract division (numerator minus remainder is
+    exactly divisible, so the decimal division rounds nothing — the
+    round-4 ACF pattern)."""
+    if duck:
+        return f"CAST(CAST('{_KMV_A63}' AS HUGEINT) // {maxh} AS BIGINT)"
+    a = f"CAST('{_KMV_A63}' AS DECIMAL(38, 0))"
+    return f"CAST(({a} - {a} % {maxh}) / {maxh} AS BIGINT)"
+
+
+def _kmv_inter_est_sql(c: str, theta: str, duck: bool) -> str:
+    """Exact integer floor(C*H / theta); C <= k so C*H < 2^66."""
+    if duck:
+        return (
+            f"CAST(CAST({c} AS HUGEINT) * CAST('{KMV_H}' AS HUGEINT)"
+            f" // {theta} AS BIGINT)"
+        )
+    a = f"(CAST({c} AS DECIMAL(38, 0)) * CAST('{KMV_H}' AS DECIMAL(38, 0)))"
+    return f"CAST(({a} - {a} % {theta}) / {theta} AS BIGINT)"
+
+
+def _kmv_oracle() -> str:
+    type_list = ", ".join(f"'{t_}'" for t_ in KMV_TYPES)
+    est = _kmv_est_sql("s.maxh", duck=True)
+    parts = [
+        f"""
+        SELECT s.g AS set_name, s.n_ret,
+               CASE WHEN s.n_ret < {KMV_K} THEN s.n_ret ELSE {est} END AS est,
+               e.exact
+        FROM stats s JOIN exact_t e USING (g)"""
+    ]
+    for a, b in _KMV_PAIRS:
+        uest = _kmv_est_sql("u.maxh", duck=True)
+        parts.append(f"""
+        SELECT '{a}|{b}' AS set_name, u.n_ret,
+               CASE WHEN u.n_ret < {KMV_K} THEN u.n_ret ELSE {uest} END AS est,
+               (SELECT count(DISTINCT du.u) FROM du
+                WHERE du.g IN ('{a}', '{b}')) AS exact
+        FROM (
+            SELECT count(*) AS n_ret, max(h) AS maxh FROM (
+                SELECT h FROM (
+                    SELECT h, row_number() OVER (ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT h FROM sk WHERE g IN ('{a}', '{b}'))
+                ) WHERE rn <= {KMV_K}
+            )
+        ) u""")
+        iest = _kmv_inter_est_sql("i.c", "i.theta", duck=True)
+        parts.append(f"""
+        SELECT '{a}&{b}' AS set_name, i.c AS n_ret,
+               CASE WHEN i.theta = CAST('{KMV_H}' AS BIGINT) THEN i.c
+                    ELSE {iest} END AS est,
+               (SELECT count(*) FROM (
+                   SELECT u FROM du WHERE g IN ('{a}', '{b}')
+                   GROUP BY u HAVING count(*) = 2
+               )) AS exact
+        FROM (
+            SELECT least(ta.theta, tb.theta) AS theta,
+                   (SELECT count(*) FROM sk ka JOIN sk kb USING (h)
+                    WHERE ka.g = '{a}' AND kb.g = '{b}'
+                      AND h < least(ta.theta, tb.theta)) AS c
+            FROM thetas ta, thetas tb
+            WHERE ta.g = '{a}' AND tb.g = '{b}'
+        ) i""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type AS g, user_id AS u FROM events
+            WHERE user_id IS NOT NULL AND event_type IN ({type_list})
+        ),
+        hashed AS (
+            SELECT DISTINCT g,
+                   CAST(concat('0x', substr(md5(CAST(u AS VARCHAR)),
+                                            1, {KMV_HEX})) AS BIGINT) AS h
+            FROM du
+        ),
+        sk AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ),
+        stats AS (SELECT g, count(*) AS n_ret, max(h) AS maxh FROM sk GROUP BY g),
+        thetas AS (
+            SELECT g, CASE WHEN n_ret = {KMV_K} THEN maxh
+                           ELSE CAST('{KMV_H}' AS BIGINT) END AS theta
+            FROM stats
+        ),
+        exact_t AS (SELECT g, count(*) AS exact FROM du GROUP BY g)
+        SELECT set_name, CAST(n_ret AS BIGINT) AS n_retained,
+               CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+               CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_e4
+        FROM ({body})
+        ORDER BY set_name
+    """
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=_kmv_oracle(),
+    doc=(
+        "KMV / theta sketch SET OPERATIONS — the distinct-count algebra "
+        "HLL cannot do (Dasgupta et al. 2016 theta sketches; "
+        "Bar-Yossef et al. 2002 KMV — both public): per event type, "
+        f"retain the k={KMV_K} SMALLEST {4 * KMV_HEX}-bit md5-prefix "
+        "hashes of the user ids; the k-th minimum theta estimates the "
+        "set's density, union sketches merge by re-taking the k "
+        "smallest of the union (lossless composition — the union "
+        "estimate needs no rescan), and INTERSECTION cardinality falls "
+        "out of counting common retained hashes below min(theta_a, "
+        "theta_b). Every estimate is exact integer arithmetic on both "
+        "engines ((k-1)*H and C*H exceed int64, so DuckDB widens to "
+        "HUGEINT and Spark runs the DECIMAL(38) mod-subtract division "
+        "— the round-4 exact-wide-integer pattern), and unsaturated "
+        "sketches (n < k) report exactly, so the small-set path "
+        "degrades to truth. The report emits estimate vs exact vs e4 "
+        "relative error for the 3 types, 3 pairwise unions, and 3 "
+        "pairwise intersections; the bounded-error contract "
+        "(err <= ~3/sqrt(k-2) for saturated sets) is pinned by "
+        "tests/test_sketch_kmv.py. Scale: sketches are k rows per "
+        "group (one partitioned window over the DISTINCT user set — "
+        "the same shuffle an exact count-distinct pays), set algebra "
+        "then touches only k-row sketches, never the data: union and "
+        "intersection of 100 TB key sets costs k log k. Deterministic "
+        "by construction — no rand(), the hash IS the sample."
+    ),
+    tags=("sketch", "agg", "setops"),
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    du = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*KMV_TYPES)
+        )
+        .select(F.col("event_type").alias("g"), F.col("user_id").alias("u"))
+        .distinct()
+        .persist()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("u").cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("long")
+    hashed = du.select("g", h.alias("h")).distinct()
+    sk = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+        .persist()
+    )
+
+    est_sql = _kmv_est_sql("maxh", duck=False)
+
+    def finish(grouped: DataFrame) -> DataFrame:
+        """(set_name, n_ret, maxh) -> (set_name, n_retained, est)."""
+        return grouped.select(
+            "set_name",
+            F.col("n_ret").cast("long").alias("n_retained"),
+            F.expr(
+                f"CAST(CASE WHEN n_ret < {KMV_K} THEN n_ret"
+                f" ELSE {est_sql} END AS BIGINT)"
+            ).alias("est"),
+        )
+
+    per_type = finish(
+        sk.groupBy(F.col("g").alias("set_name")).agg(
+            F.count("*").alias("n_ret"), F.max("h").alias("maxh")
+        )
+    ).join(
+        du.groupBy(F.col("g").alias("set_name")).agg(
+            F.count("*").cast("long").alias("exact")
+        ),
+        "set_name",
+    )
+
+    thetas = sk.groupBy("g").agg(
+        F.when(F.count("*") == KMV_K, F.max("h"))
+        .otherwise(F.lit(KMV_H))
+        .alias("theta")
+    )
+
+    rows = [per_type]
+    inter_sql = _kmv_inter_est_sql("c", "theta", duck=False)
+    for a, b in _KMV_PAIRS:
+        uni = finish(
+            sk.filter(F.col("g").isin(a, b))
+            .select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(W.orderBy("h")))
+            .filter(F.col("rn") <= KMV_K)
+            .agg(F.count("*").alias("n_ret"), F.max("h").alias("maxh"))
+            .select(
+                F.lit(f"{a}|{b}").alias("set_name"), "n_ret", "maxh"
+            )
+        ).crossJoin(
+            du.filter(F.col("g").isin(a, b))
+            .select("u")
+            .distinct()
+            .agg(F.count("*").cast("long").alias("exact"))
+        )
+        rows.append(uni)
+
+        ta = thetas.filter(F.col("g") == a).select(
+            F.col("theta").alias("theta_a")
+        )
+        tb = thetas.filter(F.col("g") == b).select(
+            F.col("theta").alias("theta_b")
+        )
+        common = (
+            sk.filter(F.col("g") == a)
+            .select("h")
+            .join(sk.filter(F.col("g") == b).select("h"), "h")
+            .crossJoin(F.broadcast(ta.crossJoin(tb)))
+            .select(
+                "h", F.least("theta_a", "theta_b").alias("theta")
+            )
+        )
+        # GLOBAL agg (not groupBy) so an EMPTY common-hash set still
+        # yields its one report row (c=0, est=0) like the oracle's
+        # scalar subqueries do.
+        inter = (
+            common.agg(
+                F.coalesce(F.max("theta"), F.lit(KMV_H)).alias("theta"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("h") < F.col("theta"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("c"),
+            )
+            .select(
+                F.lit(f"{a}&{b}").alias("set_name"),
+                F.col("c").cast("long").alias("n_retained"),
+                F.expr(
+                    f"CAST(CASE WHEN theta = {KMV_H}L THEN c"
+                    f" ELSE {inter_sql} END AS BIGINT)"
+                ).alias("est"),
+            )
+            .crossJoin(
+                du.filter(F.col("g").isin(a, b))
+                .groupBy("u")
+                .agg(F.count("*").alias("nt"))
+                .filter(F.col("nt") == 2)
+                .agg(F.count("*").cast("long").alias("exact"))
+            )
+        )
+        rows.append(inter)
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "set_name",
+        "n_retained",
+        "est",
+        "exact",
+        F.expr("CAST(abs(est - exact) * 10000 DIV exact AS BIGINT)").alias(
+            "err_e4"
+        ),
+    ).orderBy("set_name")
