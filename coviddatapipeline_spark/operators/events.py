@@ -54,9 +54,14 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sliding_window",
     oracle="""
         WITH slid AS (
+            -- ts IS NOT NULL mirrors Spark's F.window, which DROPS a
+            -- NULL-timestamp row (no window can be assigned) where the
+            -- bare oracle would emit a NULL win_start group: total on
+            -- poison corpora, no-op on clean data.
             SELECT to_timestamp((floor(epoch(ts) / 900) - i.i) * 900) AS win_start,
                    value
             FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+            WHERE ts IS NOT NULL
         )
         SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win,
                count(*) AS n, round(sum(value), 2) AS total_value

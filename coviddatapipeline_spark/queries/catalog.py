@@ -188,8 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize_plan_pandas",
     "mm_frame_offsets",
     "mm_av_header_probe",
-    # --- multiply-green sentinel filling the remaining slot ---
-    "s1_scan_count_orders",
+    # --- round-7 NULL-ts window mirror (F.window drops the row) ---
+    "events_sliding_window",
 )
 
 
