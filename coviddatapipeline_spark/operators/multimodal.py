@@ -93,10 +93,17 @@ _FEATURE_SCHEMA = "doc_id long, n_bytes int, first_byte int, n_space_bytes int"
         -- COALESCE/CASE mirror the kernel's documented degenerate-
         -- payload convention (NULL payload = 0-byte asset; empty asset
         -- has first_byte -1): total on poison corpora, no-op on clean.
+        -- first_byte is the first UTF-8 BYTE of the payload (the
+        -- kernel's b[0]), NOT ascii()'s code point — they differ for
+        -- any text starting with a multi-byte character (é: 195 vs
+        -- 233), so the byte is extracted via hex of the first char's
+        -- encoding (ADVICE r07).
         SELECT doc_id,
                COALESCE(octet_length(encode(text)), 0) AS n_bytes,
                CASE WHEN text IS NULL OR text = '' THEN -1
-                    ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+                    ELSE CAST('0x' || substring(
+                             hex(encode(substring(text, 1, 1))), 1, 2)
+                         AS INTEGER) END AS first_byte,
                COALESCE(octet_length(encode(text))
                         - octet_length(encode(replace(text, ' ', ''))), 0)
                    AS n_space_bytes
@@ -755,13 +762,20 @@ _CODECS = ("h264", "aac", "opus", "vp9")
     "mm_av_header_probe",
     oracle=f"""
         WITH probe AS (
-            -- COALESCE mirrors the engine's total header features (a
-            -- NULL payload is a probed 0-byte asset; DuckDB's x/0 is
-            -- NULL exactly like the engine's try_divide): total on
-            -- poison corpora, no-op on clean data.
+            -- COALESCE/CASE mirror the engine's total header features
+            -- (a NULL payload is a probed 0-byte asset; DuckDB's x/0
+            -- is NULL exactly like the engine's try_divide): total on
+            -- poison corpora, no-op on clean data. b0 is the first
+            -- UTF-8 BYTE of the payload — a real header probe switches
+            -- on the magic BYTE, and ascii() (code point) silently
+            -- diverges from it on multi-byte-leading text (ADVICE r07)
+            -- — extracted via hex of the first char's encoding.
             SELECT doc_id,
                    COALESCE(octet_length(encode(text)), 0) AS n_bytes,
-                   COALESCE(ascii(substring(text, 1, 1)), 0) AS b0
+                   CASE WHEN text IS NULL OR text = '' THEN 0
+                        ELSE CAST('0x' || substring(
+                                 hex(encode(substring(text, 1, 1))), 1, 2)
+                             AS INTEGER) END AS b0
             FROM documents
         ),
         typed AS (
@@ -801,11 +815,19 @@ def mm_av_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A NULL payload must still be probed (0-byte asset): with a NULL
     # n_bytes the dispatch-array subscript compiles to a getItem whose
     # NULL index ANSI-aborts the whole job (INVALID_ARRAY_INDEX) — make
-    # the header features total before indexing. ascii('') is already 0.
+    # the header features total before indexing. b0 is the first
+    # UTF-8 BYTE of the payload (hex of the 1-byte binary substring,
+    # conv base-16; '' hexes to '' and conv('') is NULL -> coalesce 0),
+    # NOT F.ascii's code point: a header probe dispatches on the magic
+    # byte, and ascii silently diverges on multi-byte-leading payloads
+    # (é: byte 195 vs code point 233) — ADVICE r07.
     p = _payloads(spark, sf_dir).select(
         "doc_id",
         F.coalesce(F.col("meta.n_bytes"), F.lit(0)).alias("n_bytes"),
-        F.coalesce(F.ascii(F.col("payload").cast("string")), F.lit(0)).alias("b0"),
+        F.coalesce(
+            F.conv(F.hex(F.substring("payload", 1, 1)), 16, 10).cast("int"),
+            F.lit(0),
+        ).alias("b0"),
     )
     container = F.array(*[F.lit(c) for c in _CONTAINERS])[
         F.pmod(F.col("n_bytes"), F.lit(3)).cast("int")

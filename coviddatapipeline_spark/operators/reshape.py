@@ -626,11 +626,16 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_price_histogram",
     oracle=f"""
         -- duck_floor_long mirrors Spark's total floor(double)->BIGINT
-        -- (NaN -> bin 0), so a NaN price joins bin 0 on both engines
-        -- (its NaN then surfaces in that bin's hi) instead of crashing
-        -- DuckDB's CAST. No-op on finite prices.
-        SELECT CAST(least(({duck_floor_long('(p_retailprice - 900.0) / 10.0')}),
-                          19) AS INTEGER)
+        -- (NaN -> bin 0, +/-Inf -> Long.MIN/MAX), so a NaN price joins
+        -- bin 0 on both engines (its NaN then surfaces in that bin's
+        -- hi) instead of crashing DuckDB's CAST. The bin stays BIGINT
+        -- on BOTH sides (ADVICE r07): a narrowing INT cast would raise
+        -- in DuckDB on a -Inf price's Long.MIN bin while Spark's
+        -- non-ANSI long->int cast silently wraps — keeping the floor's
+        -- native width removes the seam entirely. No-op on finite
+        -- prices (clean bins are 0..19).
+        SELECT least(({duck_floor_long('(p_retailprice - 900.0) / 10.0')}),
+                     19)
                    AS bin,
                count(*) AS n,
                round(min(p_retailprice), 2) AS lo,
@@ -649,8 +654,11 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
+    # bin stays BIGINT (floor's native width): narrowing to INT would
+    # silently wrap a -Inf price's Long.MIN bin under non-ANSI casts
+    # while the DuckDB oracle's INT cast raised — ADVICE r07.
     bin_col = F.least(
-        F.floor((F.col("p_retailprice") - 900.0) / 10.0).cast("int"), F.lit(19)
+        F.floor((F.col("p_retailprice") - 900.0) / 10.0), F.lit(19).cast("long")
     )
     return (
         part.groupBy(bin_col.alias("bin"))

@@ -64,15 +64,30 @@ _EMB_GUARDED = (
 
 def _g(sql: str) -> str:
     """Mirror the EMB_DIM contract into an oracle: rewrite every
-    ``embeddings`` table reference to the guarded subquery. Applied to
+    ``embeddings`` TABLE REFERENCE to the guarded subquery. Applied to
     EVERY oracle in this module (matching _emb, the module's single
     engine-side load path) — a clean-data no-op that makes the
     verification SQL total on poison corpora instead of crashing in
     list_dot_product on a NULL / empty / ragged vector the engine
-    excluded."""
+    excluded.
+
+    The rewrite is constrained to table-reference positions — the word
+    ``embeddings`` immediately after FROM or JOIN (ADVICE r07): a bare
+    ``\\bembeddings\\b`` substitution also fired inside SQL comments
+    and would capture any future CTE/alias named ``embeddings``. The
+    captured whitespace is preserved so the constrained form is
+    byte-identical to the old rewrite on every current oracle (pinned
+    by tests/test_advice_fixes.py). Every oracle in this module reads
+    the table only via FROM/JOIN (no bare comma cross joins — house
+    style), so table references cannot escape the pattern."""
     import re
 
-    return re.sub(r"\bembeddings\b", _EMB_GUARDED, sql)
+    return re.sub(
+        r"\b(FROM|JOIN)(\s+)embeddings\b",
+        lambda m: m.group(1) + m.group(2) + _EMB_GUARDED,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 _ORACLE_TOPK = """

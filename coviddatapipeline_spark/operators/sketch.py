@@ -500,6 +500,17 @@ def _kmv_oracle() -> str:
             )
         ) u""")
         iest = _kmv_inter_est_sql("i.c", "i.theta", duck=True)
+        # The theta lookups are TOTAL scalar subqueries (ADVICE r07):
+        # an entirely-absent event type has no thetas row, and an
+        # inner `FROM thetas ta, thetas tb` cross join would then emit
+        # ZERO rows for this branch while the engine's global agg
+        # (coalesce over empty) still reports its c=0 row. COALESCE to
+        # H mirrors the engine's coalesce-to-KMV_H unsaturated default;
+        # the engine's theta additionally collapses to H whenever the
+        # COMMON-hash set is empty (max over no rows), so the oracle's
+        # c-vs-theta CASE mirrors that too: c=0 forces est=0 through
+        # either CASE arm (0*H//theta = 0), keeping the branches
+        # hash-identical. No-op whenever all three types are present.
         parts.append(f"""
         SELECT '{a}&{b}' AS set_name, i.c AS n_ret,
                CASE WHEN i.theta = CAST('{KMV_H}' AS BIGINT) THEN i.c
@@ -509,12 +520,16 @@ def _kmv_oracle() -> str:
                    GROUP BY u HAVING count(*) = 2
                )) AS exact
         FROM (
-            SELECT least(ta.theta, tb.theta) AS theta,
+            SELECT least(tt.theta_a, tt.theta_b) AS theta,
                    (SELECT count(*) FROM sk ka JOIN sk kb USING (h)
                     WHERE ka.g = '{a}' AND kb.g = '{b}'
-                      AND h < least(ta.theta, tb.theta)) AS c
-            FROM thetas ta, thetas tb
-            WHERE ta.g = '{a}' AND tb.g = '{b}'
+                      AND h < least(tt.theta_a, tt.theta_b)) AS c
+            FROM (
+                SELECT COALESCE((SELECT theta FROM thetas WHERE g = '{a}'),
+                                CAST('{KMV_H}' AS BIGINT)) AS theta_a,
+                       COALESCE((SELECT theta FROM thetas WHERE g = '{b}'),
+                                CAST('{KMV_H}' AS BIGINT)) AS theta_b
+            ) tt
         ) i""")
     body = " UNION ALL ".join(parts)
     return f"""
@@ -705,12 +720,17 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
+    # The exact=0 guard keeps err_e4 total under ANSI: an entirely-
+    # absent event type yields intersection rows with exact=0, where
+    # bare DIV ANSI-aborts the job (non-ANSI DIV 0 and DuckDB's //0
+    # both yield NULL — the CASE pins that NULL on every conf).
     return out.select(
         "set_name",
         "n_retained",
         "est",
         "exact",
-        F.expr("CAST(abs(est - exact) * 10000 DIV exact AS BIGINT)").alias(
-            "err_e4"
-        ),
+        F.expr(
+            "CAST(CASE WHEN exact = 0 THEN NULL"
+            " ELSE abs(est - exact) * 10000 DIV exact END AS BIGINT)"
+        ).alias("err_e4"),
     ).orderBy("set_name")

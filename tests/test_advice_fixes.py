@@ -323,3 +323,184 @@ def test_events_nanos_long_layout_parses_identically(spark, tmp_path, gap_bounda
         for r in catalog.get("events_sessionization").fn(spark, nanos_root).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 1, 6: 2}
+
+
+# --- round-7 ADVICE regressions: first-byte semantics, Inf bins,
+#     KMV absent-type totality, constrained oracle rewrite ---------------
+
+
+@pytest.fixture(scope="module")
+def multibyte_docs_dir(spark, tmp_path_factory):
+    """documents.parquet whose texts LEAD with multi-byte characters —
+    the seam where a first-UTF-8-byte kernel (b[0]) and an ascii()
+    code-point oracle silently diverge (2-byte é: 195 vs 233;
+    4-byte astral: 240 vs 128640)."""
+    rows = [
+        (1, "éclair two-byte lead", "en", "web", 20),
+        (2, "\U0001F680 four-byte astral lead", "en", "web", 25),
+        (3, "中文 three-byte lead", "zh", "web", 18),
+        (4, "plain ascii lead", "en", "web", 16),
+        (5, "", "en", "web", 0),
+        (6, None, "en", "web", 0),
+    ]
+    root = str(tmp_path_factory.mktemp("multibyte"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(root, "documents.parquet"))
+    return root
+
+
+@pytest.mark.parametrize(
+    "name", ["mm_decode_features_pandas", "mm_av_header_probe"]
+)
+def test_first_byte_is_the_utf8_byte_not_the_code_point(
+    name, spark, multibyte_docs_dir
+):
+    """Both first-byte consumers must agree with their oracles on
+    multi-byte-LEADING text (every earlier Unicode poison row started
+    with ASCII, so this seam was untested — ADVICE r07)."""
+    from tests.parity import compare
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{multibyte_docs_dir}/documents.parquet/*.parquet')"
+    )
+    q = catalog.get(name)
+    ok, msg = compare(q.fn(spark, multibyte_docs_dir), con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_first_byte_values_are_the_leading_utf8_bytes(spark, multibyte_docs_dir):
+    """Direct semantics: the kernel's first_byte IS bytes(text)[0]."""
+    got = {
+        r["doc_id"]: r["first_byte"]
+        for r in catalog.get("mm_decode_features_pandas")
+        .fn(spark, multibyte_docs_dir)
+        .collect()
+    }
+    assert got == {1: 0xC3, 2: 0xF0, 3: 0xE4, 4: ord("p"), 5: -1, 6: -1}
+
+
+@pytest.fixture(scope="module")
+def inf_part_dir(spark, tmp_path_factory):
+    """part.parquet with +/-Inf and NaN retail prices — the poison
+    hazard class ADVICE r07 named for the histogram's bin cast."""
+    rows = [
+        (1, "p1", "B1", "T1", 1, 905.0),     # bin 0
+        (2, "p2", "B1", "T1", 1, 1099.99),   # bin 19
+        (3, "p3", "B1", "T1", 1, 2000.0),    # clamped to 19
+        (4, "p4", "B1", "T1", 1, float("inf")),
+        (5, "p5", "B1", "T1", 1, float("-inf")),
+        (6, "p6", "B1", "T1", 1, float("nan")),
+        (7, "p7", "B1", "T1", 1, None),
+    ]
+    root = str(tmp_path_factory.mktemp("infpart"))
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(os.path.join(root, "part.parquet"))
+    return root
+
+
+def test_part_price_histogram_inf_prices_total_parity(spark, inf_part_dir):
+    """An Inf price must neither crash the oracle's bin cast (old
+    narrowing INT cast raised on -Inf's Long.MIN bin) nor silently
+    wrap the engine's — the bin stays BIGINT on both sides and the
+    engines agree cell-for-cell (ADVICE r07)."""
+    from tests.parity import compare
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{inf_part_dir}/part.parquet/*.parquet')"
+    )
+    q = catalog.get("part_price_histogram")
+    df = q.fn(spark, inf_part_dir)
+    assert dict(df.dtypes)["bin"] == "bigint"
+    # native fetch: the NaN price makes bin 0's hi a genuine NaN on
+    # BOTH engines, and the default pandas fetch would collapse the
+    # DuckDB side to NULL (the documented compare-harness artifact,
+    # see tests/parity.py fetch_duck_native) — semantics agree.
+    ok, msg = compare(df, con, q.oracle, duck_fetch="native")
+    assert ok, f"part_price_histogram: {msg}"
+    bins = {r["bin"] for r in df.collect()}
+    assert -9223372036854775808 in bins  # -Inf kept exact, not wrapped
+    assert 19 in bins and 0 in bins
+
+
+@pytest.fixture(scope="module")
+def absent_type_events_dir(spark, tmp_path_factory):
+    """events.parquet with NO 'purchase' rows at all — the KMV oracle's
+    old inner theta cross join emitted zero intersection rows for every
+    pair involving the absent type (ADVICE r07)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for et in (("click",) if u % 2 else ("click", "view")):
+            eid += 1
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=eid), u, et, 1.0, "{}")
+            )
+    root = str(tmp_path_factory.mktemp("absenttype"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(root, "events.parquet"))
+    return root
+
+
+def test_kmv_set_ops_total_when_a_type_is_absent(spark, absent_type_events_dir):
+    """All 9 report rows (3 types' worth of unions/intersections) must
+    emit even when one event type has zero events, and the engines must
+    agree: the absent type contributes no per-type row, its unions
+    degrade to the present type's sketch, and its intersections report
+    c=0 / est=0 on BOTH sides instead of vanishing from the oracle."""
+    from tests.parity import compare
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{absent_type_events_dir}/events.parquet/*.parquet')"
+    )
+    q = catalog.get("sketch_kmv_set_ops")
+    df = q.fn(spark, absent_type_events_dir)
+    rows = {r["set_name"]: r for r in df.collect()}
+    # 2 per-type rows (purchase absent) + 3 unions + 3 intersections
+    assert set(rows) == {
+        "click", "view", "click|purchase", "click|view", "purchase|view",
+        "click&purchase", "click&view", "purchase&view",
+    }
+    assert rows["click&purchase"]["n_retained"] == 0
+    assert rows["click&purchase"]["est"] == 0
+    assert rows["purchase|view"]["est"] == rows["view"]["est"]
+    # native fetch: the exact=0 intersection rows carry a NULL err_e4
+    # (x DIV 0) on BOTH engines, and the default pandas fetch would
+    # promote the DuckDB column to float64 (the documented dtype
+    # artifact, see tests/parity.py canon_cell) — semantics agree.
+    ok, msg = compare(df, con, q.oracle, duck_fetch="native")
+    assert ok, f"sketch_kmv_set_ops: {msg}"
+
+
+def test_g_rewrite_only_fires_at_table_references():
+    """The EMB_DIM oracle rewrite must hit FROM/JOIN table references
+    (preserving whitespace) and ONLY those — not comments or a CTE
+    named 'embeddings' (ADVICE r07)."""
+    from coviddatapipeline_spark.operators.similarity import _EMB_GUARDED, _g
+
+    sql = (
+        "-- comment mentions embeddings here\n"
+        "WITH e AS (SELECT * FROM embeddings),\n"
+        "ee AS (SELECT * FROM\n    embeddings JOIN embeddings b USING (vec_id))\n"
+        "SELECT embeddings FROM e -- a column named embeddings\n"
+    )
+    out = _g(sql)
+    assert "-- comment mentions embeddings here" in out
+    assert "SELECT embeddings FROM e" in out
+    assert f"FROM {_EMB_GUARDED})," in out
+    assert f"FROM\n    {_EMB_GUARDED} JOIN {_EMB_GUARDED} b" in out

@@ -16,8 +16,11 @@ from coviddatapipeline_spark.operators.sketch import (
     sketch_kmv_set_ops,
 )
 
-SMALL_SF = "/root/testdata/sf0.001"  # 15 users/type  -> unsaturated
-BIG_SF = "/root/testdata/sf0.01"  # 150 users/type -> saturated
+import os
+
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SMALL_SF = os.path.join(_TESTDATA, "sf0.001")  # 15 users/type  -> unsaturated
+BIG_SF = os.path.join(_TESTDATA, "sf0.01")  # 150 users/type -> saturated
 
 
 def test_unsaturated_sketches_are_exact(spark):

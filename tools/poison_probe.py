@@ -65,6 +65,13 @@ POISON_DOCS = [
     # non-breaking / thin spaces: NOT \\s in Java or RE2, so they glue
     # tokens on both engines rather than splitting them
     (990_000_012, "nbsp\u00a0inside and\u2009thin space", "en", "web", 27),
+    # LEADING multi-byte characters (ADVICE r07): text whose FIRST char
+    # is 2-byte (\u00e9 => first byte 0xC3=195, code point 233) and 4-byte
+    # astral (\ud83d\ude80 => first byte 0xF0=240, code point 128640) \u2014 the seam
+    # where first-byte kernels (b[0]) and ascii()/code-point oracles
+    # silently diverge; every round-7 Unicode row started with ASCII.
+    (990_000_013, "\u00e9clair leads with a two-byte char", "en", "web", 35),
+    (990_000_014, "\U0001F680 astral liftoff leads here", "en", "web", 30),
 ]
 
 
