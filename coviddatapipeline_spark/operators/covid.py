@@ -199,14 +199,26 @@ def q2_a2_latest_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_browse_limit",
     oracle="""
+        -- The sort is TOTAL over every output column, with NULLS FIRST
+        -- mirroring Spark's default ASC null placement (DuckDB defaults
+        -- NULLS LAST): under a LIMIT the ordering decides WHICH rows
+        -- make the page, and the synthetic lineitem has duplicate
+        -- (l_orderkey, l_linenumber) pairs, so a two-key sort left the
+        -- boundary row engine-arbitrary (round-8 poison convergence —
+        -- the fix is determinism, not a Spark/DuckDB seam; both NaN
+        -- and NULL orderings agree once pinned).
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                 l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+                 l_returnflag NULLS FIRST
         LIMIT 2000
     """,
     doc=(
-        "Q3: the 2000-row browse widget, made deterministic with an ORDER "
-        "BY on the unique key (reference relied on storage order)."
+        "Q3: the 2000-row browse widget, made deterministic with a "
+        "TOTAL order over the page's columns (reference relied on "
+        "storage order; (l_orderkey, l_linenumber) alone is not unique "
+        "in the synthetic data)."
     ),
     tags=("covid", "limit"),
 )
@@ -214,7 +226,10 @@ def q3_browse_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag",
+        )
         .limit(2000)
     )
 

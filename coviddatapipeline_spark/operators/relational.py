@@ -270,10 +270,17 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
 @register(
     "window_lag_order_gap_days",
     oracle="""
+        -- NULLS FIRST pins the window's lag chain to Spark's default
+        -- ASC ordering (DuckDB defaults NULLS LAST): a NULL-dated
+        -- poison order otherwise sits at the opposite end of its
+        -- customer's order history and shifts every gap after it.
+        -- No-op on clean data (round-8 poison-parity convergence).
         SELECT o_custkey, o_orderkey,
                coalesce(date_diff('day',
-                         lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                                ORDER BY o_orderdate, o_orderkey),
+                         lag(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate NULLS FIRST,
+                                      o_orderkey NULLS FIRST),
                          o_orderdate), -1) AS gap_days
         FROM orders
         WHERE o_custkey < 50

@@ -145,16 +145,23 @@ def date_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "string_functions_showcase",
     oracle="""
+        -- concat_ws mirrors Spark's concat_ws(':', brand, type): BOTH
+        -- engines then skip a NULL argument AND its separator, where
+        -- DuckDB's concat(brand, ':', type) skipped only the NULL and
+        -- kept the dangling ':' (round-8 poison-parity convergence).
+        -- NULLS FIRST pins the LIMIT page under a NULL-keyed poison
+        -- row (Spark default ASC = NULLS FIRST, DuckDB = NULLS LAST).
+        -- Both are no-ops on clean data.
         SELECT p_partkey,
                upper(p_name) AS name_upper,
                substr(p_name, 1, 5) AS name_prefix,
-               concat(p_brand, ':', p_type) AS brand_type,
+               concat_ws(':', p_brand, p_type) AS brand_type,
                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
                replace(p_name, ' ', '_') AS name_snake,
                regexp_extract(p_brand, '[0-9]+') AS brand_num,
                length(p_name) AS name_len
         FROM part
-        ORDER BY p_partkey
+        ORDER BY p_partkey NULLS FIRST
         LIMIT 1000
     """,
     doc="String-function family: upper/substr/concat/lpad/replace/regexp/length.",
@@ -234,9 +241,13 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pagination_offset_limit",
     oracle="""
+        -- NULLS FIRST mirrors Spark's default ASC null placement
+        -- (DuckDB defaults NULLS LAST): OFFSET/LIMIT select a window
+        -- of the sort, so a NULL-keyed poison row otherwise shifts
+        -- the whole page by one. No-op on clean data.
         SELECT o_orderkey, o_totalprice
         FROM orders
-        ORDER BY o_orderkey
+        ORDER BY o_orderkey NULLS FIRST
         LIMIT 100 OFFSET 500
     """,
     doc="Keyset-free pagination: ORDER BY + LIMIT/OFFSET (CollectLimit with skip).",
