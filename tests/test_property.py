@@ -595,3 +595,62 @@ def test_png_decoder_rejects_unsupported_profiles():
     assert decode(with_ihdr(16, 2, 0)) is None  # 16-bit
     assert decode(with_ihdr(8, 2, 1)) is None   # interlaced
     assert decode(with_ihdr(8, 2, 0)) == decode(blob)  # control
+
+
+def test_png_misfiltered_encode_fails_the_stats_oracle():
+    """NEGATIVE CONTROL (VERDICT r07 #4): a blob with VALID framing
+    (magic, CRCs, zlib, lengths) whose scanline data was NOT actually
+    transformed by its declared filter must decode to DIFFERENT pixels
+    — the closed-form stats must FAIL — proving the decoder implements
+    the spec's filter inverses rather than whatever the in-repo encoder
+    emits. An encoder/decoder pair with complementary filter bugs would
+    still pass the round-trip property; this pins that class with a
+    test instead of reasoning."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import make_png_decoder
+
+    decode = make_png_decoder()
+    w, h = 5, 3
+    n = w * h * 3
+    flat = (7 + 11 * np.arange(n, dtype=np.int64)) % 256
+    px = flat.astype(np.uint8).tobytes()
+    stride = w * 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def blob_declaring_filter(ft: int) -> bytes:
+        # every row DECLARES filter `ft` but stores the RAW pixel bytes
+        raw = b"".join(
+            bytes([ft]) + px[r * stride : (r + 1) * stride] for r in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    expect = (w, h, 3, n, int(flat[0]), int(flat.sum()) * 10000 // n)
+    # control: filter 0 declared, raw stored == filter 0 applied -> pass
+    assert decode(blob_declaring_filter(0)) == expect
+    # Sub declared but never applied: a spec-correct decoder adds the
+    # left neighbor back (per-row prefix sums) -> valid decode, wrong
+    # pixels, stats oracle FAILS
+    got = decode(blob_declaring_filter(1))
+    assert got is not None  # framing is valid: it IS an RGB8 PNG
+    assert got[:4] == (w, h, 3, n)  # geometry parses identically
+    assert got[5] != expect[5]  # ...but the pixel mean moved
+    # Up declared but never applied: column prefix sums from row 2 on
+    got2 = decode(blob_declaring_filter(2))
+    assert got2 is not None and got2[5] != expect[5]
