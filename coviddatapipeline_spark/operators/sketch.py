@@ -451,6 +451,73 @@ _KMV_PAIRS = (
 )
 
 
+# --- shared KMV kernels -----------------------------------------------------
+# The registered set-ops entry below and the streaming distinct-count
+# twin (pipeline/streaming.py::stream_kmv_distinct) share these
+# verbatim, so the audited batch algebra and the ingest-path sketches
+# cannot drift — the same pattern as the substring-scrub and IVF twins.
+
+
+def kmv_hash(u: Column) -> Column:
+    """Canonical 60-bit md5-prefix hash of a key (string-cast): the
+    repo's cross-engine integer hash derivation at KMV_HEX digits."""
+    return F.conv(
+        F.substring(F.md5(u.cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(du: DataFrame) -> DataFrame:
+    """(g, u) -> KMV sketch rows (g, h): the KMV_K smallest DISTINCT
+    key hashes per group. One partitioned window over the distinct key
+    set — the same shuffle an exact count-distinct pays; the output is
+    <= k rows per group regardless of input size."""
+    hashed = du.select("g", kmv_hash(F.col("u")).alias("h")).distinct()
+    return (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
+
+def kmv_merge(sk: DataFrame) -> DataFrame:
+    """Lossless KMV union composition: distinct sketch rows per group,
+    re-take the k smallest. Merging per-batch sketches equals sketching
+    the union (any hash among the global k smallest survives every
+    per-batch cut), and the merge is IDEMPOTENT, commutative and
+    associative — duplicate deliveries of the same sketch rows are
+    absorbed by the distinct, which is what makes the streaming twin's
+    at-least-once append safe with no exactly-once sink."""
+    dedup = sk.select("g", "h").distinct()
+    return (
+        dedup.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("g", "h")
+    )
+
+
+def kmv_estimate(sk: DataFrame) -> DataFrame:
+    """Sketch rows (g, h) -> (g, n_retained, est): unsaturated sketches
+    (n < k) report exactly; saturated ones estimate floor((k-1)*H /
+    maxh) in exact DECIMAL(38) integer arithmetic."""
+    est_sql = _kmv_est_sql("maxh", duck=False)
+    return (
+        sk.groupBy("g")
+        .agg(F.count("*").alias("n_ret"), F.max("h").alias("maxh"))
+        .select(
+            "g",
+            F.col("n_ret").cast("long").alias("n_retained"),
+            F.expr(
+                f"CAST(CASE WHEN n_ret < {KMV_K} THEN n_ret"
+                f" ELSE {est_sql} END AS BIGINT)"
+            ).alias("est"),
+        )
+    )
+
+
 def _kmv_est_sql(maxh: str, duck: bool) -> str:
     """Exact integer floor((k-1)*H / maxh) on either engine. The
     numerator exceeds int64, so DuckDB widens to HUGEINT and Spark uses
@@ -607,23 +674,15 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("u").cast("string")), 1, KMV_HEX), 16, 10
-    ).cast("long")
-    hashed = du.select("g", h.alias("h")).distinct()
-    sk = (
-        hashed.withColumn(
-            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
-        )
-        .filter(F.col("rn") <= KMV_K)
-        .select("g", "h")
-        .persist()
-    )
+    # the shared per-group sketch kernel (also the streaming twin's)
+    sk = kmv_sketch(du).persist()
 
     est_sql = _kmv_est_sql("maxh", duck=False)
 
     def finish(grouped: DataFrame) -> DataFrame:
-        """(set_name, n_ret, maxh) -> (set_name, n_retained, est)."""
+        """(set_name, n_ret, maxh) -> (set_name, n_retained, est) for
+        the GLOBAL-agg union branches, whose one row must survive an
+        empty input (kmv_estimate's groupBy would emit zero rows)."""
         return grouped.select(
             "set_name",
             F.col("n_ret").cast("long").alias("n_retained"),
@@ -633,15 +692,15 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
 
-    per_type = finish(
-        sk.groupBy(F.col("g").alias("set_name")).agg(
-            F.count("*").alias("n_ret"), F.max("h").alias("maxh")
+    per_type = (
+        kmv_estimate(sk)
+        .withColumnRenamed("g", "set_name")
+        .join(
+            du.groupBy(F.col("g").alias("set_name")).agg(
+                F.count("*").cast("long").alias("exact")
+            ),
+            "set_name",
         )
-    ).join(
-        du.groupBy(F.col("g").alias("set_name")).agg(
-            F.count("*").cast("long").alias("exact")
-        ),
-        "set_name",
     )
 
     thetas = sk.groupBy("g").agg(

@@ -844,3 +844,66 @@ def stream_ivf_cell_assign(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_kmv_distinct(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """Streaming KMV/theta distinct-count sketches (the 18th twin) —
+    the set-cardinality algebra on the INGEST path, the way theta
+    sketches actually deploy: events stream in, every micro-batch's
+    (event_type, user_id) pairs are sketched with the SAME
+    ``sketch.kmv_sketch`` kernel the registered ``sketch_kmv_set_ops``
+    entry audits (k smallest 60-bit md5-prefix hashes per type), and
+    the k-row per-batch sketches are APPENDED to the sketch store. The
+    store IS the state: the current corpus distinct-count estimate is
+    ``kmv_estimate(kmv_merge(read(store)))`` at read time, and any two
+    stores merge the same way — union across days, sources, or
+    clusters costs k log k rows per group, never a data rescan.
+
+    Exactly-once WITHOUT an exactly-once sink: KMV union merge is
+    idempotent, commutative and associative (kmv_merge distincts the
+    hash rows before re-taking the k smallest), so foreachBatch's
+    at-least-once retry semantics are ABSORBED BY THE ALGEBRA — a
+    replayed batch appends byte-identical sketch rows that the next
+    merge collapses. The counting twins need replay-safe sinks; the
+    sketch twin is replay-safe by construction (tested:
+    tests/test_streaming.py::test_stream_kmv_distinct_matches_batch
+    re-appends a batch's sketch and pins the merged estimate
+    unchanged).
+
+    Scale: per trigger the work is one distinct + one k-row window on
+    just that batch's keys; engine-carried state is zero; the store
+    grows by <= k rows per (type, trigger) — metadata-sized forever —
+    and a periodic compaction is just kmv_merge rewritten in place.
+    """
+    from coviddatapipeline_spark.operators.sketch import (
+        KMV_TYPES,
+        kmv_sketch,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sketch_batch(batch_df, batch_id: int) -> None:
+        du = (
+            batch_df.filter(
+                F.col("user_id").isNotNull()
+                & F.col("event_type").isin(*KMV_TYPES)
+            )
+            .select(
+                F.col("event_type").alias("g"), F.col("user_id").alias("u")
+            )
+            .distinct()
+        )
+        kmv_sketch(du).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
