@@ -738,6 +738,145 @@ def ann_recall_trained_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_rebalance_oracle() -> str:
+    from coviddatapipeline_spark.operators.datapipe import (
+        KM_DIM,
+        KM_ITERS,
+        km_cte_parts,
+    )
+
+    ctes, last = km_cte_parts()
+    return f"""
+        WITH {ctes},
+        ed AS (
+            -- the drifted corpus: every quantized vector rotated one
+            -- coordinate left (norm-preserving, deterministic, and a
+            -- genuine distribution shift for the dot-product argmax)
+            SELECT vec_id, list_concat(q[2:{KM_DIM}], [q[1]]) AS q FROM e
+        ),
+        ad AS (
+            SELECT d.vec_id,
+                   (SELECT c.cid FROM cent{KM_ITERS} c
+                    ORDER BY list_dot_product(d.q::DOUBLE[], c.c::DOUBLE[]) DESC,
+                             c.cid ASC
+                    LIMIT 1) AS cluster
+            FROM ed d
+        ),
+        orig AS (SELECT cluster, count(*) AS n FROM {last} GROUP BY cluster),
+        drift AS (SELECT cluster, count(*) AS n FROM ad GROUP BY cluster),
+        md AS (
+            SELECT ad.cluster AS cid, u.i,
+                   CAST(floor(sum(ed.q[u.i]) * 1.0 / count(*)) AS BIGINT) AS c
+            FROM ad JOIN ed USING (vec_id),
+                 unnest(generate_series(1, {KM_DIM})) AS u(i)
+            GROUP BY ad.cluster, u.i
+        ),
+        fdim AS (
+            SELECT cid, u.i, c[u.i] AS fc
+            FROM cent{KM_ITERS}, unnest(generate_series(1, {KM_DIM})) AS u(i)
+        ),
+        move AS (
+            SELECT fdim.cid, CAST(sum(abs(md.c - fdim.fc)) AS BIGINT) AS moved
+            FROM md JOIN fdim ON md.cid = fdim.cid AND md.i = fdim.i
+            GROUP BY fdim.cid
+        )
+        SELECT f.cid AS cluster,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orig,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_drift,
+               CAST(COALESCE(d.n, 0) - COALESCE(o.n, 0) AS BIGINT) AS net_inflow,
+               CAST(COALESCE(m.moved, 0) AS BIGINT) AS retrain_moved_l1
+        FROM (SELECT cid FROM cent{KM_ITERS}) f
+        LEFT JOIN orig o ON o.cluster = f.cid
+        LEFT JOIN drift d ON d.cluster = f.cid
+        LEFT JOIN move m ON m.cid = f.cid
+        ORDER BY cluster
+    """
+
+
+@register(
+    "ann_ivf_rebalance_drift",
+    oracle=_g(_ivf_rebalance_oracle()),
+    doc=(
+        "IVF index maintenance under distribution drift (VERDICT r07 "
+        "#3b): the frozen quantizer (datapipe.km_train_centroids — the "
+        "same trained model stream_ivf_cell_assign serves on the "
+        "ingest path) assigns BOTH the training corpus and a drifted "
+        "corpus (every vector rotated one coordinate — deterministic, "
+        "norm-preserving, and a real shift for the argmax), and the "
+        "report emits, per cell: original vs drifted occupancy, net "
+        "inflow, and the L1 centroid movement ONE Lloyd update on the "
+        "drifted data would apply — the number an index-maintenance "
+        "policy thresholds to decide re-train vs re-balance vs leave. "
+        "All exact fixed-point integers (the trainer's representation), "
+        "so the report hashes identically cross-engine. Scale: two "
+        "map-only broadcast-literal assignment passes + one map-side-"
+        "combinable k x dim sum agg — the same per-iteration cost "
+        "profile as training, no shuffle of the corpus, centroid state "
+        "metadata-sized. Oracle: the unrolled Lloyd CTE chain extended "
+        "with the drifted assignment and the one-step delta."
+    ),
+    tags=("similarity", "iterative", "audit"),
+)
+def ann_ivf_rebalance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.datapipe import (
+        KM_DIM,
+        km_assign,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, sf_dir)
+    # drifted corpus: rotate the QUANTIZED coordinates one left
+    # (rotation commutes with per-coordinate quantization, so this is
+    # the quantization of the rotated floats, matching the oracle's ed)
+    qd = q.select(
+        "vec_id",
+        F.concat(F.slice("q", 2, KM_DIM - 1), F.slice("q", 1, 1)).alias("q"),
+    )
+    orig = (
+        km_assign(q, cent).groupBy("cluster").agg(F.count("*").alias("n_orig"))
+    )
+    dsums = (
+        km_assign(qd, cent)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_drift"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
+        )
+    )
+    # floor(sum/n) in double is exact-then-floored (sums << 2^53), the
+    # same mean the trainer and its oracle compute
+    new_c = F.array(
+        *[
+            F.floor(F.col(f"s{i}") * 1.0 / F.col("n_drift")).cast("long")
+            for i in range(KM_DIM)
+        ]
+    )
+    drift = dsums.select("cluster", "n_drift", new_c.alias("newc"))
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(cent.items())],
+        "cluster long, frozen array<bigint>",
+    )
+    moved = F.aggregate(
+        F.zip_with(F.col("newc"), F.col("frozen"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cent_df.join(orig, "cluster", "left")
+        .join(drift, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_orig", F.lit(0)).cast("long").alias("n_orig"),
+            F.coalesce("n_drift", F.lit(0)).cast("long").alias("n_drift"),
+            (F.coalesce("n_drift", F.lit(0)) - F.coalesce("n_orig", F.lit(0)))
+            .cast("long")
+            .alias("net_inflow"),
+            F.coalesce(moved, F.lit(0)).cast("long").alias("retrain_moved_l1"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic pruning + Matryoshka truncation audit
 # ---------------------------------------------------------------------------
