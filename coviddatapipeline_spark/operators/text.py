@@ -1423,3 +1423,207 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLY: encode words with a mined merge table
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4  # merge-table size (priority = corpus pair frequency)
+BPE_TOPK = 20  # words reported with their encodings
+
+
+def _bpe_chars_sql(x: str) -> str:
+    """DuckDB: split ``x`` into a list of code-point characters."""
+    return (
+        f"list_transform(generate_series(1, length({x})),"
+        f" i -> substr({x}, CAST(i AS INTEGER), 1))"
+    )
+
+
+def _bpe_fold_sql(s: str, ma: str, mb: str) -> str:
+    """DuckDB: one left-fold merge pass of rule (ma, mb) over symbol
+    list ``s`` — the exact mirror of the Spark fold in
+    text_bpe_tokenize_apply (same greedy left-to-right semantics:
+    'aaa' under (a,a) becomes [aa, a])."""
+    return (
+        f"list_reduce(list_transform({s}, x -> [x]),"
+        f" (a, b) -> CASE WHEN a[-1] = {ma} AND b[1] = {mb}"
+        f" THEN list_concat(a[1:len(a) - 1], [a[-1] || b[1]])"
+        f" ELSE list_concat(a, b) END)"
+    )
+
+
+def _bpe_oracle() -> str:
+    merge_cols = ", ".join(
+        f"(SELECT {c} FROM merges WHERE r = {k}) AS m{k}{c}"
+        for k in range(1, BPE_MERGES + 1)
+        for c in ("a", "b")
+    )
+    s = "s"
+    folds = []
+    for k in range(1, BPE_MERGES + 1):
+        folds.append(
+            f"f{k} AS (SELECT rank, word, n_occ, "
+            f"{_bpe_fold_sql(s, f'm.m{k}a', f'm.m{k}b')} AS s "
+            f"FROM f{k - 1}, m)"
+        )
+        s = "s"
+    return f"""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT unnest({_TOKENS.format(x="text")}) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        syms AS (
+            SELECT word, n_occ, {_bpe_chars_sql("word")} AS s FROM wf
+        ),
+        pairs AS (
+            SELECT s[CAST(u.i AS INTEGER)] AS a,
+                   s[CAST(u.i AS INTEGER) + 1] AS b, n_occ
+            FROM syms, unnest(generate_series(1, len(s) - 1)) AS u(i)
+        ),
+        merges AS (
+            SELECT a, b,
+                   row_number() OVER (ORDER BY sum(n_occ) DESC, a, b) AS r
+            FROM pairs GROUP BY a, b
+        ),
+        m AS (SELECT {merge_cols}),
+        top AS (
+            SELECT word, n_occ,
+                   row_number() OVER (ORDER BY n_occ DESC, word) AS rank
+            FROM wf QUALIFY rank <= {BPE_TOPK}
+        ),
+        f0 AS (
+            SELECT rank, word, n_occ, {_bpe_chars_sql("word")} AS s FROM top
+        ),
+        {", ".join(folds)}
+        SELECT CAST(rank AS BIGINT) AS rank, word, n_occ,
+               CAST(length(word) AS BIGINT) AS n_chars,
+               CAST(len(s) AS BIGINT) AS n_tokens,
+               array_to_string(s, '|') AS enc
+        FROM f{BPE_MERGES}
+        ORDER BY rank
+    """
+
+
+@register(
+    "text_bpe_tokenize_apply",
+    oracle=_bpe_oracle(),
+    doc=(
+        "BPE tokenizer APPLY (Sennrich et al. 2016, public — the "
+        "inference-time half that text_bpe_merge_candidates' mining is "
+        f"the training half of): mine a {BPE_MERGES}-rule merge table "
+        "(top adjacent code-point pairs by occurrence-weighted corpus "
+        "frequency, ties by pair), then ENCODE the top-"
+        f"{BPE_TOPK} words by applying the merges in priority order as "
+        "greedy left-to-right folds over the symbol sequence ('aaa' "
+        "under rule (a,a) -> [aa, a]) — reporting per word the token "
+        "count and the exact encoding. The simplification vs full BPE "
+        "training is documented: the table is mined in ONE pass (real "
+        "BPE recounts pairs after each merge), but the APPLY mechanics "
+        "— ordered rules, greedy folds, symbols built by earlier "
+        "merges — are the production tokenizer shape, byte-exact "
+        "cross-engine (both engines left-fold the identical CASE). "
+        "Scale: pair mining is one explode + map-side-combinable "
+        "groupBy (pair cardinality is alphabet-squared-bounded, so the "
+        "ranking window is metadata-sized); folds run only on the "
+        f"{BPE_TOPK} reported words. A 100 TB tokenizer-apply over the "
+        "full corpus is the same fold as a broadcast merge-table "
+        "column expression — linear, shuffle-free."
+    ),
+    tags=("text", "datapipe"),
+)
+def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+    def chars(col: str) -> Column:
+        # code-point split (sequence + substring mirrors DuckDB's
+        # generate_series + substr exactly, astral-safe on both)
+        return F.expr(
+            f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+        )
+
+    syms = wf.select("word", "n_occ", chars("word").alias("s"))
+    # adjacent pairs with in-word multiplicity, weighted by word
+    # frequency; the size>1 guard avoids Spark's DESCENDING
+    # sequence(1, 0) on single-char words (DuckDB's is empty)
+    pairs = (
+        syms.filter(F.size("s") > 1)
+        .select(
+            "n_occ",
+            "s",
+            F.explode(F.sequence(F.lit(1), F.size("s") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("s", F.col("i")).alias("a"),
+            F.element_at("s", F.col("i") + 1).alias("b"),
+            "n_occ",
+        )
+    )
+    # merge table: pair cardinality is alphabet^2-bounded, so this
+    # unpartitioned ranking window is metadata-sized by construction
+    merges = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("n_occ").alias("w"))
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.col("w").desc(), "a", "b"))
+        )
+        .filter(F.col("r") <= BPE_MERGES)
+    )
+    mrow = merges.groupBy().agg(
+        *[
+            F.max(F.when(F.col("r") == k, F.col(c))).alias(f"m{k}{c}")
+            for k in range(1, BPE_MERGES + 1)
+            for c in ("a", "b")
+        ]
+    )
+    top = (
+        wf.orderBy(F.col("n_occ").desc(), "word")
+        .limit(BPE_TOPK)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("n_occ").desc(), "word"))
+        )
+    )
+
+    def fold(s_col: Column, ma: Column, mb: Column) -> Column:
+        """One greedy left-to-right merge pass of rule (ma, mb)."""
+        return F.aggregate(
+            F.transform(s_col, lambda x: F.array(x)),
+            F.array().cast("array<string>"),
+            lambda acc, b: F.when(F.size(acc) == 0, b).otherwise(
+                F.when(
+                    (F.element_at(acc, -1) == ma) & (F.element_at(b, 1) == mb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.concat(F.element_at(acc, -1), F.element_at(b, 1))
+                        ),
+                    ),
+                ).otherwise(F.concat(acc, b))
+            ),
+        )
+
+    enc = top.crossJoin(F.broadcast(mrow)).withColumn("s", chars("word"))
+    for k in range(1, BPE_MERGES + 1):
+        enc = enc.withColumn(
+            "s", fold(F.col("s"), F.col(f"m{k}a"), F.col(f"m{k}b"))
+        )
+    return enc.select(
+        F.col("rank").cast("long").alias("rank"),
+        "word",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.length("word").cast("long").alias("n_chars"),
+        F.size("s").cast("long").alias("n_tokens"),
+        F.concat_ws("|", "s").alias("enc"),
+    ).orderBy("rank")

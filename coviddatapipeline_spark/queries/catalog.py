@@ -114,82 +114,72 @@ _LOADED = False
 # covered yet. Rows-only entries (no oracle) are kept BELOW the window —
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
-#
-# Round-7 window (VERDICT r06 #1 + #3): (a) the FIVE round-6 unfreeze
-# entries take their first driver rows — after this round every one of
-# the 260+ registered entries is driver-verified; (b) the round-6
-# changed-oracle re-entries (EMB_DIM/KM_DIM guards landed r06); (c) the
-# 33 entries whose oracles (and, where noted, engine loads) changed in
-# the round-7 poison-totality pass — EMB_DIM guards module-wide in
-# similarity.py, Spark-semantics floor/decimal/JSON/NULL-ordering
-# mirrors elsewhere (all clean-data no-ops, each re-proven by a
-# targeted poison-parity run AND the full three-SF sweep); (d) the
-# versioned-table scratch-staleness fix re-enters both its consumers.
-# Remaining slots: multiply-green sentinels. New round-7 entries sit
-# BELOW the window with three-SF stamps and take driver rows in r08.
 _PRIORITY: tuple[str, ...] = (
+    # --- Round-8 window (VERDICT r07 #1/#2): (a) the three round-7
+    # unfreeze entries take their FIRST driver rows, restoring full
+    # 263/263 driver coverage (264th entry ann_ivf_rebalance_drift was
+    # added below this window in round 8 and takes its rows in r09);
+    # (b) every entry whose oracle or engine changed this round — the
+    # four converged NULLS-FIRST / concat / total-order poison mirrors,
+    # the first-UTF-8-byte normalization pair, the BIGINT histogram
+    # bin, and the KMV set-ops totality + shared-kernel refactor; (c)
+    # module canaries for each touched operator file; (d) multiply-
+    # green diversity fill across untouched modules.
     # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",
+    "s1_scan_count_orders",
+    "q4_topk_other_share",
     "dedup_minhash_lsh",
-    # --- round-6 unfreeze: first driver rows (VERDICT r06 #1) ---
-    "dedup_longest_repeated_substring",
-    "dedup_exact_substring_removal",
-    "dedup_boilerplate_maximal_kgrams",
-    "dedup_duplicated_passages_topk",
-    "warehouse_time_travel_read",
-    # --- round-6 changed-oracle re-entries (NEXT.md r07 MUSTs) ---
-    "dedup_embedding_cosine_pairs",
-    "ivf_kmeans_lloyd",
-    "ann_cosine_topk_ivf_trained",
-    # --- round-7 poison-totality oracle changes: similarity.py
-    #     (module-wide EMB_DIM guard, engine _emb + oracle _g) ---
-    "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_ivf",
-    "ann_recall_ivf_vs_exact",
-    "ann_cosine_topk_multiprobe",
-    "label_centroid_similarity",
-    "knn_graph_within_cell",
-    "ann_lsh_hyperplane_topk",
-    "ann_recall_trained_vs_exact",
-    "semdedup_cell_prune",
-    "ann_matryoshka_recall",
-    "pq_codebook_assign",
-    "pq_adc_topk_recall",
-    "graph_semantic_clusters",
-    "ann_ivf_nprobe_curve",
-    "ann_hard_negative_mining",
-    # --- round-7 poison-totality oracle changes: other modules ---
-    "emb_vector_quality_audit",
-    "hybrid_rrf_fusion",
-    "ivf_kmeans_one_step",
-    "decimal_money_totals",
+    "text_token_stats",
+    "events_sessionization",
+    # --- round-7 unfreeze: first driver rows ---
+    "dedup_passage_occurrences_topk",
+    "mm_image_decode_png",
+    "sketch_kmv_set_ops",
+    # --- round-8 changed entries (oracle and/or engine) ---
+    "q3_browse_limit",
+    "window_lag_order_gap_days",
+    "pagination_offset_limit",
+    "string_functions_showcase",
     "part_price_histogram",
+    "mm_decode_features_pandas",
+    "mm_av_header_probe",
+    # --- module canaries (touched files, unchanged entries) ---
+    "mm_image_decode_bmp",
+    "sketch_hll_cardinality",
+    "ann_cosine_topk_ivf_trained",
+    "semdedup_cell_prune",
+    # --- multiply-green diversity fill ---
+    "dedup_exact_substring_removal",
+    "dedup_duplicated_passages_topk",
+    "dedup_longest_repeated_substring",
+    "dedup_embedding_cosine_pairs",
+    "events_sliding_window",
+    "warehouse_snapshot_diff_cdc",
+    "warehouse_time_travel_read",
+    "ivf_kmeans_lloyd",
+    "pq_adc_topk_recall",
+    "hybrid_rrf_fusion",
+    "text_vocab_growth_curve",
+    "decimal_money_totals",
     "rfm_customer_segments",
     "from_json_typed_props",
     "daily_revenue_anomalies",
     "profile_orders_columns",
     "dq_benford_first_digit",
-    "dq_k_anonymity_audit",
-    "table_stats_analyze_audit",
     "skew_salted_join_agg",
     "window_moving_avg_7day_revenue",
     "json_props_topk",
     "f3_f4_cast_with_default",
-    "text_vocab_growth_curve",
-    "sketch_hll_cardinality",
-    # --- versioned-table scratch-staleness fix (ADVICE r06) touched
-    #     this entry's storage protocol path; re-verify ---
-    "warehouse_snapshot_diff_cdc",
-    # --- round-7 multimodal oracle mirrors (the NULL-payload
-    #     degenerate class converged: COALESCE/CASE twins of the
-    #     kernels' documented 0-byte-asset conventions) ---
-    "mm_image_decode_bmp",
-    "mm_decode_features_pandas",
-    "mm_resize_plan_pandas",
-    "mm_frame_offsets",
-    "mm_av_header_probe",
-    # --- round-7 NULL-ts window mirror (F.window drops the row) ---
-    "events_sliding_window",
+    "knn_graph_within_cell",
+    "emb_vector_quality_audit",
+    "graph_semantic_clusters",
+    "tpch_q12_shipdelay_priority",
+    "orders_yoy_growth",
+    "text_zipf_fit",
+    "sample_weighted_bernoulli",
+    "events_cohort_retention",
 )
 
 
