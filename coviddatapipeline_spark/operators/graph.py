@@ -705,3 +705,143 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {den}) AS BIGINT)"
         ).alias("assortativity_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the co-purchase graph (iterative, exact fixed-point)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3  # power-iteration steps
+PR_SCALE = 10**12  # total rank mass, distributed as integers
+PR_D_NUM, PR_D_DEN = 17, 20  # damping d = 0.85 as an exact rational
+PR_TOP = 20
+
+
+def _pr_oracle() -> str:
+    parts = [
+        f"""
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        base AS (
+            SELECT n_nodes,
+                   CAST({PR_SCALE} // n_nodes AS BIGINT) AS r0,
+                   CAST(({PR_D_DEN - PR_D_NUM} * ({PR_SCALE} // n_nodes))
+                        // {PR_D_DEN} AS BIGINT) AS b
+            FROM n
+        ),
+        r0 AS (SELECT src AS part, (SELECT r0 FROM base) AS pr FROM deg)"""
+    ]
+    for it in range(1, PR_ITERS + 1):
+        parts.append(f"""
+        r{it} AS (
+            SELECT e.dst AS part,
+                   CAST((SELECT b FROM base)
+                        + {PR_D_NUM} * sum(r.pr // d.d) // {PR_D_DEN}
+                        AS BIGINT) AS pr
+            FROM edges e
+            JOIN r{it - 1} r ON e.src = r.part
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        )""")
+    return f"""
+        WITH {",".join(parts)},
+        ranked AS (
+            SELECT part, pr, d.d AS n_neighbors,
+                   row_number() OVER (ORDER BY pr DESC, part) AS rank
+            FROM r{PR_ITERS} JOIN deg d ON part = d.src
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, part, pr,
+               n_neighbors
+        FROM ranked WHERE rank <= {PR_TOP}
+        ORDER BY rank
+    """
+
+
+@register(
+    "graph_copurchase_pagerank",
+    oracle=_pr_oracle(),
+    doc=(
+        f"PageRank (Page et al. 1999, public) over the order-level "
+        f"co-purchase graph: parts sharing an order are linked both "
+        f"ways (undirected as a symmetric directed graph, so every "
+        f"node has out-degree >= 1 and in-degree >= 1 — no dangling-"
+        f"mass handling needed, documented), then {PR_ITERS} power-"
+        f"iteration steps with damping {PR_D_NUM}/{PR_D_DEN} in EXACT "
+        f"fixed-point integers: total mass {PR_SCALE} floor-divided "
+        f"across nodes, per-edge contribution pr DIV degree, update "
+        f"base + {PR_D_NUM} * sum DIV {PR_D_DEN} — every intermediate "
+        f"is a positive int64 (mass <= {PR_SCALE} << 2^53), so the "
+        f"ranks hash identically cross-engine where float PageRank "
+        f"would diverge on partial-sum order alone (the Lloyd/ACF "
+        f"exact-integer house pattern). Top-{PR_TOP} parts by final "
+        f"rank. Scale: the edge build is the per-order quadratic "
+        f"self-join (sum-of-basket-squares, the affinity entry's "
+        f"bounded-block shape); each iteration is one equi-join on "
+        f"src + one map-side-combinable groupBy on dst — shuffle on "
+        f"the edge key only, rank state is node-sized, {PR_ITERS} "
+        f"rounds of lineage (no unbounded growth). Oracle: the "
+        f"unrolled r0..r{PR_ITERS} CTE chain."
+    ),
+    tags=("graph", "iterative", "agg"),
+)
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    scalars = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr(f"CAST({PR_SCALE} DIV count(*) AS BIGINT)").alias("r0"),
+        F.expr(
+            f"CAST({PR_D_DEN - PR_D_NUM} * ({PR_SCALE} DIV count(*))"
+            f" DIV {PR_D_DEN} AS BIGINT)"
+        ).alias("b"),
+    )
+    # rank state rides the node set; the two scalars broadcast
+    r = deg.crossJoin(F.broadcast(scalars)).select(
+        F.col("src").alias("part"), F.col("r0").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("part", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV d").alias("c"))
+        )
+        r = (
+            contrib.groupBy(F.col("dst").alias("part"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(scalars))
+            .select(
+                "part",
+                F.expr(
+                    f"CAST(b + {PR_D_NUM} * s DIV {PR_D_DEN} AS BIGINT)"
+                ).alias("pr"),
+            )
+        )
+    top = (
+        r.join(deg.select(F.col("src").alias("part"),
+                          F.col("d").cast("long").alias("n_neighbors")), "part")
+        .orderBy(F.col("pr").desc(), "part")
+        .limit(PR_TOP)
+    )
+    w = _W.orderBy(F.col("pr").desc(), "part")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "part", "pr", "n_neighbors")
+        .orderBy("rank")
+    )
