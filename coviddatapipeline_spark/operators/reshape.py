@@ -543,14 +543,21 @@ def union_by_name_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "orders_yoy_growth",
     oracle="""
+        -- NULLS FIRST pins the lag chain to Spark's default ASC null
+        -- placement (DuckDB defaults NULLS LAST): a NULL-dated poison
+        -- year otherwise sits at the opposite end of the series and
+        -- flips both its own growth and its neighbor's lag. x/0 is
+        -- NULL in DuckDB exactly like the engine's try_divide, so the
+        -- zero-revenue NULL-year predecessor stays NULL on both sides.
+        -- No-op on clean data (round-8 poison-parity convergence).
         WITH yearly AS (
             SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS rev
             FROM orders GROUP BY 1
         )
         SELECT yr,
                round(rev, 2) AS revenue,
-               round(100.0 * (rev - lag(rev) OVER (ORDER BY yr))
-                     / lag(rev) OVER (ORDER BY yr), 4) AS yoy_pct
+               round(100.0 * (rev - lag(rev) OVER (ORDER BY yr NULLS FIRST))
+                     / lag(rev) OVER (ORDER BY yr NULLS FIRST), 4) AS yoy_pct
         FROM yearly
         ORDER BY yr
     """,

@@ -1199,14 +1199,21 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "layout_rle_run_profile",
     oracle="""
+        -- NULLS FIRST pins both physical sort orders to Spark's
+        -- default ASC null placement (DuckDB defaults NULLS LAST): a
+        -- NULL-keyed poison order otherwise sits at the opposite end
+        -- of the layout and shifts the adjacency run count by its
+        -- run boundaries. No-op on clean data (round-8 convergence).
         WITH by_status AS (
             SELECT o_orderstatus AS v,
-                   row_number() OVER (ORDER BY o_orderstatus, o_orderkey) AS rn
+                   row_number() OVER (ORDER BY o_orderstatus NULLS FIRST,
+                                      o_orderkey NULLS FIRST) AS rn
             FROM orders
         ),
         by_date AS (
             SELECT o_orderstatus AS v,
-                   row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+                   row_number() OVER (ORDER BY o_orderdate NULLS FIRST,
+                                      o_orderkey NULLS FIRST) AS rn
             FROM orders
         ),
         runs AS (
@@ -1289,3 +1296,97 @@ def layout_rle_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_rows * 100 DIV n_runs AS BIGINT)").alias("avg_run_len_e2"),
         F.expr("CAST(n_runs * 10000 DIV n_rows AS BIGINT)").alias("rle_ratio_e4"),
     ).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema's FK edges
+# ---------------------------------------------------------------------------
+
+# (relation label, child table, fk column, parent table, pk column)
+_RI_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _RI_EDGES:
+        parts.append(f"""
+        SELECT '{label}' AS relation,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}
+                WHERE {fk} IS NULL) AS n_null_fk,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+                WHERE c.{fk} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{fk})) AS n_orphans""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+        SELECT relation, n_child, n_null_fk, n_orphans,
+               CAST(CASE WHEN n_child = 0 THEN NULL
+                    ELSE n_orphans * 1000000 // n_child END AS BIGINT)
+                   AS orphan_ppm
+        FROM ({body})
+        ORDER BY relation
+    """
+
+
+@register(
+    "dq_referential_integrity_audit",
+    oracle=_ri_oracle(),
+    doc=(
+        "Referential-integrity audit over every FK edge of the star "
+        "schema: per relation, the child row count, NULL-FK count "
+        "(unset keys, reported separately — a NULL FK is not an "
+        "orphan), and ORPHAN count (non-NULL FK with no parent row), "
+        "with the orphan share in ppm — the data-quality gate a "
+        "warehouse load runs before publishing a snapshot, and the "
+        "first thing a join-result discrepancy investigation checks. "
+        "Each edge is one left-anti join against the parent KEY "
+        "column (dimension parents broadcast; the fact-fact edge "
+        "shuffles on the join key only — no row data moves, keys "
+        "only) plus two map-side-combinable counts; edges are "
+        "independent, so the whole audit is one union of 7 small "
+        "plans that AQE schedules concurrently. ppm division is "
+        "guarded (empty child -> NULL on both engines)."
+    ),
+    tags=("warehouse", "dq", "join"),
+)
+def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, fk, parent, pk in _RI_EDGES:
+        c = t(spark, sf_dir, child)
+        pkeys = t(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        counts = c.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("__fk"))
+            .join(pkeys, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        row = (
+            counts.crossJoin(orphans)
+            .select(
+                F.lit(label).alias("relation"),
+                F.col("n_child").cast("long").alias("n_child"),
+                "n_null_fk",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.expr(
+                    "CAST(CASE WHEN n_child = 0 THEN NULL"
+                    " ELSE n_orphans * 1000000 DIV n_child END AS BIGINT)"
+                ).alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")

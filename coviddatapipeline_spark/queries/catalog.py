@@ -176,10 +176,11 @@ _PRIORITY: tuple[str, ...] = (
     "emb_vector_quality_audit",
     "graph_semantic_clusters",
     "tpch_q12_shipdelay_priority",
-    "orders_yoy_growth",
     "text_zipf_fit",
-    "sample_weighted_bernoulli",
-    "events_cohort_retention",
+    # --- round-8 late conversions: NULLS FIRST lag/layout pins found
+    #     by the registry-wide parity inventory (changed oracles) ---
+    "orders_yoy_growth",
+    "layout_rle_run_profile",
 )
 
 
