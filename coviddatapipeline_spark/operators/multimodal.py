@@ -865,3 +865,341 @@ def mm_av_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("container", "codec")
     )
+
+
+# --- real GIF87a decode: LZW is the second REAL compressed format ----------
+#
+# The PNG path proved zlib-family (DEFLATE) decode end-to-end; GIF's
+# LZW is a different compression family entirely — dictionary-building
+# variable-width codes, LSB-first bit packing, sub-block framing, a
+# color table indirection — and it needs only the stdlib. The encoder
+# below writes spec-valid GIF87a (header, logical screen descriptor,
+# 256-entry global color table, image descriptor, LZW-compressed 8-bit
+# index data with clear-code dictionary resets at 4096, trailer); the
+# decoder parses any such non-interlaced 8-bit GIF back. Pixel INDICES
+# follow the house deterministic pattern (index i = (31*doc_id + i)
+# mod 256) and the emitted top-left value is the PALETTE-MAPPED red
+# channel (palette r = (idx*7 + 3) mod 256 — deliberately non-identity
+# so a color-table parsing bug cannot hide behind the index pattern).
+
+GIF_PAL_MUL, GIF_PAL_ADD = 7, 3  # palette r-channel: (idx*7 + 3) % 256
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (GIF spec)
+
+
+def make_gif_encoder():
+    """Factory for a spec-valid GIF87a encoder (8-bit, global color
+    table, real LZW with variable code widths and dictionary resets).
+    Nested like the PNG/BMP kernels so cloudpickle ships it by value."""
+    import struct
+
+    def lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        def fresh():
+            return {bytes([i]): i for i in range(clear)}
+
+        width = min_code_size + 1
+        table = fresh()
+        next_code = eoi + 1
+        emit(clear, width)
+        buf = b""
+        for b in indices:
+            nxt = buf + bytes([b])
+            if nxt in table:
+                buf = nxt
+                continue
+            emit(table[buf], width)
+            table[nxt] = next_code
+            next_code += 1
+            # encoder bumps width when the NEXT code to assign no
+            # longer fits (the decoder, one entry behind, bumps at
+            # (1 << width) — the standard giflib pairing)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code > _GIF_MAX_CODE:
+                emit(clear, width)
+                table = fresh()
+                next_code = eoi + 1
+                width = min_code_size + 1
+            buf = bytes([b])
+        if buf:
+            emit(table[buf], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def encode_gif(width: int, height: int, indices: bytes) -> bytes:
+        assert len(indices) == width * height
+        pal = bytearray()
+        for i in range(256):
+            pal += bytes(
+                ((i * GIF_PAL_MUL + GIF_PAL_ADD) % 256, (i * 2) % 256, (255 - i))
+            )
+        out = bytearray(b"GIF87a")
+        # logical screen descriptor: GCT present, 8 bits/color, 256 entries
+        out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        out += pal
+        # image descriptor: full frame, no LCT, not interlaced
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW minimum code size
+        data = lzw_encode(indices)
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3B"  # block terminator + trailer
+        return bytes(out)
+
+    return encode_gif
+
+
+def encode_gif(width: int, height: int, indices: bytes) -> bytes:
+    """Module-level convenience over make_gif_encoder() for tests."""
+    return make_gif_encoder()(width, height, indices)
+
+
+def make_gif_decoder():
+    """Factory for a real GIF87a/89a decoder (non-interlaced 8-bit
+    single frame, global color table): header magic, screen/image
+    descriptor parse, sub-block reassembly, variable-width LZW with
+    clear-code resets, palette mapping. Returns closed-form stats or
+    None for anything truncated, corrupt, or outside the supported
+    profile (never misdecodes)."""
+    import struct
+
+    def lzw_decode(data: bytes, n_expected: int, min_code_size: int = 8):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        pos = 0
+        acc = 0
+        nbits = 0
+
+        def read(width: int):
+            nonlocal pos, acc, nbits
+            while nbits < width:
+                if pos >= len(data):
+                    return None
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return code
+
+        def fresh():
+            return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+        out = bytearray()
+        table = fresh()
+        width = min_code_size + 1
+        prev = None
+        while True:
+            code = read(width)
+            if code is None:
+                return None  # ran out of bits before EOI
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None  # first code must be literal
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                return None  # code beyond table: corrupt stream
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) > n_expected:
+                return None  # more pixels than the descriptor declared
+        if len(out) != n_expected:
+            return None
+        return bytes(out)
+
+    def decode_gif_stats(blob: bytes):
+        if blob is None or len(blob) < 13 + 768 + 10 + 4:
+            return None
+        if blob[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+        if not packed & 0x80 or (packed & 0x07) != 7:
+            return None  # need a 256-entry global color table
+        pos = 13
+        pal = blob[pos : pos + 768]
+        if len(pal) < 768:
+            return None
+        pos += 768
+        if pos >= len(blob) or blob[pos] != 0x2C:
+            return None  # single-image profile only (no extensions)
+        if pos + 10 > len(blob):
+            return None
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+        pos += 10
+        if ipacked & 0x40:
+            return None  # interlaced: unsupported profile, reject
+        if ipacked & 0x80:
+            return None  # local color table: unsupported profile
+        if w == 0 or h == 0 or w != sw or h != sh:
+            return None
+        if pos >= len(blob):
+            return None
+        min_code_size = blob[pos]
+        pos += 1
+        if min_code_size != 8:
+            return None
+        chunks = bytearray()
+        while True:
+            if pos >= len(blob):
+                return None  # truncated before block terminator
+            n = blob[pos]
+            pos += 1
+            if n == 0:
+                break
+            block = blob[pos : pos + n]
+            if len(block) < n:
+                return None
+            chunks += block
+            pos += n
+        if pos >= len(blob) or blob[pos] != 0x3B:
+            return None  # missing trailer
+        idx = lzw_decode(bytes(chunks), w * h, min_code_size)
+        if idx is None:
+            return None
+        n = w * h
+        top_left_r = pal[idx[0] * 3]
+        mean_index_e4 = sum(idx) * 10000 // n
+        return (w, h, 1, n, top_left_r, mean_index_e4)
+
+    return decode_gif_stats
+
+
+@register(
+    "mm_image_decode_gif",
+    # Closed form: indices follow the house pattern (31*doc_id + i)
+    # mod 256, so the mean index reuses the byte-cycle sum; the
+    # top-left value is PALETTE-MAPPED ((idx*7 + 3) mod 256), so the
+    # hash additionally certifies the color-table parse — a decoder
+    # that skipped the palette would still get the indices right and
+    # FAIL here.
+    oracle=f"""
+        WITH dims AS (
+            -- COALESCE mirrors the kernel (NULL payload = 0-byte
+            -- asset, which still decodes as the deterministic 4x4):
+            -- total on poison corpora, no-op on clean data.
+            SELECT doc_id,
+                   (COALESCE(octet_length(encode(text)), 0) % 64 + 4) AS w,
+                   (COALESCE(octet_length(encode(text)), 0) % 48 + 4) AS h,
+                   (doc_id * 31) % 256 AS a
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, a, w * h AS n,
+                   (w * h) // 256 AS full_cycles,
+                   (w * h) % 256 AS rem
+            FROM dims
+        ),
+        tail AS (
+            SELECT p.doc_id, COALESCE(sum((p.a + s.i) % 256), 0) AS tail_sum
+            FROM px p
+            LEFT JOIN (SELECT unnest(generate_series(0, 255)) AS i) s
+              ON s.i < p.rem
+            GROUP BY p.doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.w AS INT) AS width,
+               CAST(p.h AS INT) AS height,
+               1 AS channels,
+               CAST(p.n AS BIGINT) AS n_pixel_bytes,
+               CAST((p.a * {GIF_PAL_MUL} + {GIF_PAL_ADD}) % 256 AS INT)
+                   AS top_left_r,
+               CAST((p.full_cycles * {_BYTE_CYCLE_SUM} + t.tail_sum) * 10000 // p.n
+                    AS BIGINT) AS mean_index_e4,
+               true AS decoded
+        FROM px p JOIN tail t ON p.doc_id = t.doc_id
+        ORDER BY p.doc_id
+    """,
+    doc=(
+        "REAL decode of a SECOND compressed image family via "
+        "mapInPandas — GIF87a, whose LZW is a genuinely different "
+        "algorithm class from PNG's DEFLATE: dictionary-building "
+        "variable-width codes (9->12 bits), LSB-first bit packing, "
+        "clear-code dictionary resets at 4096, sub-block framing, and "
+        "a global-color-table indirection. Each document's payload "
+        "size seeds the house deterministic index pattern, serialized "
+        "into a spec-valid 8-bit GIF and parsed back by an actual LZW "
+        "decoder (KwKwK case included); the reported top-left value "
+        "is palette-MAPPED through a non-identity color table, so the "
+        "cross-engine hash certifies the full compression round trip "
+        "AND the palette parse. Unsupported profiles (interlace, "
+        "local color tables, extensions, non-8-bit) are rejected with "
+        "None, never misdecoded; truncation/corruption rejection is "
+        "hypothesis-tested. Scale: map-only Arrow-batched kernel, one "
+        "row per asset, O(pixels) like any real decoder."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decode = make_gif_decoder()
+    encode = make_gif_encoder()
+
+    def decode_gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def make_indices(doc_id: int, n_bytes: int):
+            w = n_bytes % 64 + 4
+            h = n_bytes % 48 + 4
+            a = (doc_id * 31) % 256
+            flat = ((a + np.arange(w * h)) % 256).astype(np.uint8)
+            return w, h, flat.tobytes()
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, idx = make_indices(
+                    int(doc_id), len(payload) if payload is not None else 0
+                )
+                d = decode(encode(w, h, idx))
+                out.append(
+                    (int(doc_id),) + d + (True,)
+                    if d is not None
+                    else (int(doc_id), 0, 0, 0, 0, 0, 0, False)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_pixel_bytes", "top_left_r", "mean_index_e4", "decoded",
+                ],
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    schema = (
+        "doc_id long, width int, height int, channels int, "
+        "n_pixel_bytes long, top_left_r int, mean_index_e4 long, decoded boolean"
+    )
+    return p.mapInPandas(decode_gif_batch, schema=schema).orderBy("doc_id")

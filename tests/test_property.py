@@ -654,3 +654,123 @@ def test_png_misfiltered_encode_fails_the_stats_oracle():
     # Up declared but never applied: column prefix sums from row 2 on
     got2 = decode(blob_declaring_filter(2))
     assert got2 is not None and got2[5] != expect[5]
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=41),
+    h=st.integers(min_value=1, max_value=29),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, seed):
+    """ANY (width, height, index seed) must survive the full LZW round
+    trip — variable-width codes, LSB-first packing, sub-block framing,
+    palette mapping — back to the closed-form stats; and truncation or
+    single-byte corruption of the code stream must be rejected with
+    None, never an exception."""
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        GIF_PAL_ADD,
+        GIF_PAL_MUL,
+        encode_gif,
+        make_gif_decoder,
+    )
+
+    decode = make_gif_decoder()
+    n = w * h
+    flat = ((seed % 251) + 7 * np.arange(n, dtype=np.int64)) % 256
+    idx = flat.astype(np.uint8).tobytes()
+    blob = encode_gif(w, h, idx)
+
+    expect = (
+        w, h, 1, n,
+        (int(flat[0]) * GIF_PAL_MUL + GIF_PAL_ADD) % 256,
+        int(flat.sum()) * 10000 // n,
+    )
+    assert decode(blob) == expect
+
+    assert decode(blob[:-1]) is None  # missing trailer
+    assert decode(blob[: len(blob) // 2]) is None
+    # corrupt one byte inside the LZW data (after header+palette+
+    # image descriptor + code size + first sub-block length byte)
+    off = 13 + 768 + 10 + 2
+    if off < len(blob) - 2:
+        corrupt = blob[:off] + bytes([blob[off] ^ 0xFF]) + blob[off + 1 :]
+        # a flipped code either decodes to DIFFERENT pixels/length or
+        # is rejected — it must never crash and never match the stats
+        got = decode(corrupt)
+        assert got is None or got != expect
+
+
+def test_gif_decoder_rejects_unsupported_profiles():
+    """Interlaced / local-color-table / non-8-bit profiles must be
+    rejected with None — never misdecoded."""
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_gif,
+        make_gif_decoder,
+    )
+
+    decode = make_gif_decoder()
+    blob = encode_gif(3, 2, bytes(6))
+    assert decode(blob) is not None
+    assert decode(b"JIF87a" + blob[6:]) is None  # magic
+    desc = 13 + 768  # image-descriptor offset
+    # interlace flag on
+    inter = blob[: desc + 9] + bytes([blob[desc + 9] | 0x40]) + blob[desc + 10 :]
+    assert decode(inter) is None
+    # local color table flag on
+    lct = blob[: desc + 9] + bytes([blob[desc + 9] | 0x80]) + blob[desc + 10 :]
+    assert decode(lct) is None
+    # minimum code size other than 8
+    mcs = blob[: desc + 10] + b"\x07" + blob[desc + 11 :]
+    assert decode(mcs) is None
+
+
+def test_gif_lzw_dictionary_reset_path():
+    """An image large enough to overflow the 12-bit code space must
+    force a clear-code dictionary reset inside one stream and still
+    round-trip exactly (the reset branch is otherwise never hit at
+    testdata asset sizes)."""
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        GIF_PAL_ADD,
+        GIF_PAL_MUL,
+        encode_gif,
+        make_gif_decoder,
+    )
+
+    decode = make_gif_decoder()
+    w, h = 120, 90  # 10800 px: dict passes 4096 entries -> reset
+    n = w * h
+    flat = (np.arange(n, dtype=np.int64) * 13 + 5) % 256
+    blob = encode_gif(w, h, flat.astype(np.uint8).tobytes())
+    assert decode(blob) == (
+        w, h, 1, n,
+        (5 * GIF_PAL_MUL + GIF_PAL_ADD) % 256,
+        int(flat.sum()) * 10000 // n,
+    )
+
+
+def test_gif_palette_is_actually_parsed():
+    """NEGATIVE CONTROL (the PNG misfiltered-stats analog): the
+    reported top-left value is the PALETTE-mapped red channel, so a
+    blob whose color table was tampered with must decode to DIFFERENT
+    stats — proving the decoder reads the table rather than echoing
+    the index pattern."""
+    from coviddatapipeline_spark.operators.multimodal import (
+        encode_gif,
+        make_gif_decoder,
+    )
+
+    decode = make_gif_decoder()
+    idx = bytes([9, 9, 9, 9])
+    blob = encode_gif(2, 2, idx)
+    good = decode(blob)
+    assert good is not None
+    pal_off = 13 + 9 * 3  # entry for index 9, red channel
+    tampered = blob[:pal_off] + bytes([blob[pal_off] ^ 0xFF]) + blob[pal_off + 1 :]
+    bad = decode(tampered)
+    assert bad is not None and bad[4] != good[4] and bad[:4] == good[:4]
