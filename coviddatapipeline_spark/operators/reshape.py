@@ -360,36 +360,51 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rfm_customer_segments",
+    # Monetary is carried as EXACT integer cents end-to-end (round-4
+    # fixed-point pattern): per-order cents via the total Spark-floor
+    # form, int64 sums, and a HALF_UP average as pure integer division
+    # (2S + n) div (2n) — both engines truncate integer division toward
+    # zero, verified. The previous double-avg form hit a data-dependent
+    # last-ulp tie at sf0.1 (261145116.5 +/- 1 ulp) when round-8
+    # testdata regenerated; exact cents cannot tie.
     oracle=f"""
         WITH rfm AS (
             SELECT o_custkey,
                    max(o_orderdate) AS last_order,
                    count(*) AS frequency,
-                   sum(o_totalprice) AS monetary
+                   -- duck_floor_long mirrors Spark's total floor(double)
+                   -- (NaN order -> 0 cents, Inf -> Long.MAX) instead of
+                   -- crashing DuckDB's CAST; no-op on finite prices.
+                   sum({duck_floor_long('o_totalprice * 100 + 0.5')})
+                       AS monetary_cents
             FROM orders GROUP BY o_custkey
         ),
         scored AS (
             SELECT o_custkey,
                    -- NULLS FIRST pins DuckDB to Spark's ASC default (a
                    -- NULL last_order from an all-NULL-date customer sorts
-                   -- first in Spark, last in bare DuckDB); NaN sorts
-                   -- greatest on both engines. No-op when keys are
-                   -- non-NULL (clean data).
+                   -- first in Spark, last in bare DuckDB). No-op when
+                   -- keys are non-NULL (clean data).
                    ntile(4) OVER (ORDER BY last_order NULLS FIRST,
                                   o_custkey NULLS FIRST) AS r,
                    ntile(4) OVER (ORDER BY frequency NULLS FIRST,
                                   o_custkey NULLS FIRST) AS f,
-                   ntile(4) OVER (ORDER BY monetary NULLS FIRST,
+                   ntile(4) OVER (ORDER BY monetary_cents NULLS FIRST,
                                   o_custkey NULLS FIRST) AS m,
-                   monetary
+                   monetary_cents
             FROM rfm
         )
         SELECT concat(r, f, m) AS segment,
                count(*) AS n_customers,
-               -- duck_floor_long mirrors Spark's total floor(double)
-               -- (NaN monetary -> 0 cents) instead of crashing DuckDB's
-               -- CAST; no-op on finite totals.
-               ({duck_floor_long('avg(monetary) * 100 + 0.5')}) AS avg_monetary_cents
+               -- avg() semantics: divide by the non-NULL count; NULL
+               -- when every customer's monetary is NULL (mirrors
+               -- Spark's div-by-zero -> NULL).
+               -- CAST collapses DuckDB's HUGEINT sum-promotion back to
+               -- the engine's int64 (round-2 HUGEINT class)
+               CAST(CASE WHEN count(monetary_cents) = 0 THEN NULL
+                         ELSE (2 * sum(monetary_cents) + count(monetary_cents))
+                              // (2 * count(monetary_cents)) END
+                    AS BIGINT) AS avg_monetary_cents
         FROM scored
         GROUP BY 1
         ORDER BY segment
@@ -401,7 +416,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "numbers (operators/ranking.py) + the closed-form ntile formula "
         "— the per-customer table is still SF-scaled (billions of "
         "customers at 100 TB), so no unpartitioned ntile windows "
-        "(round-1 scale-killer, VERDICT.md fix #4)."
+        "(round-1 scale-killer, VERDICT.md fix #4). Money is exact "
+        "integer cents throughout: sums, the m-quartile sort key, and "
+        "the HALF_UP average ((2S+n) div 2n) are all int64 — "
+        "bit-deterministic under any partitioning / summation order."
     ),
     tags=("window", "agg", "analytics"),
 )
@@ -420,26 +438,36 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # floor(double) is total in Spark (NaN->0, Inf->Long.MAX)
+            # and returns LongType: exact cents, order-independent sum
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias(
+                "monetary_cents"
+            ),
         )
         .persist()
     )
     ranked, n = with_global_row_number(rfm, ["last_order", "o_custkey"], out="rn_r")
     ranked, _ = with_global_row_number(ranked, ["frequency", "o_custkey"], out="rn_f")
-    ranked, _ = with_global_row_number(ranked, ["monetary", "o_custkey"], out="rn_m")
+    ranked, _ = with_global_row_number(
+        ranked, ["monetary_cents", "o_custkey"], out="rn_m"
+    )
     scored = ranked.select(
         ntile_from_rn(F.col("rn_r"), n, 4).alias("r"),
         ntile_from_rn(F.col("rn_f"), n, 4).alias("f"),
         ntile_from_rn(F.col("rn_m"), n, 4).alias("m"),
-        "monetary",
+        "monetary_cents",
     )
     return (
         scored.groupBy(F.concat("r", "f", "m").alias("segment"))
         .agg(
             F.count("*").alias("n_customers"),
-            # fixed-point HALF_UP: avg of 2dp sums ties at .xx5 where
-            # Spark/DuckDB round() disagree; floor(x*100+0.5) is stable
-            F.floor(F.avg("monetary") * 100 + 0.5).cast("long").alias("avg_monetary_cents"),
+            # HALF_UP average in pure integer arithmetic; Spark's `div`
+            # yields NULL on a zero divisor (all-NULL segment), matching
+            # the oracle's CASE.
+            F.expr(
+                "(2 * sum(monetary_cents) + count(monetary_cents))"
+                " div (2 * count(monetary_cents))"
+            ).alias("avg_monetary_cents"),
         )
         .orderBy("segment")
     )
