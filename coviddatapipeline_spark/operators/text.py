@@ -1627,3 +1627,144 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("long").alias("n_tokens"),
         F.concat_ws("|", "s").alias("enc"),
     ).orderBy("rank")
+
+
+# --- HTML main-content extraction -------------------------------------------
+#
+# The Common-Crawl-shaped op: web-archive text arrives wrapped in
+# markup, and the FIRST pipeline stage is boilerplate-strip + main-text
+# extraction (what trafilatura/jusText do with a DOM; at 100 TB the
+# cheap regex pass below is the pre-filter that runs on everything,
+# with DOM parsing reserved for pages that survive). The testdata has
+# no HTML column, so each document is wrapped in a deterministic page
+# template (head/title/style/script/nav/footer chrome around the text
+# in a <p> island) IN THE QUERY on both engines — the extraction chain
+# then has to recover exactly the original main text, dropping every
+# chrome block. Entity decode is ordered the standard way: &lt;/&gt;
+# AFTER tag stripping (a decoded '<' must not create fake tags),
+# &amp; LAST (no double-decode).
+#
+# Everything is JVM-side regexp/replace column algebra — no UDF, no
+# shuffle, whole-stage-codegen'd; the oracle runs the IDENTICAL chain
+# in DuckDB (patterns restricted to the Java-regex ∩ RE2 common
+# subset: no backreferences, inline (?s) only, ASCII \s per the
+# module-wide _NORM contract).
+
+_HTML_PRE = (
+    "<html><head><title>Doc</title>"
+    '<style type="text/css">p{margin:0;padding:0}</style>'
+    "<script>var t = 1 < 2 && 3 > 2;</script></head>"
+    '<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+    '<div id="main"><p>'
+)
+_HTML_POST = (
+    "</p></div><footer>&copy; 2026 Example &amp; Sons</footer></body></html>"
+)
+
+# (pattern, replacement) chain shared verbatim by both engines.
+# head is dropped wholesale FIRST (title text is chrome, not content);
+# script/style keep their own rules because real pages embed them in
+# the body too.
+_HTML_STRIP_CHAIN = (
+    (r"(?s)<head[^>]*>.*?</head>", " "),
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<nav[^>]*>.*?</nav>", " "),
+    (r"(?s)<footer[^>]*>.*?</footer>", " "),
+    (r"<[^>]*>", " "),
+)
+
+
+def _html_oracle() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    x = f"'{pre}' || text || '{post}'"
+    for pat, rep in _HTML_STRIP_CHAIN:
+        p = pat.replace("\\", "\\\\").replace("'", "''")
+        x = f"regexp_replace({x}, '{p}', '{rep}', 'g')"
+    x = f"replace(replace(replace({x}, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    x = f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH ext AS (
+            SELECT doc_id,
+                   '{pre}' || text || '{post}' AS page,
+                   {x} AS main_text
+            FROM documents
+        )
+        SELECT doc_id,
+               octet_length(encode(page)) AS n_raw_bytes,
+               length(main_text) AS n_text_chars,
+               CASE WHEN main_text IS NULL OR main_text = '' THEN 0
+                    ELSE len(string_split(main_text, ' ')) END AS n_tokens,
+               md5(main_text) AS main_md5,
+               CASE WHEN page IS NULL THEN NULL
+                    ELSE length(main_text) * 10000 // length(page) END
+                   AS content_ratio_e4
+        FROM ext
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_html_extract",
+    oracle=_html_oracle(),
+    doc=(
+        "HTML boilerplate-strip / main-text extraction — the first "
+        "stage of a web-crawl training-data pipeline: each document is "
+        "wrapped in a deterministic page template (title/style/script/"
+        "nav/footer chrome with hostile content — a script containing "
+        "literal < and > operators, entity-encoded footer text) and "
+        "the extraction chain must recover exactly the original main "
+        "text: dotall block removal for script/style/nav/footer, tag "
+        "stripping, spec-ordered entity decode (&lt;/&gt; after tags, "
+        "&amp; last), whitespace collapse. The md5 of the recovered "
+        "text cross-engine-certifies the whole chain. Pure JVM-side "
+        "regexp column algebra — no UDF, no shuffle, map-only at any "
+        "scale; patterns are restricted to the Java-regex/RE2 common "
+        "subset (no backreferences) so the oracle runs the identical "
+        "chain."
+    ),
+    tags=("text",),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return html_extract_report(docs).orderBy("doc_id")
+
+
+def html_main_text(page: Column) -> Column:
+    """The extraction chain as a reusable Column: strip chain + spec-
+    ordered entity decode + whitespace collapse. Shared verbatim by
+    the registered batch entry and the streaming ingest twin
+    (pipeline/streaming.py) so audit and ingest cannot drift."""
+    x = page
+    for pat, rep in _HTML_STRIP_CHAIN:
+        x = F.regexp_replace(x, pat, rep)
+    x = F.replace(x, F.lit("&lt;"), F.lit("<"))
+    x = F.replace(x, F.lit("&gt;"), F.lit(">"))
+    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def html_extract_report(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> per-doc extraction report. Unordered —
+    callers sort (the batch entry) or append as-is (the twin)."""
+    page = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    main = html_main_text(page)
+    return docs.select("doc_id", page.alias("page"), main.alias("main_text")).select(
+        "doc_id",
+        F.octet_length("page").cast("long").alias("n_raw_bytes"),
+        F.length("main_text").cast("long").alias("n_text_chars"),
+        F.when(
+            F.col("main_text").isNull() | (F.col("main_text") == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size(F.split("main_text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.encode("main_text", "UTF-8")).alias("main_md5"),
+        F.when(F.col("page").isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            (F.length("main_text") * 10000 / F.length("page")).cast("long")
+        )
+        .alias("content_ratio_e4"),
+    )

@@ -907,3 +907,45 @@ def stream_kmv_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_html_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """HTML main-text extraction ON the ingest path (the 19th twin) —
+    the first stage of a crawl pipeline run where it actually runs in
+    production: raw pages stream in, every micro-batch is pushed
+    through ``text.html_extract_report`` — literally the same JVM-side
+    regexp chain the registered ``text_html_extract`` entry audits
+    (head/script/style/nav/footer strip, tag strip, spec-ordered
+    entity decode, whitespace collapse) — and each doc appends its
+    extraction report (byte sizes, token count, md5-certified main
+    text, content ratio). Sharing the kernel means the audited batch
+    semantics and the ingest-path behavior cannot drift.
+
+    Exactness contract (tested): extraction is per-row and stateless —
+    no cross-batch or cross-doc state — so the union of per-batch
+    emissions equals the batch kernel on the union of the input for
+    ANY trigger split. foreachBatch append is at-least-once on trigger
+    retry (same caveat as the other map-only twins); dedup downstream
+    on doc_id if exactly-once materialization matters. Scale: pure
+    whole-stage-codegen'd column algebra per trigger, zero
+    engine-carried state, map-only at any rate.
+    """
+    from coviddatapipeline_spark.operators.text import html_extract_report
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def extract(batch_df, batch_id: int) -> None:
+        html_extract_report(batch_df).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(extract)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

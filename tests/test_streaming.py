@@ -806,6 +806,7 @@ _TWIN_CONTRACTS = {
     "stream_substring_scrub": "test_stream_substring_scrub_matches_batch",
     "stream_ivf_cell_assign": "test_stream_ivf_cell_assign_matches_batch",
     "stream_kmv_distinct": "test_stream_kmv_distinct_matches_batch",
+    "stream_html_extract": "test_stream_html_extract_matches_batch",
 }
 
 
@@ -1169,3 +1170,46 @@ def test_stream_kmv_distinct_matches_batch(spark, tmp_path, parity_sf_dir):
     store.write.mode("append").parquet(out)
     replay = {(r["g"], r["h"]) for r in kmv_merge(spark.read.parquet(out)).collect()}
     assert replay == got
+
+
+def test_stream_html_extract_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The ingest-path HTML extraction must emit EXACTLY the per-doc
+    report the shared batch kernel computes over the same corpus —
+    across two incremental drains, so trigger-split independence is
+    part of the assertion (extraction is per-row and stateless)."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.text import html_extract_report
+    from coviddatapipeline_spark.pipeline.streaming import stream_html_extract
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(docs.filter(F.col("doc_id") <= mid), "p1")
+    stream_html_extract(spark, in_dir, out, ckpt, docs.schema).awaitTermination(120)
+    stage(docs.filter(F.col("doc_id") > mid), "p2")
+    stream_html_extract(spark, in_dir, out, ckpt, docs.schema).awaitTermination(120)
+
+    key = lambda r: (
+        r["doc_id"], r["n_raw_bytes"], r["n_text_chars"], r["n_tokens"],
+        r["main_md5"], r["content_ratio_e4"],
+    )
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    want = {key(r) for r in html_extract_report(docs).collect()}
+    assert got == want and len(want) > 0
+    # non-vacuous: extraction actually stripped chrome on every doc
+    assert all(k[1] is None or k[2] is None or k[2] < k[1] for k in want)
