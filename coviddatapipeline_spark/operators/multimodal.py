@@ -1203,3 +1203,237 @@ def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixel_bytes long, top_left_r int, mean_index_e4 long, decoded boolean"
     )
     return p.mapInPandas(decode_gif_batch, schema=schema).orderBy("doc_id")
+
+
+# --- WAV (RIFF/PCM16) audio decode ------------------------------------------
+#
+# The third REAL format family, and the one that makes the AUDIO
+# modality genuine: RIFF is the container grammar shared by WAV/AVI/ANI
+# (chunked, little-endian, word-aligned), and PCM16 is what every audio
+# pipeline normalizes to before feature extraction. The encoder emits a
+# spec-valid mono PCM16 WAV — including a deliberately ODD-sized junk
+# LIST chunk between fmt and data, so the decoder's chunk walk must
+# honor the RIFF pad-to-even rule or desynchronize (the classic WAV
+# parser bug). The decoder is a real chunk walker: it validates magics,
+# skips unknown chunks with padding, requires fmt before data, checks
+# PCM/mono/16-bit, and rejects truncation. Reference scope anchor: the
+# reference pipeline has no binary decode at all (its one transform is
+# row-wise string cleanup, dags/ETL.py:96-102); this is north-star
+# extension surface.
+
+_WAV_SAMPLE_MOD = 4001  # sample values cycle in [-2000, 2000]
+_WAV_SAMPLE_STEP = 193  # coprime with 4001 -> full-cycle coverage
+
+
+def make_wav_encoder():
+    """Closure-only (cloudpickle-by-value) spec-valid WAV writer:
+    RIFF/WAVE, fmt(PCM,mono,16bit), an odd-length junk LIST chunk, then
+    data. Samples: iterable of ints in [-32768, 32767]."""
+    import struct
+
+    def encode(sample_rate: int, samples) -> bytes:
+        data = b"".join(struct.pack("<h", int(s)) for s in samples)
+        fmt = struct.pack(
+            "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        # Odd-sized junk chunk: 5 payload bytes -> 1 pad byte required
+        # by RIFF word alignment. A decoder that forgets the pad reads
+        # the next chunk id one byte early and must reject or misparse.
+        junk = b"INFOx"
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return encode
+
+
+def make_wav_decoder():
+    """Real RIFF/WAVE chunk-walk PCM16 decoder. Returns
+    (n_samples, sample_rate, duration_us, first_sample, peak_abs,
+    sum_abs, zero_crossings) or None on any malformed/unsupported
+    input (never misdecodes)."""
+    import struct
+
+    def decode(b: bytes):
+        try:
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            (riff_len,) = struct.unpack_from("<I", b, 4)
+            if 8 + riff_len != len(b):
+                return None  # truncated or trailing garbage
+            pos = 12
+            fmt_ok = False
+            sample_rate = 0
+            data = None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack_from("<I", b, pos + 4)
+                body_start = pos + 8
+                if body_start + clen > len(b):
+                    return None  # chunk overruns file
+                if cid == b"fmt ":
+                    if clen < 16:
+                        return None
+                    audio_fmt, n_ch, sr, _br, block, bits = struct.unpack_from(
+                        "<HHIIHH", b, body_start
+                    )
+                    # PCM mono 16-bit only; reject, never misdecode.
+                    if audio_fmt != 1 or n_ch != 1 or bits != 16 or block != 2:
+                        return None
+                    sample_rate = sr
+                    fmt_ok = True
+                elif cid == b"data":
+                    if not fmt_ok:
+                        return None  # fmt must precede data (spec)
+                    data = b[body_start : body_start + clen]
+                # unknown chunks (LIST/JUNK/...) are skipped
+                pos = body_start + clen + (clen & 1)  # RIFF pad-to-even
+            if data is None or len(data) % 2 != 0:
+                return None
+            import numpy as np
+
+            v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            n = int(v.size)
+            if n == 0:
+                return None
+            av = np.abs(v)
+            zc = int(np.count_nonzero(v[1:] * v[:-1] < 0))
+            return (
+                n,
+                int(sample_rate),
+                n * 1_000_000 // int(sample_rate),
+                int(v[0]),
+                int(av.max()),
+                int(av.sum()),
+                zc,
+            )
+        except Exception:
+            return None
+
+    return decode
+
+
+@register(
+    "mm_audio_decode_wav",
+    # Closed form: samples are ((a + i*STEP) % MOD) - 2000 with
+    # a = (doc_id*31) % MOD, n = n_bytes % 480 + 16,
+    # sr = 8000 << (n_bytes % 3). The oracle re-derives every per-
+    # sample statistic (peak, exact |v| sum, strict sign-change count
+    # via lag) from the same integer recurrence, so the cross-engine
+    # hash certifies the full encode -> RIFF chunk walk -> PCM decode
+    # round trip including the odd-chunk pad rule (a pad bug shifts
+    # the data chunk and fails decode -> decoded=false row -> hash
+    # mismatch).
+    oracle=f"""
+        WITH dims AS (
+            -- COALESCE mirrors the kernel (NULL payload = 0-byte
+            -- asset, which still decodes as the deterministic
+            -- 16-sample clip): total on poison, no-op on clean data.
+            SELECT doc_id,
+                   COALESCE(octet_length(encode(text)), 0) % 480 + 16 AS n,
+                   (doc_id * 31) % {_WAV_SAMPLE_MOD} AS a,
+                   8000 * (1 << (COALESCE(octet_length(encode(text)), 0) % 3))
+                       AS sr
+            FROM documents
+        ),
+        samp AS (
+            SELECT d.doc_id, s.i,
+                   ((d.a + s.i * {_WAV_SAMPLE_STEP}) % {_WAV_SAMPLE_MOD})
+                       - 2000 AS v
+            FROM dims d
+            JOIN (SELECT unnest(generate_series(0, 495)) AS i) s
+              ON s.i < d.n
+        ),
+        lagged AS (
+            SELECT doc_id, i, v,
+                   lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+            FROM samp
+        ),
+        stats AS (
+            SELECT doc_id,
+                   count(*) AS n,
+                   min(CASE WHEN i = 0 THEN v END) AS first_sample,
+                   max(abs(v)) AS peak_abs,
+                   sum(abs(v)) AS sum_abs,
+                   sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                            THEN 1 ELSE 0 END) AS zero_crossings
+            FROM lagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(s.n AS INT) AS n_samples,
+               CAST(d.sr AS INT) AS sample_rate,
+               CAST(s.n * 1000000 // d.sr AS BIGINT) AS duration_us,
+               CAST(s.first_sample AS INT) AS first_sample,
+               CAST(s.peak_abs AS INT) AS peak_abs,
+               CAST(s.sum_abs AS BIGINT) AS sum_abs,
+               CAST(s.zero_crossings AS INT) AS zero_crossings,
+               true AS decoded
+        FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc=(
+        "REAL audio decode — the third format family, making the audio "
+        "modality genuine: a spec-valid mono PCM16 RIFF/WAVE file is "
+        "synthesized per document (including an ODD-sized junk LIST "
+        "chunk that forces the reader to honor RIFF's pad-to-even "
+        "rule) and parsed back by an actual chunk-walking WAV decoder "
+        "(magic validation, unknown-chunk skip with padding, "
+        "fmt-before-data ordering, PCM/mono/16-bit profile check, "
+        "truncation rejection). Per-clip statistics — exact |v| sum, "
+        "peak, strict sign-change zero crossings, integer microsecond "
+        "duration — are re-derived in closed form by the oracle, so "
+        "the hash certifies the byte-level round trip. Scale: map-only "
+        "Arrow-batched mapInPandas, one row per asset, O(samples) per "
+        "clip — the production shape with soundfile/librosa swapped "
+        "in; non-PCM profiles reject with None, never misdecode."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decode = make_wav_decoder()
+    encode = make_wav_encoder()
+
+    def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def make_clip(doc_id: int, n_bytes: int):
+            n = n_bytes % 480 + 16
+            a = (doc_id * 31) % _WAV_SAMPLE_MOD
+            sr = 8000 * (1 << (n_bytes % 3))
+            v = (a + np.arange(n, dtype=np.int64) * _WAV_SAMPLE_STEP) % (
+                _WAV_SAMPLE_MOD
+            ) - 2000
+            return sr, v
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, v = make_clip(
+                    int(doc_id), len(payload) if payload is not None else 0
+                )
+                d = decode(encode(sr, v))
+                out.append(
+                    (int(doc_id),) + d + (True,)
+                    if d is not None
+                    else (int(doc_id), 0, 0, 0, 0, 0, 0, 0, False)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_us",
+                    "first_sample", "peak_abs", "sum_abs", "zero_crossings",
+                    "decoded",
+                ],
+            )
+
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    schema = (
+        "doc_id long, n_samples int, sample_rate int, duration_us long, "
+        "first_sample int, peak_abs int, sum_abs long, zero_crossings int, "
+        "decoded boolean"
+    )
+    return p.mapInPandas(decode_wav_batch, schema=schema).orderBy("doc_id")

@@ -774,3 +774,133 @@ def test_gif_palette_is_actually_parsed():
     tampered = blob[:pal_off] + bytes([blob[pal_off] ^ 0xFF]) + blob[pal_off + 1 :]
     bad = decode(tampered)
     assert bad is not None and bad[4] != good[4] and bad[:4] == good[:4]
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    a=st.integers(min_value=0, max_value=4000),
+    sr_exp=st.integers(min_value=0, max_value=2),
+)
+def test_wav_roundtrip_property(n, a, sr_exp):
+    """ANY (clip length, seed, sample rate) must survive the RIFF
+    round trip — chunk walk with the odd-LIST pad byte, PCM16 decode —
+    back to the exact integer stats; truncation and magic corruption
+    must reject with None, never an exception."""
+    import numpy as np
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        _WAV_SAMPLE_MOD,
+        _WAV_SAMPLE_STEP,
+        make_wav_decoder,
+        make_wav_encoder,
+    )
+
+    encode = make_wav_encoder()
+    decode = make_wav_decoder()
+    sr = 8000 * (1 << sr_exp)
+    v = (a + np.arange(n, dtype=np.int64) * _WAV_SAMPLE_STEP) % (
+        _WAV_SAMPLE_MOD
+    ) - 2000
+    blob = encode(sr, v)
+
+    av = np.abs(v)
+    expect = (
+        n, sr, n * 1_000_000 // sr, int(v[0]), int(av.max()),
+        int(av.sum()), int(np.count_nonzero(v[1:] * v[:-1] < 0)),
+    )
+    assert decode(blob) == expect
+
+    assert decode(blob[:-1]) is None  # RIFF length now overruns
+    assert decode(blob[: len(blob) // 2]) is None
+    assert decode(b"RIFX" + blob[4:]) is None  # big-endian form
+    assert decode(blob[:8] + b"AVI " + blob[12:]) is None
+
+
+def test_wav_decoder_rejects_unsupported_profiles_and_pad_rule():
+    """Non-PCM / stereo / 24-bit fmt profiles must reject with None;
+    and the odd-sized LIST chunk must be the thing that proves the
+    pad-to-even walk (dropping the pad byte desynchronizes the chunk
+    stream and the decoder must reject, not misparse)."""
+    import struct
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        make_wav_decoder,
+        make_wav_encoder,
+    )
+
+    encode = make_wav_encoder()
+    decode = make_wav_decoder()
+    blob = encode(8000, [1, -2, 3])
+    assert decode(blob) is not None
+
+    fmt_off = 12 + 8  # RIFF header + 'fmt '+len
+    def patch_fmt(field_off, fmt_char, value):
+        b = bytearray(blob)
+        struct.pack_into(fmt_char, b, fmt_off + field_off, value)
+        return bytes(b)
+
+    assert decode(patch_fmt(0, "<H", 3)) is None   # IEEE float fmt
+    assert decode(patch_fmt(2, "<H", 2)) is None   # stereo
+    assert decode(patch_fmt(14, "<H", 24)) is None # 24-bit
+
+    # Remove the LIST pad byte (shortening RIFF size to stay
+    # consistent): every subsequent chunk id is now read one byte
+    # early -> the walk must fail, never return plausible stats.
+    list_off = 12 + 8 + 16  # after fmt chunk
+    assert blob[list_off:list_off + 4] == b"LIST"
+    (list_len,) = struct.unpack_from("<I", blob, list_off + 4)
+    pad_at = list_off + 8 + list_len
+    unpadded = bytearray(blob[:pad_at] + blob[pad_at + 1:])
+    struct.pack_into("<I", unpadded, 4, len(unpadded) - 8)
+    assert decode(bytes(unpadded)) is None
+
+    # Tamper negative control: flip one sample byte — decode SUCCEEDS
+    # (framing intact) but the stats move, so the closed-form oracle
+    # hash would catch a decoder that read the wrong bytes.
+    data_payload = pad_at + 1 + 8  # pad byte + 'data'+len
+    tampered = bytearray(blob)
+    tampered[data_payload] ^= 0x40
+    got = decode(bytes(tampered))
+    assert got is not None and got != decode(blob)
+
+
+def test_html_extract_recovers_ground_truth(spark, tmp_path):
+    """Cross-engine parity alone can't catch a bug shared by both
+    chains; this pins the extraction against GROUND TRUTH: the
+    recovered main text must equal the whitespace-normalized original,
+    entity decode must be spec-ordered (a decoded &lt;b&gt; must
+    survive as literal '<b>', not get re-stripped), and the hostile
+    chrome (script with < > operators, entity-encoded footer) must
+    vanish entirely."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain  text   with\truns", "en", "s0", 22),
+            (1, "entities stay: &lt;b&gt; and A &amp; B", "en", "s0", 38),
+            (2, "", "en", "s0", 0),
+            (3, None, "en", "s0", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    from coviddatapipeline_spark.operators.text import text_html_extract
+
+    rows = {r["doc_id"]: r for r in text_html_extract(spark, sf).collect()}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # normalized original text recovered exactly
+    assert rows[0]["main_md5"] == md5("plain text with runs")
+    assert rows[0]["n_tokens"] == 4
+    # entity decode AFTER tag strip: '<b>' survives as text
+    assert rows[1]["main_md5"] == md5("entities stay: <b> and A & B")
+    # empty doc: all chrome stripped -> empty main text, 0 tokens
+    assert rows[2]["n_text_chars"] == 0 and rows[2]["n_tokens"] == 0
+    # NULL text: NULL-propagating concat -> NULL page, NULL stats
+    assert rows[3]["main_md5"] is None and rows[3]["content_ratio_e4"] is None
