@@ -23,7 +23,7 @@ from coviddatapipeline_spark.queries.catalog import register
 _VERSIONED_SCRATCH_COUNTERS: dict[str, "object"] = {}
 
 
-def _versioned_scratch_root(sf_dir: str) -> str:
+def _versioned_scratch_root(sf_dir: str, prefix: str = "cdp_versioned_cdc_") -> str:
     import atexit
     import hashlib
     import itertools
@@ -33,7 +33,7 @@ def _versioned_scratch_root(sf_dir: str) -> str:
 
     base = os.path.join(
         tempfile.gettempdir(),
-        "cdp_versioned_cdc_"
+        prefix
         + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         + f"_{os.getpid()}",
     )
@@ -1390,3 +1390,69 @@ def dq_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relation")
+
+
+@register(
+    "storage_orc_roundtrip_parity",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "SECOND columnar storage format, end-to-end: the pruned "
+        "lineitem projection is written to ORC in scratch, read back "
+        "through Spark's native ORC reader, and aggregated under a "
+        "selective date predicate — the oracle recomputes from the "
+        "original parquet, so the hash certifies the full "
+        "parquet->ORC->scan round trip (values, types, NULLs). The "
+        "scan-side contract is pinned by a plan test: the shipdate "
+        "predicate reaches the ORC reader as PushedFilters and the "
+        "ReadSchema carries only the 5 projected columns — ORC keeps "
+        "the same pushdown/pruning posture as the parquet path "
+        "(tests/test_storage_layout.py). At 100 TB this is the "
+        "format-migration safety check a warehouse runs before "
+        "switching a table's storage."
+    ),
+    tags=("storage", "source", "agg"),
+)
+def storage_orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from coviddatapipeline_spark.sources import write_orc
+
+    root = _versioned_scratch_root(sf_dir, prefix="cdp_orc_roundtrip_")
+    path = os.path.join(root, "lineitem_orc")
+    write_orc(
+        t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ),
+        path,
+    )
+    return build_orc_scan_agg(spark, path)
+
+
+def build_orc_scan_agg(spark: SparkSession, orc_path: str) -> DataFrame:
+    """The read-side plan of storage_orc_roundtrip_parity, factored so
+    the pushdown plan test asserts on the same builder the entry runs."""
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.sources import read_orc
+
+    orc = read_orc(spark, orc_path)
+    return (
+        orc.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -442,3 +442,31 @@ def test_read_versioned_at_time_travel_and_retention(spark, tmp_path):
     assert read_versioned_at(spark, root, 1).count() == 20
     with pytest.raises(FileNotFoundError):
         read_versioned_at(spark, root, 0)
+
+
+def test_orc_entry_scan_has_pushdown_and_pruning(spark, parity_sf_dir, tmp_path):
+    """storage_orc_roundtrip_parity's read side (the factored
+    build_orc_scan_agg the entry itself runs): the shipdate predicate
+    must reach the ORC reader as PushedFilters and ReadSchema must
+    carry only the 5 projected columns — the ORC path keeps the same
+    scan posture as the parquet path."""
+    from coviddatapipeline_spark.operators.warehouse import build_orc_scan_agg
+    from coviddatapipeline_spark.sources import write_orc
+
+    li = t(spark, parity_sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    plan = executed_plan(build_orc_scan_agg(spark, path))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+    # Spark truncates the FileScan schema string with '...', so assert
+    # on the visible prefix (projection order is deterministic) and on
+    # the absence of unprojected columns.
+    schema = plan.split("ReadSchema")[1][:300]
+    for col in ("l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount"):
+        assert col in schema, schema
+    assert "l_orderkey" not in schema and "l_quantity" not in schema
