@@ -181,6 +181,11 @@ _PRIORITY: tuple[str, ...] = (
     #     by the registry-wide parity inventory (changed oracles) ---
     "orders_yoy_growth",
     "layout_rle_run_profile",
+    # rfm_customer_segments (already a fill slot above) is ALSO a
+    # round-8 changed entry: regenerated sf0.1 testdata surfaced a
+    # double-avg last-ulp tie, so monetary moved to exact integer
+    # cents end-to-end (engine + oracle; see operators/reshape.py).
+    "events_asof_next_purchase",
 )
 
 
