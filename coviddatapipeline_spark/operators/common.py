@@ -89,3 +89,20 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identity on wall-clock values.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+# Deterministic HTML page template shared by text.text_html_extract
+# (which must strip it back off) and multimodal's WARC container entry
+# (which wraps it into HTTP payloads). Lives HERE because common.py is
+# a fingerprint-salt module: editing the template re-gates the sweep
+# stamps of every consumer in one place.
+HTML_PRE = (
+    "<html><head><title>Doc</title>"
+    '<style type="text/css">p{margin:0;padding:0}</style>'
+    "<script>var t = 1 < 2 && 3 > 2;</script></head>"
+    '<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+    '<div id="main"><p>'
+)
+HTML_POST = (
+    "</p></div><footer>&copy; 2026 Example &amp; Sons</footer></body></html>"
+)

@@ -1650,16 +1650,13 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subset: no backreferences, inline (?s) only, ASCII \s per the
 # module-wide _NORM contract).
 
-_HTML_PRE = (
-    "<html><head><title>Doc</title>"
-    '<style type="text/css">p{margin:0;padding:0}</style>'
-    "<script>var t = 1 < 2 && 3 > 2;</script></head>"
-    '<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
-    '<div id="main"><p>'
-)
-_HTML_POST = (
-    "</p></div><footer>&copy; 2026 Example &amp; Sons</footer></body></html>"
-)
+# The page template itself lives in operators/common.py (a fingerprint
+# SALT module) because the WARC container entry (operators/multimodal.py)
+# wraps the same template into its HTTP payloads — a shared constant in
+# a salted module re-gates every consumer's sweep stamp on edit, exactly
+# like the other cross-module kernels.
+from coviddatapipeline_spark.operators.common import HTML_POST as _HTML_POST
+from coviddatapipeline_spark.operators.common import HTML_PRE as _HTML_PRE
 
 # (pattern, replacement) chain shared verbatim by both engines.
 # head is dropped wholesale FIRST (title text is chrome, not content);

@@ -949,3 +949,48 @@ def stream_html_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """WARC container parsing ON the ingest path (the 20th twin) — the
+    Common Crawl arrival shape run where it runs in production: raw
+    documents stream in, every micro-batch is pushed through
+    ``multimodal.warc_parse_report`` — literally the same gzip-member
+    split / WARC-header / HTTP-peel round-trip kernel the registered
+    ``mm_warc_record_parse`` entry audits — and each archive appends
+    its parse report (member count, Content-Length, md5-certified
+    payload, target URI, decode verdict). Sharing the kernel means the
+    audited batch semantics and the ingest-path behavior cannot drift;
+    chained with ``stream_html_extract`` this is the full
+    warc -> html -> text arrival pipeline.
+
+    Exactness contract (tested): parsing is per-archive and stateless,
+    so the union of per-batch emissions equals the batch kernel on the
+    union of the input for ANY trigger split. foreachBatch append is
+    at-least-once on trigger retry (same caveat as the other map-only
+    twins); dedup downstream on doc_id if exactly-once materialization
+    matters. Scale: map-only Arrow-batched kernel per trigger, zero
+    engine-carried state, embarrassingly parallel at any rate.
+    """
+    from coviddatapipeline_spark.operators.multimodal import warc_parse_report
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def parse(batch_df, batch_id: int) -> None:
+        payloads = batch_df.select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        warc_parse_report(payloads).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(parse)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

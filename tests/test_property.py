@@ -904,3 +904,88 @@ def test_html_extract_recovers_ground_truth(spark, tmp_path):
     assert rows[2]["n_text_chars"] == 0 and rows[2]["n_tokens"] == 0
     # NULL text: NULL-propagating concat -> NULL page, NULL stats
     assert rows[3]["main_md5"] is None and rows[3]["content_ratio_e4"] is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**40),
+    body=st.binary(min_size=0, max_size=2000),
+)
+def test_warc_roundtrip_property(doc_id, body):
+    """ANY (doc_id, payload bytes) must survive the container round
+    trip — member split, WARC header parse, Content-Length slice,
+    HTTP peel — and truncation / gzip corruption must reject with
+    None, never an exception (gzip CRC makes compressed-stream
+    tampering detectable by construction)."""
+    import hashlib
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        _WARC_HTTP_HDR,
+        _WARC_URI_PRE,
+        make_warc_decoder,
+        make_warc_encoder,
+    )
+
+    encode = make_warc_encoder()
+    decode = make_warc_decoder()
+    blob = encode(doc_id, body)
+
+    expect = (
+        2,
+        len(_WARC_HTTP_HDR) + len(body),
+        hashlib.md5(body).hexdigest(),
+        f"{_WARC_URI_PRE}{doc_id}",
+    )
+    assert decode(blob) == expect
+
+    assert decode(blob[:-1]) is None          # truncated final member
+    assert decode(blob[: len(blob) // 2]) is None
+    assert decode(b"\x00\x00" + blob) is None  # not a gzip member
+    # corrupt INSIDE member 1's deflate stream (the 10-byte gzip header
+    # has don't-care fields — MTIME/XFL/OS — where a flip is a no-op)
+    off = 12
+    corrupt = blob[:off] + bytes([blob[off] ^ 0xFF]) + blob[off + 1 :]
+    assert decode(corrupt) is None or decode(corrupt) != expect
+
+
+def test_warc_decoder_record_level_rejections():
+    """Record-level malformations that survive gzip must still reject:
+    a missing response record, a Content-Length short of the body, a
+    missing record terminator, a non-1.0 version line."""
+    import gzip
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        make_warc_decoder,
+        make_warc_encoder,
+    )
+
+    decode = make_warc_decoder()
+    encode = make_warc_encoder()
+    blob = encode(7, b"hello")
+    assert decode(blob) is not None
+
+    def member(txt: bytes) -> bytes:
+        return gzip.compress(txt, mtime=0)
+
+    def rec(version=b"WARC/1.0", wtype=b"response", cl=None,
+            body=b"HTTP/1.1 200 OK\r\n\r\nxyz", term=b"\r\n\r\n"):
+        n = len(body) if cl is None else cl
+        return (
+            version + b"\r\n"
+            + b"WARC-Type: " + wtype + b"\r\n"
+            + b"WARC-Target-URI: http://example.org/doc/7\r\n"
+            + b"Content-Length: " + str(n).encode() + b"\r\n\r\n"
+            + body + term
+        )
+
+    assert decode(member(rec())) is not None          # control
+    assert decode(member(rec(wtype=b"request"))) is None   # no response
+    assert decode(member(rec(version=b"WARC/0.18"))) is None
+    assert decode(member(rec(cl=2))) is None          # CL short: terminator misaligned
+    assert decode(member(rec(term=b"\r\n"))) is None  # bad terminator
+    # request member + response member: request's malformation poisons
+    # the whole archive (a real reader must not skip silently)
+    assert decode(member(rec(wtype=b"request", term=b"\r\n")) + member(rec())) is None
+    # response-first member order is fine (order is not part of the spec)
+    assert decode(member(rec()) + member(rec(wtype=b"request"))) is not None

@@ -807,6 +807,7 @@ _TWIN_CONTRACTS = {
     "stream_ivf_cell_assign": "test_stream_ivf_cell_assign_matches_batch",
     "stream_kmv_distinct": "test_stream_kmv_distinct_matches_batch",
     "stream_html_extract": "test_stream_html_extract_matches_batch",
+    "stream_warc_ingest": "test_stream_warc_ingest_matches_batch",
 }
 
 
@@ -1213,3 +1214,47 @@ def test_stream_html_extract_matches_batch(spark, tmp_path, parity_sf_dir):
     assert got == want and len(want) > 0
     # non-vacuous: extraction actually stripped chrome on every doc
     assert all(k[1] is None or k[2] is None or k[2] < k[1] for k in want)
+
+
+def test_stream_warc_ingest_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The ingest-path WARC parse must emit EXACTLY the per-archive
+    report the shared batch kernel computes over the same corpus —
+    across two incremental drains, so trigger-split independence is
+    part of the assertion (parsing is per-archive and stateless)."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.multimodal import warc_parse_report
+    from coviddatapipeline_spark.pipeline.streaming import stream_warc_ingest
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(docs.filter(F.col("doc_id") <= mid), "p1")
+    stream_warc_ingest(spark, in_dir, out, ckpt, docs.schema).awaitTermination(120)
+    stage(docs.filter(F.col("doc_id") > mid), "p2")
+    stream_warc_ingest(spark, in_dir, out, ckpt, docs.schema).awaitTermination(120)
+
+    key = lambda r: (
+        r["doc_id"], r["n_members"], r["content_length"],
+        r["payload_md5"], r["target_uri"], r["decoded"],
+    )
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    want = {key(r) for r in warc_parse_report(payloads).collect()}
+    assert got == want and len(want) > 0
+    # non-vacuous: every archive decoded with both members seen
+    assert all(k[5] and k[1] == 2 for k in want)
