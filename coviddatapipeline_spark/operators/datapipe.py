@@ -1990,3 +1990,145 @@ def pref_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- exact integer perceptron (quality classifier training) -----------------
+
+PCT_EPOCHS = 3  # batch updates; every epoch is one distributed pass
+
+# Feature extraction shared by engine and oracle AS A CONTRACT (not
+# code): [bias=1, n_chars, n_spaces, n_'e'] — all exact int64 column
+# math, total on NULL text via COALESCE-to-0. Deliberately avoids the
+# tokenizer so the entry has no cross-module kernel dependency.
+_PCT_FEATS_SQL = """
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS x0,
+               CAST(COALESCE(n_chars, 0) AS BIGINT) AS x1,
+               CAST(COALESCE(length(text) - length(replace(text, ' ', '')), 0)
+                    AS BIGINT) AS x2,
+               CAST(COALESCE(length(text) - length(replace(text, 'e', '')), 0)
+                    AS BIGINT) AS x3,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM documents
+"""
+
+
+def _pct_oracle() -> str:
+    """Unrolled CTE chain replaying the identical batch-perceptron fold:
+    epoch k's misclassified set is evaluated under epoch k-1's weights
+    (w0 = zero vector, so epoch 1 updates on every row — 0 <= 0), and
+    the new weights are the old plus the misclassified sum of y*x.
+    Every quantity is exact integer arithmetic; CASTs collapse DuckDB's
+    HUGEINT sum promotion; COALESCE mirrors the engine's empty-set -> 0
+    update (a fully-separated epoch stops moving the weights)."""
+    parts = [f"WITH feats AS ({_PCT_FEATS_SQL}),"]
+    prev_w = None  # CTE name holding (w0..w3) after epoch k
+    for k in range(1, PCT_EPOCHS + 1):
+        margin = (
+            "0"
+            if prev_w is None
+            else f"(SELECT w0 FROM {prev_w}) * x0 + (SELECT w1 FROM {prev_w}) * x1"
+            f" + (SELECT w2 FROM {prev_w}) * x2 + (SELECT w3 FROM {prev_w}) * x3"
+        )
+        parts.append(
+            f"""e{k} AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(COALESCE(sum(y * x0), 0) AS BIGINT) AS s0,
+                   CAST(COALESCE(sum(y * x1), 0) AS BIGINT) AS s1,
+                   CAST(COALESCE(sum(y * x2), 0) AS BIGINT) AS s2,
+                   CAST(COALESCE(sum(y * x3), 0) AS BIGINT) AS s3
+            FROM feats WHERE y * ({margin}) <= 0
+        ),"""
+        )
+        base = ("0, 0, 0, 0" if prev_w is None else
+                f"(SELECT w0 FROM {prev_w}), (SELECT w1 FROM {prev_w}), "
+                f"(SELECT w2 FROM {prev_w}), (SELECT w3 FROM {prev_w})")
+        parts.append(
+            f"""wk{k} AS (
+            SELECT b.c0 + e{k}.s0 AS w0, b.c1 + e{k}.s1 AS w1,
+                   b.c2 + e{k}.s2 AS w2, b.c3 + e{k}.s3 AS w3
+            FROM (SELECT {base}) AS b(c0, c1, c2, c3), e{k}
+        ),"""
+        )
+        prev_w = f"wk{k}"
+    selects = [
+        f"SELECT {k} AS epoch, wk{k}.w0, wk{k}.w1, wk{k}.w2, wk{k}.w3, "
+        f"e{k}.m AS n_updates FROM wk{k}, e{k}"
+        for k in range(1, PCT_EPOCHS + 1)
+    ]
+    body = "\n".join(parts).rstrip(",") if parts[-1].endswith(",") else "\n".join(parts)
+    # strip the trailing comma of the last CTE
+    body = "\n".join(parts)
+    body = body[: body.rfind(",")] + body[body.rfind(",") + 1 :]
+    return body + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY epoch"
+
+
+@register(
+    "quality_perceptron_train",
+    oracle=_pct_oracle(),
+    doc=(
+        f"Distributed BATCH perceptron training in exact int64 — the "
+        f"trainable-classifier counterpart of the fixed-point k-means: "
+        f"{PCT_EPOCHS} epochs, each one distributed pass computing the "
+        "misclassified set under the previous weights (zero init, so "
+        "epoch 1 updates on every row) and the batch update "
+        "w += sum(y*x) over it; features are exact integer column math "
+        "([1, n_chars, n_spaces, n_'e'] predicting lang='en'), so "
+        "weights, margins and update counts are bit-deterministic "
+        "under ANY partitioning/summation order — no float gradient "
+        "noise, the same reproducibility argument as the PageRank and "
+        "Lloyd entries. The oracle replays the identical fold as an "
+        "unrolled CTE chain. Scale: per epoch one map-side-combinable "
+        "agg over the corpus (margins are a broadcast-literal "
+        "expression); driver state is 4 ints — the classic "
+        "parameter-server-free shape for linear models."
+    ),
+    tags=("datapipe", "ml", "iterative"),
+)
+def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.lit(1).cast("long").alias("x0"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("x1"),
+        F.coalesce(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))),
+            F.lit(0),
+        ).cast("long").alias("x2"),
+        F.coalesce(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit(""))),
+            F.lit(0),
+        ).cast("long").alias("x3"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    ).persist()
+
+    w = [0, 0, 0, 0]
+    report = []
+    for epoch in range(1, PCT_EPOCHS + 1):
+        margin = (
+            F.lit(int(w[0])) * F.col("x0") + F.lit(int(w[1])) * F.col("x1")
+            + F.lit(int(w[2])) * F.col("x2") + F.lit(int(w[3])) * F.col("x3")
+        )
+        row = (
+            feats.filter((F.col("y") * margin) <= 0)
+            .agg(
+                F.count("*").alias("m"),
+                *[
+                    F.coalesce(F.sum(F.col("y") * F.col(f"x{i}")), F.lit(0))
+                    .cast("long")
+                    .alias(f"s{i}")
+                    for i in range(4)
+                ],
+            )
+            .collect()[0]
+        )  # 5 ints — metadata-sized driver state, like the Lloyd sums
+        w = [w[i] + int(row[f"s{i}"]) for i in range(4)]
+        report.append((epoch, w[0], w[1], w[2], w[3], int(row["m"])))
+
+    # the report is fully materialized driver-side; freeing the cache
+    # here keeps repeat invocations from tripping CacheManager's
+    # already-cached warning on the identical feats lineage
+    feats.unpersist()
+    return spark.createDataFrame(
+        report,
+        "epoch int, w0 long, w1 long, w2 long, w3 long, n_updates long",
+    ).orderBy("epoch")

@@ -989,3 +989,43 @@ def test_warc_decoder_record_level_rejections():
     assert decode(member(rec(wtype=b"request", term=b"\r\n")) + member(rec())) is None
     # response-first member order is fine (order is not part of the spec)
     assert decode(member(rec()) + member(rec(wtype=b"request"))) is not None
+
+
+def test_perceptron_fold_matches_python_model(spark, parity_sf_dir):
+    """Both engines could share a mis-specified fold; this pins the
+    distributed batch-perceptron against an independent pure-Python
+    replay of the same contract (zero init, update on y*margin <= 0,
+    batch sum of y*x) over the actual corpus."""
+    import duckdb
+
+    from coviddatapipeline_spark.operators.datapipe import (
+        PCT_EPOCHS,
+        quality_perceptron_train,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT COALESCE(n_chars, 0),
+                   COALESCE(length(text) - length(replace(text, ' ', '')), 0),
+                   COALESCE(length(text) - length(replace(text, 'e', '')), 0),
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+            FROM read_parquet('{parity_sf_dir}/documents.parquet')"""
+    ).fetchall()
+    feats = [(1, int(a), int(b), int(c), int(y)) for a, b, c, y in rows]
+
+    w = [0, 0, 0, 0]
+    want = []
+    for epoch in range(1, PCT_EPOCHS + 1):
+        mis = [f for f in feats if f[4] * sum(w[i] * f[i] for i in range(4)) <= 0]
+        for i in range(4):
+            w[i] += sum(f[4] * f[i] for f in mis)
+        want.append((epoch, w[0], w[1], w[2], w[3], len(mis)))
+
+    got = [
+        (r["epoch"], r["w0"], r["w1"], r["w2"], r["w3"], r["n_updates"])
+        for r in quality_perceptron_train(spark, parity_sf_dir).collect()
+    ]
+    assert got == want
+    # non-vacuous: the model actually trained (weights moved, updates
+    # shrank below the full corpus after epoch 1)
+    assert want[0][5] == len(feats) and want[1][5] < len(feats)
