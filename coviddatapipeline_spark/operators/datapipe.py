@@ -2001,7 +2001,7 @@ PCT_EPOCHS = 3  # batch updates; every epoch is one distributed pass
 # math, total on NULL text via COALESCE-to-0. Deliberately avoids the
 # tokenizer so the entry has no cross-module kernel dependency.
 _PCT_FEATS_SQL = """
-        SELECT doc_id,
+        SELECT doc_id, source,
                CAST(1 AS BIGINT) AS x0,
                CAST(COALESCE(n_chars, 0) AS BIGINT) AS x1,
                CAST(COALESCE(length(text) - length(replace(text, ' ', '')), 0)
@@ -2013,12 +2013,14 @@ _PCT_FEATS_SQL = """
 """
 
 
-def _pct_oracle() -> str:
-    """Unrolled CTE chain replaying the identical batch-perceptron fold:
-    epoch k's misclassified set is evaluated under epoch k-1's weights
-    (w0 = zero vector, so epoch 1 updates on every row — 0 <= 0), and
-    the new weights are the old plus the misclassified sum of y*x.
-    Every quantity is exact integer arithmetic; CASTs collapse DuckDB's
+def _pct_cte_chain() -> tuple[str, str]:
+    """(WITH-body, last-weights-CTE-name) for the unrolled perceptron
+    fold — shared by the train oracle (which reports every epoch) and
+    the apply oracle (which scores under the final weights): epoch k's
+    misclassified set is evaluated under epoch k-1's weights (w0 = zero
+    vector, so epoch 1 updates on every row — 0 <= 0), and the new
+    weights are the old plus the misclassified sum of y*x. Every
+    quantity is exact integer arithmetic; CASTs collapse DuckDB's
     HUGEINT sum promotion; COALESCE mirrors the engine's empty-set -> 0
     update (a fully-separated epoch stops moving the weights)."""
     parts = [f"WITH feats AS ({_PCT_FEATS_SQL}),"]
@@ -2051,15 +2053,19 @@ def _pct_oracle() -> str:
         ),"""
         )
         prev_w = f"wk{k}"
+    body = "\n".join(parts)
+    # strip the trailing comma of the last CTE
+    body = body[: body.rfind(",")] + body[body.rfind(",") + 1 :]
+    return body, prev_w
+
+
+def _pct_oracle() -> str:
+    body, _ = _pct_cte_chain()
     selects = [
         f"SELECT {k} AS epoch, wk{k}.w0, wk{k}.w1, wk{k}.w2, wk{k}.w3, "
         f"e{k}.m AS n_updates FROM wk{k}, e{k}"
         for k in range(1, PCT_EPOCHS + 1)
     ]
-    body = "\n".join(parts).rstrip(",") if parts[-1].endswith(",") else "\n".join(parts)
-    # strip the trailing comma of the last CTE
-    body = "\n".join(parts)
-    body = body[: body.rfind(",")] + body[body.rfind(",") + 1 :]
     return body + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY epoch"
 
 
@@ -2086,8 +2092,34 @@ def _pct_oracle() -> str:
     tags=("datapipe", "ml", "iterative"),
 )
 def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, report = pct_train(spark, sf_dir)
+    feats.unpersist()
+    return spark.createDataFrame(
+        report,
+        "epoch int, w0 long, w1 long, w2 long, w3 long, n_updates long",
+    ).orderBy("epoch")
+
+
+def pct_margin(w: list[int]):
+    """Broadcast-literal int64 margin expression under weights ``w``."""
+    return (
+        F.lit(int(w[0])) * F.col("x0") + F.lit(int(w[1])) * F.col("x1")
+        + F.lit(int(w[2])) * F.col("x2") + F.lit(int(w[3])) * F.col("x3")
+    )
+
+
+def pct_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple]]:
+    """Run the batch-perceptron fold and return (persisted feature
+    frame, per-epoch report rows). Shared by the registered trainer
+    entry and the apply/quality-gate entry, so 'the model the audit
+    verified' and 'the model the gate scores with' are the same code —
+    the km_train_centroids pattern. Caller unpersists the frame."""
     docs = t(spark, sf_dir, "documents")
     feats = docs.select(
+        "doc_id",
+        "source",
         F.lit(1).cast("long").alias("x0"),
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("x1"),
         F.coalesce(
@@ -2104,12 +2136,8 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = [0, 0, 0, 0]
     report = []
     for epoch in range(1, PCT_EPOCHS + 1):
-        margin = (
-            F.lit(int(w[0])) * F.col("x0") + F.lit(int(w[1])) * F.col("x1")
-            + F.lit(int(w[2])) * F.col("x2") + F.lit(int(w[3])) * F.col("x3")
-        )
         row = (
-            feats.filter((F.col("y") * margin) <= 0)
+            feats.filter((F.col("y") * pct_margin(w)) <= 0)
             .agg(
                 F.count("*").alias("m"),
                 *[
@@ -2123,12 +2151,80 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # 5 ints — metadata-sized driver state, like the Lloyd sums
         w = [w[i] + int(row[f"s{i}"]) for i in range(4)]
         report.append((epoch, w[0], w[1], w[2], w[3], int(row["m"])))
+    return feats, report
 
-    # the report is fully materialized driver-side; freeing the cache
-    # here keeps repeat invocations from tripping CacheManager's
-    # already-cached warning on the identical feats lineage
-    feats.unpersist()
-    return spark.createDataFrame(
-        report,
-        "epoch int, w0 long, w1 long, w2 long, w3 long, n_updates long",
-    ).orderBy("epoch")
+
+def _pct_apply_oracle() -> str:
+    body, last_w = _pct_cte_chain()
+    margin = (
+        f"(SELECT w0 FROM {last_w}) * x0 + (SELECT w1 FROM {last_w}) * x1"
+        f" + (SELECT w2 FROM {last_w}) * x2 + (SELECT w3 FROM {last_w}) * x3"
+    )
+    return f"""{body},
+        scored AS (
+            SELECT source, y,
+                   CASE WHEN ({margin}) > 0 THEN 1 ELSE 0 END AS pred_en,
+                   CASE WHEN y = 1 THEN 1 ELSE 0 END AS true_en
+            FROM feats
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pred_en) AS BIGINT) AS n_pred_en,
+               CAST(sum(true_en) AS BIGINT) AS n_true_en,
+               CAST(sum(CASE WHEN pred_en = true_en THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN pred_en = true_en THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT) AS accuracy_e4
+        FROM scored
+        GROUP BY source
+        ORDER BY source NULLS FIRST
+    """
+
+
+@register(
+    "quality_perceptron_apply",
+    oracle=_pct_apply_oracle(),
+    doc=(
+        "The APPLY side of the trained quality classifier — the "
+        "train/apply pairing the BPE (mine/encode) and IVF "
+        "(train/probe) families follow: the batch-perceptron weights "
+        "come from the SAME pct_train fold the trainer entry audits, "
+        "then every document is scored with the broadcast-literal "
+        "int64 margin (strictly positive => predicted English) and the "
+        "per-source gate report aggregates predicted/true/correct "
+        "counts and an exact e4 accuracy — the numbers a curation "
+        "pipeline thresholds on before admitting a source. The oracle "
+        "replays training AND scoring in one unrolled CTE chain. "
+        "Scale: training is the trainer entry's cost; scoring is one "
+        "map-only expression + a map-side-combinable groupBy on "
+        "source — no shuffle of the corpus."
+    ),
+    tags=("datapipe", "ml", "iterative"),
+)
+def quality_perceptron_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, report = pct_train(spark, sf_dir)
+    w = list(report[-1][1:5])
+    out = (
+        feats.select(
+            "source",
+            F.when(pct_margin(w) > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred_en"),
+            F.when(F.col("y") == 1, F.lit(1)).otherwise(F.lit(0)).alias("true_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pred_en").cast("long").alias("n_pred_en"),
+            F.sum("true_en").cast("long").alias("n_true_en"),
+            F.sum((F.col("pred_en") == F.col("true_en")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "source", "n_docs", "n_pred_en", "n_true_en", "n_correct",
+            F.expr("n_correct * 10000 div n_docs").alias("accuracy_e4"),
+        )
+        .orderBy("source")
+    )
+    # feats stays persisted — the returned plan reads it (the
+    # km_train_centroids precedent; Spark evicts LRU under pressure)
+    return out

@@ -37,7 +37,7 @@ ALLOWED = {
         2, "Lloyd model state: K centroids x d dims per round"),
     ("operators/datapipe.py", "ivf_kmeans_one_step"): (
         1, "K centroid seeds"),
-    ("operators/datapipe.py", "quality_perceptron_train"): (
+    ("operators/datapipe.py", "pct_train"): (
         1, "perceptron epoch state: 1 row x (4 weights + count) ints"),
     ("operators/linalg.py", "emb_pca_power_iteration"): (
         1, "one 64-dim direction vector per round"),
