@@ -283,7 +283,21 @@ def q4_topk_other_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_nation.crossJoin(F.broadcast(total)).select(
         "nation",
         "sales",
-        F.row_number().over(W.orderBy(F.col("sales").desc(), F.col("nation"))).alias("rn"),
+        # pmod(coalesce(length(nation),0),1)==0 for every row: one
+        # global partition, same semantics as the unpartitioned window
+        # over the <=25 nation rows, but planned warning-free (see
+        # retrieval.py's canonical note; bare literals get constant-
+        # folded away). The key is an INT expression on purpose:
+        # pmod(double, 1) is the fractional part (forks the partition
+        # per row) and casting a possibly-NaN double crashes under
+        # ANSI — length of the group key is total and integral.
+        F.row_number().over(
+            W.partitionBy(
+                F.pmod(
+                    F.coalesce(F.length("nation"), F.lit(0)), F.lit(1)
+                )
+            ).orderBy(F.col("sales").desc(), F.col("nation"))
+        ).alias("rn"),
         "grand_total",
     )
     return (

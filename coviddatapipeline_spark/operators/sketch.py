@@ -119,7 +119,11 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("cnt").alias("cms_estimate"), F.first("exact_count").alias("exact_count"))
     )
-    w = W.orderBy(F.col("cms_estimate").desc(), F.col("user_id"))
+    # constant-key global window over the CMS-pruned candidate set —
+    # warning-free plan, identical semantics (retrieval.py note)
+    w = W.partitionBy(
+        F.pmod(F.coalesce(F.col("cms_estimate"), F.lit(0)), F.lit(1))
+    ).orderBy(F.col("cms_estimate").desc(), F.col("user_id"))
     return (
         est.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= CMS_TOP)

