@@ -1029,3 +1029,51 @@ def test_perceptron_fold_matches_python_model(spark, parity_sf_dir):
     # non-vacuous: the model actually trained (weights moved, updates
     # shrank below the full corpus after epoch 1)
     assert want[0][5] == len(feats) and want[1][5] < len(feats)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**40),
+    body=st.binary(min_size=0, max_size=3000),
+)
+def test_tar_roundtrip_property_and_stdlib_cross_validation(doc_id, body):
+    """ANY (doc_id, payload) must survive the ustar round trip — block
+    framing, octal sizes, checksum, pad blocks, double-zero marker —
+    AND the hand-rolled writer must be spec-valid per an INDEPENDENT
+    reader: the stdlib tarfile module must see the identical members
+    and bytes (cross-implementation validation, not self-consistency).
+    Truncation / checksum damage / missing marker reject with None."""
+    import hashlib
+    import io
+    import tarfile
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        make_tar_decoder,
+        make_tar_encoder,
+    )
+
+    encode = make_tar_encoder()
+    decode = make_tar_decoder()
+    meta = f'{{"doc_id":{doc_id}}}'.encode()
+    blob = encode([("meta.json", meta), ("page.html", body)])
+
+    expect = (
+        2, len(meta) + len(body),
+        hashlib.md5(body).hexdigest(), "meta.json,page.html",
+    )
+    assert decode(blob) == expect
+
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert [(m.name, m.size) for m in tf.getmembers()] == [
+            ("meta.json", len(meta)), ("page.html", len(body)),
+        ]
+        assert tf.extractfile("page.html").read() == body
+
+    assert decode(blob[:-1]) is None            # block misalignment
+    assert decode(blob[: len(blob) // 512 * 512 - 1024]) is None
+    corrupt = bytearray(blob)
+    corrupt[130] ^= 1                            # size digit -> checksum fails
+    assert decode(bytes(corrupt)) is None
+    assert decode(blob[:-1024]) is None          # marker removed
+    assert decode(blob[:257] + b"XXXXXX" + blob[263:]) is None  # magic
