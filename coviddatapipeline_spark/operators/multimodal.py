@@ -1,16 +1,24 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio libraries, so decode of COMPRESSED
-formats (JPEG/PNG/video codecs) is out of scope — but the uncompressed
-24bpp BMP path is a REAL decoder (struct + numpy header parse, padding
-strip, row flip; see ``mm_image_decode_bmp``), oracle-checked through a
-full encode→parse→stats round trip. The remaining kernels are
-deterministic byte-level fakes with real Spark-side plumbing: binary
-column construction, metadata schema, ``mapInPandas`` batch iteration,
-output schema, and partition-parallel execution are exactly what a
-production decoder would use; only the bytes→pixels kernel body
-changes.
+The container has no imaging/audio libraries, yet most of this module
+is REAL spec-level decode built on the stdlib alone: uncompressed
+24bpp BMP (``mm_image_decode_bmp``), DEFLATE-compressed RGB8 PNG with
+CRC-verified chunks and five-filter reconstruction
+(``mm_image_decode_png``), LZW-compressed GIF87a with variable-width
+codes and palette indirection (``mm_image_decode_gif``), PCM16
+RIFF/WAVE with the pad-to-even chunk walk (``mm_audio_decode_wav``),
+WARC/gzip multi-member web archives (``mm_warc_record_parse``), and
+checksummed ustar TAR (``mm_tar_member_extract``) — each
+oracle-checked through a full encode→parse→stats round trip and
+rejection-tested on malformed input. Only entropy-coded codecs
+(JPEG's DCT, video) stay out of scope: they need codec libraries this
+container lacks. The few remaining kernels (feature probe, resize
+plan, A/V header dispatch) are deterministic byte-level fakes with
+real Spark-side plumbing: binary column construction, metadata
+schema, ``mapInPandas`` batch iteration, output schema, and
+partition-parallel execution are exactly what a production decoder
+would use; only the kernel body changes.
 
 The testdata has no binary column, so ``documents.text`` is encoded to
 UTF-8 bytes as the stand-in payload — byte-exact and engine-neutral.
