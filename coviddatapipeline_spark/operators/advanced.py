@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import duck_floor_long, t, events
+from coviddatapipeline_spark.operators.ranking import const_key
 
 
 @register(
@@ -508,7 +509,9 @@ def window_moving_avg_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-    w = W.orderBy(day_num).rangeBetween(-6, 0)
+    # constant-key global window: input is the daily aggregate series
+    # (bounded by calendar span), never the order fact table
+    w = W.partitionBy(const_key("d")).orderBy(day_num).rangeBetween(-6, 0)
     framed = daily.withColumn("ws", F.sum("cents").over(w)).withColumn(
         "wc", F.count("*").over(w)
     )

@@ -33,6 +33,17 @@ def duck_floor_long(x: str) -> str:
     )
 
 
+# Whitespace-run regex shared verbatim by BOTH engines' normalization
+# chains (text._NORM/_norm, datapipe curation, HTML extract). Java's
+# \s is exactly [ \t\n\x0B\f\r] but RE2's \s omits \x0B (vertical
+# tab), so the class is spelled out explicitly — byte-identical
+# semantics to Spark's previous \s+, and it closes the \x0B parity gap
+# on the DuckDB side (ADVICE r08). Valid and identical in Java regex
+# and RE2; contains no quote/backslash characters that would need SQL
+# escaping.
+WS_RE = r"[ \t\n\x0b\f\r]+"
+
+
 # Corpus embedding dimensionality contract. Operators whose algebra
 # requires uniform vector dimensions (k-means training, blocked exact
 # GEMM) filter to exactly this size: a NULL / empty / wrong-dimension

@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from coviddatapipeline_spark.operators.common import EMB_DIM, t
+from coviddatapipeline_spark.operators.common import EMB_DIM, WS_RE, t
 from coviddatapipeline_spark.operators.text import _SW_SQL, _TOKENS, _tokens, STOPWORDS
 from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.ranking import const_key
 
 # md5-derived uniform bucket in [0, 100): the cross-engine deterministic
 # "random" — first 8 hex chars of md5(doc_id) as an integer.
@@ -954,10 +955,10 @@ CURATION_BUDGET = 3_000
         WITH d AS (
             SELECT doc_id, lang, source,
                    len({_TOKENS.format(x='text')}) AS toks,
-                   length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                   length(replace(trim(regexp_replace(text, '{WS_RE}', ' ', 'g')),
                                   ' ', '')) * 1.0
                        / len({_TOKENS.format(x='text')}) AS alen,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   md5(lower(trim(regexp_replace(text, '{WS_RE}', ' ', 'g'))))
                        AS fp
             FROM documents
         ),
@@ -1005,7 +1006,7 @@ CURATION_BUDGET = 3_000
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks_arr = _tokens(F.col("text"))
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col("text"), WS_RE, " "))
     d = docs.select(
         "doc_id",
         "lang",
@@ -1662,11 +1663,19 @@ def mm_frame_dup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_hash = frames.groupBy("fh").agg(
         F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_occ")
     )
-    w = W.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("fh"))
-    return (
+    # distributed TakeOrdered first (shared frame hashes are
+    # data-proportional in the worst case), then a constant-key
+    # ranking window over the <= 20 surviving rows.
+    top20 = (
         by_hash.filter(F.col("n_docs") >= 2)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("fh"))
+        .limit(20)
+    )
+    w = W.partitionBy(const_key("fh")).orderBy(
+        F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("fh")
+    )
+    return (
+        top20.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "fh", "n_docs", "n_occ")
         .orderBy("rank")
     )
@@ -1751,7 +1760,9 @@ def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(s) AS BIGINT) DIV 2").alias("b"),
         F.count("*").alias("k"),
     )
-    w_ord = W.orderBy("s", "source")
+    # constant-key global windows: all of them run over the per-source
+    # aggregate (k sources), never the documents table
+    w_ord = W.partitionBy(const_key("source")).orderBy("s", "source")
     ordered = per.select(
         "source",
         F.col("s").cast("long").alias("s"),
@@ -1765,7 +1776,7 @@ def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.expr("CAST((b - (pfx - s)) DIV (k - i + 1) AS BIGINT)").alias("lvl"),
         F.expr("CAST((b - (pfx - s)) % (k - i + 1) AS BIGINT)").alias("rem"),
-        F.coalesce(F.lag("s").over(W.orderBy("i")), F.lit(0))
+        F.coalesce(F.lag("s").over(W.partitionBy(const_key("i")).orderBy("i")), F.lit(0))
         .cast("long")
         .alias("s_prev"),
     )

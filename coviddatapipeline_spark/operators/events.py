@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import events
 from coviddatapipeline_spark.operators.joins import asof_join
+from coviddatapipeline_spark.operators.ranking import const_key
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -1345,7 +1346,9 @@ def events_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "e1", "e2", "e3").alias("path")
     ).agg(F.count("*").alias("n"))
     tot = paths.agg(F.sum("n").alias("total"))
-    w_rank = W.orderBy(F.col("n").desc(), "path")
+    # constant-key global window: input is per-path aggregates, bounded
+    # by |event_type|^3 distinct 3-step paths
+    w_rank = W.partitionBy(const_key("path")).orderBy(F.col("n").desc(), "path")
     return (
         paths.crossJoin(F.broadcast(tot))
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))

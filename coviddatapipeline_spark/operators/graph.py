@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.operators.common import t
 from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.ranking import const_key
 
 PR_DAMPING = 0.85
 PR_ITERS = 3
@@ -570,10 +571,17 @@ def graph_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(support * n_cust * 10000 DIV (deg_a * deg_b) AS BIGINT)"),
         )
     )
-    w = _W.orderBy(F.col("support").desc(), "part_a", "part_b")
+    # distributed TakeOrdered first (co-purchase pairs are
+    # data-proportional), then a constant-key ranking window over the
+    # <= AFFINITY_TOP surviving rows.
+    top = scored.orderBy(
+        F.col("support").desc(), "part_a", "part_b"
+    ).limit(AFFINITY_TOP)
+    w = _W.partitionBy(const_key("part_a")).orderBy(
+        F.col("support").desc(), "part_a", "part_b"
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= AFFINITY_TOP)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "part_a", "part_b",
                 F.col("support").cast("long").alias("support"), "lift_e4")
         .orderBy("rank")
@@ -839,7 +847,8 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), "part")
         .limit(PR_TOP)
     )
-    w = _W.orderBy(F.col("pr").desc(), "part")
+    # constant-key global window: input is the <= PR_TOP limit() output
+    w = _W.partitionBy(const_key("part")).orderBy(F.col("pr").desc(), "part")
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "part", "pr", "n_neighbors")

@@ -81,8 +81,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.sha2("payload", 256).alias("digest"),
         F.col("meta.mime").alias("mime"),
-    ).orderBy("doc_id")
-
+    )
 
 # --- mapInPandas feature extraction ----------------------------------------
 
@@ -146,8 +145,7 @@ def mm_decode_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(extract_features, schema=_FEATURE_SCHEMA).orderBy("doc_id")
-
+    return p.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
 
 # --- real image decode over synthesized BMPs -------------------------------
 #
@@ -550,8 +548,7 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(decode_bmp_batch, schema=_IMAGE_SCHEMA).orderBy("doc_id")
-
+    return p.mapInPandas(decode_bmp_batch, schema=_IMAGE_SCHEMA)
 
 @register(
     "mm_image_decode_png",
@@ -657,8 +654,7 @@ def mm_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(decode_png_batch, schema=_IMAGE_SCHEMA).orderBy("doc_id")
-
+    return p.mapInPandas(decode_png_batch, schema=_IMAGE_SCHEMA)
 
 @register(
     "mm_frame_offsets",
@@ -696,8 +692,7 @@ def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .alias("n_frames"),
-    ).orderBy("doc_id")
-
+    )
 
 _RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int"
 
@@ -755,8 +750,7 @@ def mm_resize_plan_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(resize_plan, schema=_RESIZE_SCHEMA).orderBy("doc_id")
-
+    return p.mapInPandas(resize_plan, schema=_RESIZE_SCHEMA)
 
 # Deterministic fake-container dispatch tables for the header probe.
 # Indexed by cheap integer features of the payload header — real code
@@ -1210,8 +1204,7 @@ def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, channels int, "
         "n_pixel_bytes long, top_left_r int, mean_index_e4 long, decoded boolean"
     )
-    return p.mapInPandas(decode_gif_batch, schema=schema).orderBy("doc_id")
-
+    return p.mapInPandas(decode_gif_batch, schema=schema)
 
 # --- WAV (RIFF/PCM16) audio decode ------------------------------------------
 #
@@ -1284,6 +1277,8 @@ def make_wav_decoder():
                 if body_start + clen > len(b):
                     return None  # chunk overruns file
                 if cid == b"fmt ":
+                    if fmt_ok:
+                        return None  # duplicate fmt chunk (ADVICE r08)
                     if clen < 16:
                         return None
                     audio_fmt, n_ch, sr, _br, block, bits = struct.unpack_from(
@@ -1297,6 +1292,8 @@ def make_wav_decoder():
                 elif cid == b"data":
                     if not fmt_ok:
                         return None  # fmt must precede data (spec)
+                    if data is not None:
+                        return None  # duplicate data chunk (ADVICE r08)
                     data = b[body_start : body_start + clen]
                 # unknown chunks (LIST/JUNK/...) are skipped
                 pos = body_start + clen + (clen & 1)  # RIFF pad-to-even
@@ -1444,8 +1441,7 @@ def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_sample int, peak_abs int, sum_abs long, zero_crossings int, "
         "decoded boolean"
     )
-    return p.mapInPandas(decode_wav_batch, schema=schema).orderBy("doc_id")
-
+    return p.mapInPandas(decode_wav_batch, schema=schema)
 
 # --- WARC (web-archive) container parse --------------------------------------
 #
@@ -1610,8 +1606,7 @@ def _warc_oracle() -> str:
 )
 def mm_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return warc_parse_report(p).orderBy("doc_id")
-
+    return warc_parse_report(p)
 
 def warc_parse_report(payloads: DataFrame) -> DataFrame:
     """(doc_id, payload) -> per-archive parse report. The single WARC
@@ -1709,6 +1704,22 @@ def make_tar_decoder():
     or a missing double-zero end-of-archive marker."""
     import hashlib
 
+    def octal(field: bytes):
+        """Strict ustar octal field: optional leading spaces, octal
+        digits, then a NUL-or-space terminator padding the rest of
+        the field. Anything else (embedded whitespace, non-octal
+        bytes, empty digit run) is malformed -> None (ADVICE r08:
+        bare int(x, 8) silently tolerates stray whitespace)."""
+        i = 0
+        while i < len(field) and field[i : i + 1] == b" ":
+            i += 1
+        j = i
+        while j < len(field) and field[j] in b"01234567":
+            j += 1
+        if j == i or any(c not in b"\x00 " for c in field[j:]):
+            return None
+        return int(field[i:j], 8)
+
     def decode(blob: bytes):
         try:
             if len(blob) % _TAR_BLOCK != 0:
@@ -1729,19 +1740,25 @@ def make_tar_decoder():
                     return None
                 stored = h[148:156]
                 recomputed = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
-                if int(stored[:6], 8) != recomputed:
-                    return None  # checksum mismatch
-                size = int(h[124:135], 8)  # ValueError on non-octal -> None
+                if octal(stored[:7]) != recomputed:
+                    return None  # checksum mismatch / malformed field
+                size = octal(h[124:136])
+                if size is None:
+                    return None  # non-octal or badly-terminated size
                 name = h[0:100].split(b"\x00", 1)[0].decode("ascii")
                 data_start = pos + _TAR_BLOCK
                 nblocks = (size + _TAR_BLOCK - 1) // _TAR_BLOCK
                 data_end = data_start + nblocks * _TAR_BLOCK
                 if data_end > len(blob):
                     return None  # truncated data run
-                data = blob[data_start : data_start + size]
-                members.append((name, data))
-                if name.endswith(".html"):
-                    page_md5 = hashlib.md5(data).hexdigest()
+                # typeflag gate (ADVICE r08): only REGULAR files are
+                # payload members; dirs/symlinks/devices advance past
+                # their (usually zero) data run without being counted.
+                if h[156] in b"0\x00":
+                    data = blob[data_start : data_start + size]
+                    members.append((name, data))
+                    if name.endswith(".html"):
+                        page_md5 = hashlib.md5(data).hexdigest()
                 pos = data_end
             if not members:
                 return None
@@ -1810,8 +1827,7 @@ def _tar_oracle() -> str:
 )
 def mm_tar_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return tar_extract_report(p).orderBy("doc_id")
-
+    return tar_extract_report(p)
 
 def tar_extract_report(payloads: DataFrame) -> DataFrame:
     """(doc_id, payload) -> per-archive member report; the single TAR

@@ -44,6 +44,22 @@ _BKT = "__rank_bkt"
 _OFF = "__rank_off"
 
 
+def const_key(c: Column | str) -> Column:
+    """Always-zero partition key for PROVABLY metadata-sized global
+    windows (post-aggregation top-Ns, per-source/daily series, limit()
+    outputs). Semantics are identical to an unpartitioned window — one
+    global partition — but the planner emits a hash exchange instead of
+    the warning-bearing SinglePartition form (round-8 pattern, commit
+    522c9a5). ``hash()`` is total on every input type (never NULL/NaN,
+    unlike a cast of a poisoned double under ANSI), ``pmod(_, 1)`` keeps
+    it integrally zero, and the live column reference keeps the key
+    NON-foldable (a bare literal gets constant-folded away and the
+    warning replans — measured in round 8). Do NOT use on
+    data-proportional input — that is ``with_global_row_number``'s job."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.pmod(F.hash(c), F.lit(1))
+
+
 def _range_buckets(df: DataFrame, lead: Column, num_buckets: int) -> DataFrame:
     """Range-bucket assignment shared by the three global-ranking
     helpers: approx-percentile cutpoints of the leading key; a row's

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.ranking import const_key
 
 # ---------------------------------------------------------------------------
 # Flagship: revenue per nation (scan + 3 joins + agg + sort in one plan).
@@ -665,10 +666,22 @@ def topk_global_with_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFram
             W.partitionBy("o_custkey").orderBy(F.col("price").desc(), "o_orderkey")
         ),
     ).filter(F.col("gr") <= TOPK_PER_GROUP)
-    ranked = per_cust.withColumn(
-        "r",
-        F.row_number().over(W.orderBy(F.col("price").desc(), "o_orderkey")),
-    ).filter(F.col("r") <= TOPK_GLOBAL)
+    # distributed TakeOrdered picks the global top-K (per_cust is
+    # O(customers) rows — data-proportional, so a global ranking window
+    # over it would funnel one partition); the row_number then runs
+    # over <= TOPK_GLOBAL rows behind a constant-key window.
+    ranked = (
+        per_cust.orderBy(F.col("price").desc(), "o_orderkey")
+        .limit(TOPK_GLOBAL)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy(const_key("o_orderkey")).orderBy(
+                    F.col("price").desc(), "o_orderkey"
+                )
+            ),
+        )
+    )
     return ranked.select(
         F.col("r").cast("long").alias("rank"),
         "o_orderkey",

@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 
 from coviddatapipeline_spark.queries.catalog import register
 from coviddatapipeline_spark.operators.common import duck_floor_long, t, events
+from coviddatapipeline_spark.operators.ranking import const_key
 
 
 @register(
@@ -601,7 +602,8 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
         F.sum("o_totalprice").alias("rev")
     )
-    w = W.orderBy("yr")
+    # constant-key global window: input is per-year aggregates
+    w = W.partitionBy(const_key("yr")).orderBy("yr")
     prev = F.lag("rev").over(w)
     return yearly.select(
         "yr",

@@ -27,6 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.ranking import const_key
 from coviddatapipeline_spark.queries.catalog import register
 
 # ---------------------------------------------------------------------------
@@ -717,11 +718,16 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_sql = _kmv_inter_est_sql("c", "theta", duck=False)
     for a, b in _KMV_PAIRS:
         uni = finish(
+            # K smallest distinct hashes via distributed TakeOrdered
+            # (orderBy+limit), not a global ranking window over the
+            # data-proportional distinct-hash set: h is unique after
+            # distinct(), so limit(K) of the ascending order IS the
+            # row_number() <= K set.
             sk.filter(F.col("g").isin(a, b))
             .select("h")
             .distinct()
-            .withColumn("rn", F.row_number().over(W.orderBy("h")))
-            .filter(F.col("rn") <= KMV_K)
+            .orderBy("h")
+            .limit(KMV_K)
             .agg(F.count("*").alias("n_ret"), F.max("h").alias("maxh"))
             .select(
                 F.lit(f"{a}|{b}").alias("set_name"), "n_ret", "maxh"

@@ -16,16 +16,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.queries.catalog import register
-from coviddatapipeline_spark.operators.common import t
+from coviddatapipeline_spark.operators.common import WS_RE, t
+from coviddatapipeline_spark.operators.ranking import const_key
 
 # Tokenization contract shared by Spark and the DuckDB oracles:
-# collapse whitespace runs, trim, split on single space.
-_NORM = "trim(regexp_replace({x}, '\\s+', ' ', 'g'))"          # DuckDB
+# collapse whitespace runs (common.WS_RE — the explicit ASCII class,
+# identical under Java regex and RE2), trim, split on single space.
+_NORM = "trim(regexp_replace({x}, '" + WS_RE + "', ' ', 'g'))"   # DuckDB
 _TOKENS = f"string_split({_NORM}, ' ')"                          # DuckDB
 
 
 def _norm(col) -> Column:
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, WS_RE, " "))
 
 
 def _tokens(col) -> Column:
@@ -702,7 +704,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = wc.orderBy(F.col("c").desc(), "word").limit(ZIPF_TOP_N)
     ranked = top.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.col("c").desc(), "word"))
+        # constant-key global window over the <= ZIPF_TOP_N limit() rows
+        "rank",
+        F.row_number().over(
+            W.partitionBy(const_key("word")).orderBy(F.col("c").desc(), "word")
+        ),
     )
     lc, lr = F.log("c"), F.log("rank")
     return ranked.agg(
@@ -875,9 +881,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.orderBy(F.col("c").desc(), F.col("word"))
         .limit(max(VOCAB_SIZES))
         .withColumn(
+            # constant-key global window over the limit() output
             "rn",
             F.row_number().over(
-                W.orderBy(F.col("c").desc(), F.col("word"))
+                W.partitionBy(const_key("word")).orderBy(
+                    F.col("c").desc(), F.col("word")
+                )
             ),
         )
     )
@@ -1164,7 +1173,11 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "new_words",
         F.sum("new_words")
-        .over(_W.orderBy("source_idx").rowsBetween(_W.unboundedPreceding, 0))
+        .over(
+            _W.partitionBy(const_key("source_idx"))
+            .orderBy("source_idx")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
         .cast("long")
         .alias("cum_vocab"),
         # the NULL-source group can be all-empty docs (n_tokens 0):
@@ -1230,12 +1243,24 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = freq.withColumn(
-        "rank", F.row_number().over(_W.orderBy(F.col("freq").desc(), "word"))
+    # distributed TakeOrdered first (the vocabulary is
+    # data-proportional; a global ranking window over it would funnel
+    # one partition), then a constant-key window over <= ZIPF_TOP rows.
+    ranked = (
+        freq.orderBy(F.col("freq").desc(), "word")
+        .limit(ZIPF_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy(const_key("word")).orderBy(
+                    F.col("freq").desc(), "word"
+                )
+            ),
+        )
     )
     top1 = ranked.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
     return (
-        ranked.filter(F.col("rank") <= ZIPF_TOP)
+        ranked
         .crossJoin(F.broadcast(top1))
         .select(
             F.col("rank").cast("long").alias("rank"),
@@ -1318,7 +1343,11 @@ def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = tagged.groupBy("v").agg(
         F.sum("is_en").alias("c1"), F.sum(1 - F.col("is_en")).alias("c2")
     )
-    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    # constant-key global windows: per_v is per-distinct-score-value
+    # aggregates (a bounded integer value domain), never the doc table
+    w = _W.partitionBy(const_key("v")).orderBy("v").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
     cum = per_v.select(
         "v", F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
     )
@@ -1327,7 +1356,9 @@ def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = scored.withColumn(
         "rk",
-        F.row_number().over(_W.orderBy(F.col("d_num").desc(), "v")),
+        F.row_number().over(
+            _W.partitionBy(const_key("v")).orderBy(F.col("d_num").desc(), "v")
+        ),
     ).filter(F.col("rk") == 1)
     return top.select(
         F.col("n1").cast("long").alias("n_en"),
@@ -1410,8 +1441,10 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
             "rank",
+            # constant-key global window: char-pair cardinality is
+            # alphabet^2-bounded
             F.row_number()
-            .over(_W.orderBy(F.col("freq").desc(), "pair"))
+            .over(_W.partitionBy(const_key("pair")).orderBy(F.col("freq").desc(), "pair"))
             .cast("long"),
         )
         .filter(F.col("rank") <= BPE_TOP)
@@ -1577,7 +1610,10 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("a", "b")
         .agg(F.sum("n_occ").alias("w"))
         .withColumn(
-            "r", F.row_number().over(W.orderBy(F.col("w").desc(), "a", "b"))
+            "r",
+            F.row_number().over(
+                W.partitionBy(const_key("a")).orderBy(F.col("w").desc(), "a", "b")
+            ),
         )
         .filter(F.col("r") <= BPE_MERGES)
     )
@@ -1592,7 +1628,13 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         wf.orderBy(F.col("n_occ").desc(), "word")
         .limit(BPE_TOPK)
         .withColumn(
-            "rank", F.row_number().over(W.orderBy(F.col("n_occ").desc(), "word"))
+            # constant-key global window over the <= BPE_TOPK limit() rows
+            "rank",
+            F.row_number().over(
+                W.partitionBy(const_key("word")).orderBy(
+                    F.col("n_occ").desc(), "word"
+                )
+            ),
         )
     )
 
@@ -1680,7 +1722,7 @@ def _html_oracle() -> str:
         p = pat.replace("\\", "\\\\").replace("'", "''")
         x = f"regexp_replace({x}, '{p}', '{rep}', 'g')"
     x = f"replace(replace(replace({x}, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
-    x = f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    x = f"trim(regexp_replace({x}, '{WS_RE}', ' ', 'g'))"
     return f"""
         WITH ext AS (
             SELECT doc_id,
@@ -1739,7 +1781,7 @@ def html_main_text(page: Column) -> Column:
     x = F.replace(x, F.lit("&lt;"), F.lit("<"))
     x = F.replace(x, F.lit("&gt;"), F.lit(">"))
     x = F.replace(x, F.lit("&amp;"), F.lit("&"))
-    return F.trim(F.regexp_replace(x, r"\s+", " "))
+    return F.trim(F.regexp_replace(x, WS_RE, " "))
 
 
 def html_extract_report(docs: DataFrame) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from coviddatapipeline_spark.operators.common import events
 from coviddatapipeline_spark.queries.catalog import register
+from coviddatapipeline_spark.operators.ranking import const_key
 
 # EWMA decay per day and trailing horizon (days). A 0.7 decay over a
 # 13-day horizon carries >99% of the infinite-sum mass, so the finite
@@ -269,8 +270,14 @@ SHIFT_SIGMA = 2.0
 def events_level_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir).select("day", "n")
     sd = F.broadcast(daily.agg(F.stddev_samp("n").alias("sd")))
-    w_before = W.orderBy("day").rowsBetween(-SHIFT_WINDOW, -1)
-    w_after = W.orderBy("day").rowsBetween(0, SHIFT_WINDOW - 1)
+    # constant-key global windows: both frames run over the daily
+    # aggregate series (bounded by calendar span), never the facts
+    w_before = (
+        W.partitionBy(const_key("day")).orderBy("day").rowsBetween(-SHIFT_WINDOW, -1)
+    )
+    w_after = (
+        W.partitionBy(const_key("day")).orderBy("day").rowsBetween(0, SHIFT_WINDOW - 1)
+    )
     framed = (
         daily.withColumn("mean_before", F.avg(F.col("n") * 1.0).over(w_before))
         .withColumn("mean_after", F.avg(F.col("n") * 1.0).over(w_after))
@@ -934,7 +941,9 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = filled.count()
     med = (
         filled.withColumn(
-            "r", F.row_number().over(_W.orderBy("x", "day"))
+            # constant-key global window over the calendar-bounded
+            # daily series (same for the MAD ranking below)
+            "r", F.row_number().over(_W.partitionBy(const_key("day")).orderBy("x", "day"))
         )
         .filter(F.col("r") == (n + 1) // 2)
         .select(F.col("x").alias("median_x"))
@@ -943,7 +952,10 @@ def timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "x", F.abs(F.col("x") - F.col("median_x")).alias("dev"), "median_x"
     )
     mad = (
-        devs.withColumn("r", F.row_number().over(_W.orderBy("dev", "day")))
+        devs.withColumn(
+            "r",
+            F.row_number().over(_W.partitionBy(const_key("day")).orderBy("dev", "day")),
+        )
         .filter(F.col("r") == (n + 1) // 2)
         .select(F.col("dev").alias("mad"))
     )

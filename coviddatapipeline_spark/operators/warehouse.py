@@ -729,10 +729,12 @@ _ZORDER_ORACLE = f"""
         f"stats alone — the number that justifies a re-clustering job. "
         f"Z-order trades the linear layout's perfect one-axis locality "
         f"for bounded BOTH-axis locality, which is why the custkey skip "
-        f"fraction jumps while day-range scans stay cheap. The global "
-        f"sort uses the cutpoint-bucketed row-number helper (no single-"
-        f"partition Exchange); quantization, interleave, and every "
-        f"reported metric are exact integer arithmetic on both engines."
+        f"fraction jumps while day-range scans stay cheap. Both layouts "
+        f"rank in ONE cutpoint-bucketed row-number pass (no single-"
+        f"partition Exchange, no second scan): each row explodes into "
+        f"its two (layout, sortkey) variants packed into one integral "
+        f"key; quantization, interleave, and every reported metric are "
+        f"exact integer arithmetic on both engines."
     ),
     tags=("warehouse", "layout", "scale"),
 )
@@ -762,24 +764,55 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zval", F.expr(_z_spark("x", "y")))
     )
 
-    def file_stats(df: DataFrame, keys: list[str], layout: str) -> DataFrame:
-        ranked, _n = with_global_row_number(df, keys, out="rn")
-        return (
-            ranked.withColumn(
-                "file_id", F.expr(f"(rn - 1) DIV {Z_FILE_ROWS}")
+    # ONE ranked pass over both layouts (VERDICT r08 #5; previously the
+    # bucketed global ranker ran twice, once per layout): each quantized
+    # order explodes into its (layout, sortkey) pair — linear sorts by
+    # y, zorder by the Morton key — and layout+sortkey pack into a
+    # single integral ranking key. zval < 2^(2*Z_BITS), so the zorder
+    # block (lid=1) sits strictly after every linear row and within
+    # each block the order is exactly (sortkey, o_orderkey) — the same
+    # per-layout total order the two separate passes produced. The
+    # per-layout row number is the global one minus the block offset
+    # (both blocks hold exactly n rows).
+    lid_stride = 1 << (2 * Z_BITS)
+    doubled = quant.select(
+        "x",
+        "y",
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("lid"), F.col("y").alias("skey")),
+                F.struct(F.lit(1).alias("lid"), F.col("zval").alias("skey")),
             )
-            .groupBy("file_id")
-            .agg(
-                F.min("x").alias("min_x"),
-                F.max("x").alias("max_x"),
-                F.min("y").alias("min_y"),
-                F.max("y").alias("max_y"),
-            )
-            .withColumn("layout", F.lit(layout))
+        ).alias("e"),
+    ).select(
+        "x",
+        "y",
+        "o_orderkey",
+        F.col("e.lid").alias("lid"),
+        (F.col("e.lid").cast("long") * lid_stride + F.col("e.skey")).alias(
+            "sortnum"
+        ),
+    )
+    ranked, total = with_global_row_number(
+        doubled, ["sortnum", "o_orderkey"], out="rn"
+    )
+    n = total // 2
+    files = (
+        ranked.withColumn(
+            "file_id", F.expr(f"(rn - 1 - lid * {n}) DIV {Z_FILE_ROWS}")
         )
-
-    files = file_stats(quant, ["zval", "o_orderkey"], "zorder").unionByName(
-        file_stats(quant, ["y", "o_orderkey"], "linear")
+        .groupBy("lid", "file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "layout",
+            F.when(F.col("lid") == 1, F.lit("zorder")).otherwise(F.lit("linear")),
+        )
     )
     hit = F.when(
         (F.col("min_x") <= Z_PROBE_X) & (F.lit(Z_PROBE_X) <= F.col("max_x")), 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from coviddatapipeline_spark.operators.ranking import const_key
 
 
 def q1_total_count(cases: DataFrame) -> DataFrame:
@@ -51,7 +52,15 @@ def q4_cases_by_county_topk_other(cases: DataFrame, k: int = 9) -> DataFrame:
     ranked = per_county.crossJoin(F.broadcast(total)).select(
         "county",
         "cases",
-        F.row_number().over(W.orderBy(F.col("cases").desc(), F.col("county"))).alias("rn"),
+        # constant-key global window: input is per-county aggregates
+        # (bounded by county cardinality), never the fact table
+        F.row_number()
+        .over(
+            W.partitionBy(const_key("county")).orderBy(
+                F.col("cases").desc(), F.col("county")
+            )
+        )
+        .alias("rn"),
         "total",
     )
     return (
