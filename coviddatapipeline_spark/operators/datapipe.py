@@ -274,6 +274,13 @@ def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_int8_quant_stats",
     oracle="""
+        -- finite-vector gate (both engines): a NULL / NaN / Inf
+        -- component cannot be absmax-quantized, so such vectors are
+        -- excluded from the plan — the production semantics, and it
+        -- makes the contract total on poison corpora (Spark's max and
+        -- DuckDB's list_max order NaN differently, so without the gate
+        -- the two engines disagree on which scale a poisoned vector
+        -- gets). No-op on clean data (round 9 convergence).
         WITH per_vec AS (
             SELECT label,
                    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
@@ -281,6 +288,11 @@ def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
                        AS l2
             FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND COALESCE(list_sum(list_transform(embedding::DOUBLE[],
+                    x -> CASE WHEN x IS NOT NULL AND isfinite(x)
+                              THEN 0 ELSE 1 END)), 0) = 0
         )
         SELECT label, count(*) AS n,
                round(avg(scale), 6) AS avg_absmax_scale,
@@ -299,7 +311,23 @@ def sample_balanced_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "similarity", "array"),
 )
 def emb_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    inf = float("inf")
+    emb = t(spark, sf_dir, "embeddings").filter(
+        # finite-vector gate — mirrors the oracle's WHERE (see oracle
+        # comment); forall on an empty array is true on Spark and the
+        # oracle's COALESCE(sum, 0)=0 matches that
+        F.col("embedding").isNotNull()
+        # empty vectors gate out too: Spark's aggregate seed makes
+        # their l2 exactly 0.0 while DuckDB's list_sum([]) is NULL —
+        # and a 0-d vector has no quantization scale anyway
+        & (F.size("embedding") > 0)
+        & F.forall(
+            F.col("embedding"),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(inf)),
+        )
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
     l2 = F.sqrt(
@@ -1896,9 +1924,16 @@ def pack_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         scored AS (
+            -- COALESCE(.., 0): a NULL-text doc scores 0 (worst). The
+            -- mirrored asc/desc ranks NEED a total key — Spark places
+            -- NULL first under ASC but DuckDB places it last, which
+            -- silently breaks the hi + lo = n + 1 reversal invariant
+            -- cross-engine (round-9 convergence; clean docs always
+            -- score non-NULL).
             SELECT doc_id, source,
-                   CAST(least(nt, 100) * (50 * nt + 25 * least(5 * ns, 2 * nt))
-                        // greatest(nt, 1) AS BIGINT) AS q_e4
+                   COALESCE(CAST(least(nt, 100)
+                        * (50 * nt + 25 * least(5 * ns, 2 * nt))
+                        // greatest(nt, 1) AS BIGINT), 0) AS q_e4
             FROM q
         ),
         ranked AS (
@@ -1953,7 +1988,11 @@ def pref_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(toks).alias("nt"),
         F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("ns"),
-    ).withColumn("q_e4", F.expr(_QUALITY_E4))
+    ).withColumn(
+        # total score: NULL text -> 0 (see oracle comment)
+        "q_e4",
+        F.coalesce(F.expr(_QUALITY_E4), F.lit(0)),
+    )
     w_hi = W.partitionBy("source").orderBy(F.col("q_e4").desc(), F.col("doc_id").asc())
     w_lo = W.partitionBy("source").orderBy(F.col("q_e4").asc(), F.col("doc_id").desc())
     ranked = scored.select(
@@ -2119,16 +2158,14 @@ def pct_margin(w: list[int]):
     )
 
 
-def pct_train(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[tuple]]:
-    """Run the batch-perceptron fold and return (persisted feature
-    frame, per-epoch report rows). Shared by the registered trainer
-    entry and the apply/quality-gate entry, so 'the model the audit
-    verified' and 'the model the gate scores with' are the same code —
-    the km_train_centroids pattern. Caller unpersists the frame."""
-    docs = t(spark, sf_dir, "documents")
-    feats = docs.select(
+def pct_features(docs: DataFrame) -> DataFrame:
+    """Exact-int64 feature frame ([1, n_chars, n_spaces, n_'e'] plus
+    the lang='en' label) from a documents-shaped frame. The single
+    featurization shared by the trainer, the apply/gate entry, and the
+    streaming admission twin (pipeline/streaming.py) — so the model
+    the audit verified scores the same features the arrival path
+    sees."""
+    return docs.select(
         "doc_id",
         "source",
         F.lit(1).cast("long").alias("x0"),
@@ -2142,7 +2179,31 @@ def pct_train(
             F.lit(0),
         ).cast("long").alias("x3"),
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("y"),
-    ).persist()
+    )
+
+
+def pct_verdicts(feats: DataFrame, w: list[int]) -> DataFrame:
+    """Per-doc admission verdicts (doc_id, source, pred_en, true_en)
+    under frozen weights ``w`` — the scoring kernel shared verbatim by
+    the registered apply entry's per-source report and the streaming
+    admission twin."""
+    return feats.select(
+        "doc_id",
+        "source",
+        F.when(pct_margin(w) > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred_en"),
+        F.when(F.col("y") == 1, F.lit(1)).otherwise(F.lit(0)).alias("true_en"),
+    )
+
+
+def pct_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple]]:
+    """Run the batch-perceptron fold and return (persisted feature
+    frame, per-epoch report rows). Shared by the registered trainer
+    entry and the apply/quality-gate entry, so 'the model the audit
+    verified' and 'the model the gate scores with' are the same code —
+    the km_train_centroids pattern. Caller unpersists the frame."""
+    feats = pct_features(t(spark, sf_dir, "documents")).persist()
 
     w = [0, 0, 0, 0]
     report = []
@@ -2216,11 +2277,7 @@ def quality_perceptron_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats, report = pct_train(spark, sf_dir)
     w = list(report[-1][1:5])
     out = (
-        feats.select(
-            "source",
-            F.when(pct_margin(w) > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred_en"),
-            F.when(F.col("y") == 1, F.lit(1)).otherwise(F.lit(0)).alias("true_en"),
-        )
+        pct_verdicts(feats, w)
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

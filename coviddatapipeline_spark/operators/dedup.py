@@ -94,8 +94,15 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_keep_first",
     oracle=f"""
         WITH fp AS (
+            -- COALESCE mirrors Spark's concat_ws, which is TOTAL: a
+            -- NULL token array concatenates to '' (so NULL-text docs
+            -- share md5('') with empty-text docs on both engines).
+            -- No-op on clean corpora; converges the keep-first
+            -- NULL-fingerprint poison divergence (round 9).
             SELECT doc_id,
-                   md5(array_to_string(({_TOKENS.format(x='text')})[1:10], ' ')) AS k
+                   md5(COALESCE(
+                       array_to_string(({_TOKENS.format(x='text')})[1:10], ' '),
+                       '')) AS k
             FROM documents
         )
         SELECT k AS prefix_key, min(doc_id) AS keeper, count(*) AS group_size
@@ -935,17 +942,27 @@ def dedup_components_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_anti_join",
     oracle=f"""
         WITH existing AS (
+            -- non-NULL fingerprints only: SQL's NOT IN is three-valued
+            -- (a NULL in the list makes it never-true), while Spark's
+            -- LEFT ANTI join key simply never matches NULL — the
+            -- filters below mirror the join semantics exactly, so a
+            -- NULL-fingerprint (NULL-text) incoming doc counts as NEW
+            -- on both engines. No-op on clean corpora; converges the
+            -- anti-join NULL-fingerprint poison divergence (round 9).
             SELECT DISTINCT md5(lower({_NORM.format(x='text')})) AS fp
             FROM documents WHERE doc_id < 2500
+              AND md5(lower({_NORM.format(x='text')})) IS NOT NULL
         ),
         incoming AS (
             SELECT doc_id, md5(lower({_NORM.format(x='text')})) AS fp
             FROM documents WHERE doc_id >= 2500
         )
         SELECT count(*) AS n_incoming,
-               count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM existing))
+               count(*) FILTER (WHERE fp IS NULL
+                                OR fp NOT IN (SELECT fp FROM existing))
                    AS n_new,
-               count(*) FILTER (WHERE fp IN (SELECT fp FROM existing))
+               count(*) FILTER (WHERE fp IS NOT NULL
+                                AND fp IN (SELECT fp FROM existing))
                    AS n_already_seen
         FROM incoming
     """,

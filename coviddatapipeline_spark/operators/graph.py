@@ -445,7 +445,12 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # reused 3x: pairs, freq, basket count
     )
-    n = F.broadcast(items.select("o").distinct().agg(F.count("*").alias("n_orders")))
+    # count("o"), not count("*"): a NULL orderkey is not a basket, and
+    # the oracle's count(DISTINCT o) skips NULL — count(*) over the
+    # distinct frame counted the NULL row and inflated every lift
+    # denominator by one on poison corpora (round-9 convergence;
+    # identical on clean data where orderkeys are non-NULL)
+    n = F.broadcast(items.select("o").distinct().agg(F.count("o").alias("n_orders")))
     freq = items.groupBy("p").agg(F.count("*").alias("cp"))
     a, b = items.alias("a"), items.alias("b")
     pairs = (

@@ -70,25 +70,40 @@ def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "median_price_per_segment",
     oracle="""
+        -- isfinite gate (both engines): percentiles are order
+        -- statistics of the FINITE price distribution — the two
+        -- engines place NaN/Inf differently in their sorted
+        -- interpolation windows, so one poisoned price shifts the
+        -- boundary element engine-differently without the gate
+        -- (round-9 convergence; NULLs are aggregate-skipped on both
+        -- engines already, and clean prices are always finite)
         SELECT c_mktsegment AS segment,
                round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
         GROUP BY c_mktsegment
         ORDER BY segment
     """,
     doc=(
         "Exact interpolated percentiles per group (Spark `percentile` = "
-        "DuckDB `quantile_cont`). At 100 TB swap to approx_percentile — "
-        "the exact form needs the full sorted group."
+        "DuckDB `quantile_cont`), order statistics of the finite price "
+        "distribution (non-finite poison rows are gated on both "
+        "engines). At 100 TB swap to approx_percentile — the exact "
+        "form needs the full sorted group."
     ),
     tags=("agg",),
 )
 def median_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
+    price = F.col("o_totalprice")
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        orders.filter(
+            price.isNull()
+            | (~F.isnan(price) & (F.abs(price) != F.lit(float("inf"))))
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
@@ -439,13 +454,30 @@ def stats_moments_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_regression_qty_price",
     oracle="""
+        -- the nan_to_null CASE wrappers mirror the Spark side's nanvl:
+        -- a degenerate group (n=1, constant x, NaN input) yields NaN
+        -- from Spark's one-pass moment aggregates but NULL from
+        -- DuckDB's — normalizing BOTH engines' undefined statistics to
+        -- NULL makes the contract total on poison corpora and is a
+        -- no-op on clean data (round 9 convergence).
         SELECT l_returnflag,
                count(*) AS n,
-               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-               round(regr_intercept(l_extendedprice, l_quantity), 2)
-                   AS intercept,
-               round(corr(l_extendedprice, l_quantity), 4) AS r,
-               round(covar_samp(l_extendedprice, l_quantity), 2) AS cov
+               CASE WHEN isnan(regr_slope(l_extendedprice, l_quantity))
+                    THEN NULL
+                    ELSE round(regr_slope(l_extendedprice, l_quantity), 4)
+               END AS slope,
+               CASE WHEN isnan(regr_intercept(l_extendedprice, l_quantity))
+                    THEN NULL
+                    ELSE round(regr_intercept(l_extendedprice, l_quantity), 2)
+               END AS intercept,
+               CASE WHEN isnan(corr(l_extendedprice, l_quantity))
+                    THEN NULL
+                    ELSE round(corr(l_extendedprice, l_quantity), 4)
+               END AS r,
+               CASE WHEN isnan(covar_samp(l_extendedprice, l_quantity))
+                    THEN NULL
+                    ELSE round(covar_samp(l_extendedprice, l_quantity), 2)
+               END AS cov
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -464,14 +496,20 @@ def stats_moments_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+
+    def nn(c):
+        # undefined statistic -> NULL (mirrors the oracle's isnan CASE;
+        # total on degenerate groups, no-op on clean data)
+        return F.nanvl(c, F.lit(None).cast("double"))
+
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope(price, qty), 4).alias("slope"),
-            F.round(F.regr_intercept(price, qty), 2).alias("intercept"),
-            F.round(F.corr(price, qty), 4).alias("r"),
-            F.round(F.covar_samp(price, qty), 2).alias("cov"),
+            nn(F.round(F.regr_slope(price, qty), 4)).alias("slope"),
+            nn(F.round(F.regr_intercept(price, qty), 2)).alias("intercept"),
+            nn(F.round(F.corr(price, qty), 4)).alias("r"),
+            nn(F.round(F.covar_samp(price, qty), 2)).alias("cov"),
         )
         .orderBy("l_returnflag")
     )

@@ -995,7 +995,11 @@ def docpipe_quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_longdoc_token_share",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, CAST(len({_TOKENS.format(x='text')}) AS BIGINT) AS n_tok
+            -- COALESCE mirrors the Spark side: NULL text = 0 tokens,
+            -- so the rank key is total (round-9 convergence)
+            SELECT doc_id,
+                   CAST(COALESCE(len({_TOKENS.format(x='text')}), 0) AS BIGINT)
+                       AS n_tok
             FROM documents
         ),
         ranked AS (
@@ -1040,7 +1044,14 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coviddatapipeline_spark.operators.ranking import with_global_row_number
 
     toks = t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tok")
+        "doc_id",
+        # COALESCE(.., 0): a NULL-text doc has zero tokens — making the
+        # rank key total pins the tier boundary identically on both
+        # engines (NULL length sorted engine-defined before; round-9
+        # convergence, no-op on clean corpora)
+        F.coalesce(F.size(_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
     )
     # rank on NEGATED length (helper ranks ascending on the lead key)
     neg = toks.withColumn("neg_tok", -F.col("n_tok"))
@@ -1542,6 +1553,47 @@ def _bpe_oracle() -> str:
     """
 
 
+def _bpe_chars(col: str) -> Column:
+    """Code-point split (sequence + substring mirrors DuckDB's
+    generate_series + substr exactly, astral-safe on both). Shared by
+    the BPE apply and train entries."""
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
+def _bpe_fold(s_col: Column, ma: Column, mb: Column) -> Column:
+    """One greedy left-to-right merge pass of rule (ma, mb) — the exact
+    Spark twin of _bpe_fold_sql ('aaa' under (a,a) -> [aa, a]). Shared
+    by the BPE apply and train entries."""
+    return F.aggregate(
+        F.transform(s_col, lambda x: F.array(x)),
+        F.array().cast("array<string>"),
+        lambda acc, b: F.when(F.size(acc) == 0, b).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == ma) & (F.element_at(b, 1) == mb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), F.element_at(b, 1))),
+                ),
+            ).otherwise(F.concat(acc, b))
+        ),
+    )
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_occ) vocabulary with corpus frequencies — the training
+    corpus representation both BPE entries start from."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+
+
 @register(
     "text_bpe_tokenize_apply",
     oracle=_bpe_oracle(),
@@ -1572,20 +1624,8 @@ def _bpe_oracle() -> str:
 def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    wf = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n_occ"))
-    )
-
-    def chars(col: str) -> Column:
-        # code-point split (sequence + substring mirrors DuckDB's
-        # generate_series + substr exactly, astral-safe on both)
-        return F.expr(
-            f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
-        )
+    wf = _bpe_word_freqs(spark, sf_dir)
+    chars = _bpe_chars
 
     syms = wf.select("word", "n_occ", chars("word").alias("s"))
     # adjacent pairs with in-word multiplicity, weighted by word
@@ -1638,23 +1678,7 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fold(s_col: Column, ma: Column, mb: Column) -> Column:
-        """One greedy left-to-right merge pass of rule (ma, mb)."""
-        return F.aggregate(
-            F.transform(s_col, lambda x: F.array(x)),
-            F.array().cast("array<string>"),
-            lambda acc, b: F.when(F.size(acc) == 0, b).otherwise(
-                F.when(
-                    (F.element_at(acc, -1) == ma) & (F.element_at(b, 1) == mb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.concat(F.element_at(acc, -1), F.element_at(b, 1))
-                        ),
-                    ),
-                ).otherwise(F.concat(acc, b))
-            ),
-        )
+    fold = _bpe_fold
 
     enc = top.crossJoin(F.broadcast(mrow)).withColumn("s", chars("word"))
     for k in range(1, BPE_MERGES + 1):
@@ -1669,6 +1693,141 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("long").alias("n_tokens"),
         F.concat_ws("|", "s").alias("enc"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAIN: the real iterative pair-count -> merge loop
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 5  # learned merge rules (rounds of the train loop)
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled-CTE replay of the iterative trainer: per round k, pair
+    counts over the POST-merge-(k-1) symbol sequences, the argmax rule
+    (ties by (a, b)), and the greedy fold producing round k's
+    sequences — the Lloyd/perceptron house pattern of exact-integer
+    loop replay in SQL."""
+    parts = [
+        f"""wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT unnest({_TOKENS.format(x="text")}) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE word <> ''
+            GROUP BY word
+        )""",
+        f"s0 AS (SELECT word, n_occ, {_bpe_chars_sql('word')} AS s FROM wf)",
+    ]
+    selects = []
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        parts.append(
+            f"""p{k} AS (
+            SELECT s[CAST(u.i AS INTEGER)] AS a,
+                   s[CAST(u.i AS INTEGER) + 1] AS b,
+                   CAST(sum(n_occ) AS BIGINT) AS cnt
+            FROM s{k - 1}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+            GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT word, n_occ, {_bpe_fold_sql('s', 'm.a', 'm.b')} AS s "
+            f"FROM s{k - 1}, m{k} m)"
+        )
+        selects.append(
+            f"SELECT {k} AS step, m.a, m.b, m.cnt AS pair_count, "
+            f"(SELECT CAST(sum(n_occ * len(s)) AS BIGINT) FROM s{k}) "
+            f"AS tokens_after FROM m{k} m"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(step AS BIGINT) AS step, a, b, pair_count, tokens_after"
+        + " FROM (" + " UNION ALL ".join(selects) + ") ORDER BY step"
+    )
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=(
+        f"BPE tokenizer TRAIN (Sennrich et al. 2016, public) — the real "
+        f"iterative loop text_bpe_tokenize_apply's one-pass mining "
+        f"approximates: {BPE_TRAIN_MERGES} rounds of corpus-wide "
+        f"adjacent-pair counting over the CURRENT symbol sequences, "
+        f"argmax rule selection (occurrence-weighted, ties by pair), "
+        f"and a greedy left-to-right merge fold rewriting every word "
+        f"before the next count — so rule k's statistics see the "
+        f"vocabulary AS COMPRESSED BY rules 1..k-1, which one-pass "
+        f"mining cannot. Per round the output reports the learned rule, "
+        f"its pair count, and the post-merge corpus token total (the "
+        f"compression curve a tokenizer training run monitors). Model "
+        f"state on the driver is one (a, b, count) row per round — the "
+        f"Lloyd/perceptron train-loop pattern; each round is one "
+        f"map-side-combinable pair-count shuffle (key space bounded by "
+        f"the merged-symbol vocabulary) plus a JVM-side fold, no UDF "
+        f"anywhere. The oracle replays every round as unrolled CTEs "
+        f"with identical integer arithmetic and tie-breaks. Pairs with "
+        f"IVF (train/apply) and the perceptron (train/apply) as the "
+        f"third learned-model family."
+    ),
+    tags=("text", "iterative", "corpus"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = _bpe_word_freqs(spark, sf_dir)
+    s = _bpe_chars("word")
+    step_dfs: list[DataFrame] = []
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        syms = wf.select("n_occ", s.alias("s"))
+        pairs = (
+            # size>1 guard: Spark's sequence(1, 0) is DESCENDING, not
+            # empty like DuckDB's generate_series (module convention)
+            syms.filter(F.size("s") > 1)
+            .select(
+                "n_occ",
+                "s",
+                F.explode(F.sequence(F.lit(1), F.size("s") - 1)).alias("i"),
+            )
+            .select(
+                F.element_at("s", F.col("i")).alias("a"),
+                F.element_at("s", F.col("i") + 1).alias("b"),
+                "n_occ",
+            )
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n_occ").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            # model state: ONE (a, b, count) row per round — the
+            # allowlisted train-loop collect (test_driver_discipline)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        s = _bpe_fold(s, F.lit(r["a"]), F.lit(r["b"]))
+        step_dfs.append(
+            wf.agg(
+                F.sum(F.col("n_occ") * F.size(s)).cast("long").alias("tokens_after")
+            ).select(
+                F.lit(k).cast("long").alias("step"),
+                F.lit(r["a"]).alias("a"),
+                F.lit(r["b"]).alias("b"),
+                F.lit(int(r["cnt"])).cast("long").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    if not step_dfs:
+        return spark.createDataFrame(
+            [], "step long, a string, b string, pair_count long, tokens_after long"
+        )
+    out = step_dfs[0]
+    for d in step_dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("step")
 
 
 # --- HTML main-content extraction -------------------------------------------

@@ -224,8 +224,14 @@ SHIFT_SIGMA = 2.0
     "events_level_shift_detector",
     oracle=f"""
         WITH daily AS (
+            -- ts IS NOT NULL mirrors the Spark side's day filter: a
+            -- NULL-timestamp event has no calendar position, and the
+            -- engines place the NULL day at OPPOSITE ends of the
+            -- ordered ROWS frames (Spark ASC = NULLS FIRST, DuckDB =
+            -- NULLS LAST), shifting every boundary frame (round-9
+            -- convergence; clean events always carry a timestamp)
             SELECT CAST(ts AS DATE) AS day, count(*) AS n
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         stats AS (SELECT stddev_samp(n) AS sd FROM daily),
         framed AS (
@@ -268,7 +274,11 @@ SHIFT_SIGMA = 2.0
     tags=("events", "timeseries", "window"),
 )
 def events_level_shift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir).select("day", "n")
+    # NULL-day gate — see the oracle comment (calendar frames need a
+    # total, calendar-positioned key)
+    daily = (
+        _daily(spark, sf_dir).filter(F.col("day").isNotNull()).select("day", "n")
+    )
     sd = F.broadcast(daily.agg(F.stddev_samp("n").alias("sd")))
     # constant-key global windows: both frames run over the daily
     # aggregate series (bounded by calendar span), never the facts

@@ -668,11 +668,15 @@ _ZORDER_ORACLE = f"""
         FROM orders
     ),
     quant AS (
+        -- COALESCE mirrors the engine: a NULL key quantizes to cell 0
+        -- (total sort key for the fused ranking; clean-data no-op)
         SELECT o.o_orderkey,
-               CAST(((o.o_custkey - b.minc) * {1 << Z_BITS})
-                    // (b.maxc - b.minc + 1) AS BIGINT) AS x,
-               CAST((date_diff('day', b.mind, o.o_orderdate) * {1 << Z_BITS})
-                    // (date_diff('day', b.mind, b.maxd) + 1) AS BIGINT) AS y
+               COALESCE(CAST(((o.o_custkey - b.minc) * {1 << Z_BITS})
+                    // (b.maxc - b.minc + 1) AS BIGINT), 0) AS x,
+               COALESCE(CAST((date_diff('day', b.mind, o.o_orderdate)
+                    * {1 << Z_BITS})
+                    // (date_diff('day', b.mind, b.maxd) + 1) AS BIGINT), 0)
+                   AS y
         FROM orders o, bounds b
     ),
     keyed AS (
@@ -681,12 +685,15 @@ _ZORDER_ORACLE = f"""
         FROM quant
     ),
     layouts AS (
+        -- NULLS FIRST pins the orderkey tiebreak to Spark's ASC
+        -- default (matters only for NULL-orderkey poison rows)
         SELECT 'zorder' AS layout, x, y,
-               row_number() OVER (ORDER BY zval, o_orderkey) AS rn
+               row_number() OVER (ORDER BY zval, o_orderkey NULLS FIRST)
+                   AS rn
         FROM keyed
         UNION ALL
         SELECT 'linear' AS layout, x, y,
-               row_number() OVER (ORDER BY y, o_orderkey) AS rn
+               row_number() OVER (ORDER BY y, o_orderkey NULLS FIRST) AS rn
         FROM keyed
     ),
     files AS (
@@ -752,13 +759,24 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.crossJoin(F.broadcast(b))
         .select(
             "o_orderkey",
-            F.expr(
-                f"CAST(((o_custkey - minc) * {1 << Z_BITS})"
-                f" DIV (maxc - minc + 1) AS BIGINT)"
+            # COALESCE(.., 0): a NULL key quantizes to cell 0 on BOTH
+            # engines — the fused single-pass ranking below needs a
+            # TOTAL sort key (a NULL sortnum row belongs to neither
+            # layout block and shifts every file boundary after it);
+            # no-op on clean data where keys are non-NULL
+            F.coalesce(
+                F.expr(
+                    f"CAST(((o_custkey - minc) * {1 << Z_BITS})"
+                    f" DIV (maxc - minc + 1) AS BIGINT)"
+                ),
+                F.lit(0),
             ).alias("x"),
-            F.expr(
-                f"CAST((datediff(o_orderdate, mind) * {1 << Z_BITS})"
-                f" DIV (datediff(maxd, mind) + 1) AS BIGINT)"
+            F.coalesce(
+                F.expr(
+                    f"CAST((datediff(o_orderdate, mind) * {1 << Z_BITS})"
+                    f" DIV (datediff(maxd, mind) + 1) AS BIGINT)"
+                ),
+                F.lit(0),
             ).alias("y"),
         )
         .withColumn("zval", F.expr(_z_spark("x", "y")))

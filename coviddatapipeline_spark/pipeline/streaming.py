@@ -994,3 +994,53 @@ def stream_warc_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_admission(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    weights: list[int],
+) -> StreamingQuery:
+    """Perceptron admission filtering ON the ingest path (the 21st
+    twin) — the place a trained quality classifier actually runs in
+    production: documents stream in, every micro-batch is featurized
+    and scored with ``datapipe.pct_features`` + ``datapipe.pct_verdicts``
+    — literally the same exact-int64 featurization and broadcast-literal
+    margin the registered ``quality_perceptron_apply`` entry audits —
+    under FROZEN ``weights`` (trained offline by ``pct_train``; the
+    train/serve split every production classifier has), and each doc
+    appends its admission verdict (pred_en, true_en). A curation
+    pipeline admits on pred_en downstream; the audited batch gate and
+    the arrival gate cannot drift because they are one kernel.
+
+    Exactness contract (tested): scoring is per-row and stateless —
+    frozen weights, no cross-batch state — so the union of per-batch
+    emissions equals the batch kernel on the union of the input for
+    ANY trigger split. foreachBatch append is at-least-once on trigger
+    retry (same caveat as the other map-only twins); dedup downstream
+    on doc_id if exactly-once materialization matters. Scale: pure
+    whole-stage-codegen'd integer column math per trigger, zero
+    engine-carried state, map-only at any rate.
+    """
+    from coviddatapipeline_spark.operators.datapipe import (
+        pct_features,
+        pct_verdicts,
+    )
+
+    w = [int(x) for x in weights]
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def admit(batch_df, batch_id: int) -> None:
+        pct_verdicts(pct_features(batch_df), w).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

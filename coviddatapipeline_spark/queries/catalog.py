@@ -115,16 +115,21 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 _PRIORITY: tuple[str, ...] = (
-    # --- Round-8 window (VERDICT r07 #1/#2): (a) the three round-7
-    # unfreeze entries take their FIRST driver rows, restoring full
-    # 263/263 driver coverage (264th entry ann_ivf_rebalance_drift was
-    # added below this window in round 8 and takes its rows in r09);
-    # (b) every entry whose oracle or engine changed this round — the
-    # four converged NULLS-FIRST / concat / total-order poison mirrors,
-    # the first-UTF-8-byte normalization pair, the BIGINT histogram
-    # bin, and the KMV set-ops totality + shared-kernel refactor; (c)
-    # module canaries for each touched operator file; (d) multiply-
-    # green diversity fill across untouched modules.
+    # --- Round-9 window (VERDICT r08 #1): (a) all TWELVE round-8
+    # unfreeze entries take their FIRST driver rows — this restores
+    # full driver coverage of the round-8 registry; (b) the two new
+    # round-9 entries (real-file binaryFile ingest, iterative BPE
+    # train); (c) every entry whose PLAN changed this round (the
+    # constant-key window conversions, the orderBy+limit rewrites of
+    # data-proportional rankings, the fused zorder audit, the
+    # perceptron/BPE shared-kernel refactors, the dropped mapInPandas
+    # output sorts); (d) family canaries for the whitespace-contract
+    # oracle change (\s+ -> explicit ASCII class in common.WS_RE,
+    # which rewrites 66 oracle strings through the shared _NORM /
+    # _TOKENS templates — more than one window holds, so the rest are
+    # three-SF sweep-stamped below the window and rotate into r10;
+    # the change is a no-op on clean corpora by construction, and
+    # every affected entry is locally green at all three SFs).
     # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",
     "s1_scan_count_orders",
@@ -133,65 +138,59 @@ _PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_ivf",
     "text_token_stats",
     "events_sessionization",
-    # --- round-7 unfreeze: first driver rows ---
-    "dedup_passage_occurrences_topk",
-    "mm_image_decode_png",
+    # --- round-8 unfreeze: first driver rows (breadth-first) ---
+    "mm_audio_decode_wav",
+    "text_bpe_tokenize_apply",
+    "quality_perceptron_apply",
+    "dq_referential_integrity_audit",
+    "ann_ivf_rebalance_drift",
+    "graph_copurchase_pagerank",
+    "mm_image_decode_gif",
+    "text_html_extract",
+    "quality_perceptron_train",
+    "storage_orc_roundtrip_parity",
+    "mm_tar_member_extract",
+    "mm_warc_record_parse",
+    # --- round-9 new entries ---
+    "mm_binary_file_ingest",
+    "text_bpe_train",
+    # --- round-9 plan rewrites (results identical, plans changed) ---
+    "topk_global_with_per_group_cap",
+    "text_zipf_rank_frequency",
+    "mm_frame_dup_crossdoc",
+    "graph_copurchase_affinity",
     "sketch_kmv_set_ops",
-    # --- round-8 changed entries (oracle and/or engine) ---
-    "q3_browse_limit",
-    "window_lag_order_gap_days",
-    "pagination_offset_limit",
-    "string_functions_showcase",
-    "part_price_histogram",
-    "mm_decode_features_pandas",
-    "mm_av_header_probe",
-    # --- module canaries (touched files, unchanged entries) ---
-    "mm_image_decode_bmp",
-    "sketch_hll_cardinality",
-    "ann_cosine_topk_ivf_trained",
-    "semdedup_cell_prune",
-    # --- multiply-green diversity fill ---
-    "dedup_exact_substring_removal",
-    "dedup_duplicated_passages_topk",
-    "dedup_longest_repeated_substring",
-    "dedup_embedding_cosine_pairs",
-    "events_sliding_window",
-    "warehouse_snapshot_diff_cdc",
-    "warehouse_time_travel_read",
-    "ivf_kmeans_lloyd",
-    "pq_adc_topk_recall",
-    "hybrid_rrf_fusion",
-    "text_vocab_growth_curve",
-    "decimal_money_totals",
-    "rfm_customer_segments",
-    "from_json_typed_props",
-    "daily_revenue_anomalies",
-    "profile_orders_columns",
-    "dq_benford_first_digit",
-    "skew_salted_join_agg",
+    "zorder_layout_skipping_audit",
+    "mix_budget_waterfill",
     "window_moving_avg_7day_revenue",
-    "json_props_topk",
-    "f3_f4_cast_with_default",
-    "knn_graph_within_cell",
-    "emb_vector_quality_audit",
-    "graph_semantic_clusters",
-    # --- round-8 changed implementations: the bench-tail WindowExec
-    #     silencing replaced their unpartitioned global windows with
-    #     constant-key (pmod(key,1)) forms — semantics identical,
-    #     plan warning-free; both re-enter per the changed-impl policy
-    #     (q4_topk_other_share and hybrid_rrf_fusion, also changed,
-    #     already sit above as sentinel / fill) ---
-    "timeseries_cusum_changepoint",
-    "sketch_cms_heavy_hitters",
-    # --- round-8 late conversions: NULLS FIRST lag/layout pins found
-    #     by the registry-wide parity inventory (changed oracles) ---
     "orders_yoy_growth",
-    "layout_rle_run_profile",
-    # rfm_customer_segments (already a fill slot above) is ALSO a
-    # round-8 changed entry: regenerated sf0.1 testdata surfaced a
-    # double-avg last-ulp tie, so monetary moved to exact integer
-    # cents end-to-end (engine + oracle; see operators/reshape.py).
-    "events_asof_next_purchase",
+    "events_level_shift_detector",
+    "events_session_path_mining",
+    "timeseries_mad_outliers",
+    "text_zipf_fit",
+    "text_vocab_coverage",
+    "mm_decode_features_pandas",
+    # --- whitespace-contract canaries (one per changed oracle shape:
+    #     fingerprint md5, token split, trigram shingles, k-grams,
+    #     quality ratios, curation composition, packing, retrieval) ---
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_near_dup_components",
+    "dedup_duplicated_passages_topk",
+    "dedup_exact_substring_removal",
+    "text_quality_score",
+    "text_gopher_rules",
+    "text_langid_heuristic",
+    "corpus_curation_pipeline",
+    "pack_sequences_ffd",
+    "tfidf_top_terms",
+    # --- round-9 poison-parity conversions (oracle and/or engine
+    #     changed: total NULL-fingerprint keep-first/anti-join mirrors,
+    #     NaN-stat -> NULL normalization, finite-vector quantization
+    #     gate; dedup_exact_keep_first above is the fourth) ---
+    "dedup_incremental_anti_join",
+    "stats_regression_qty_price",
+    "emb_int8_quant_stats",
 )
 
 

@@ -1258,3 +1258,100 @@ def test_stream_warc_ingest_matches_batch(spark, tmp_path, parity_sf_dir):
     assert got == want and len(want) > 0
     # non-vacuous: every archive decoded with both members seen
     assert all(k[5] and k[1] == 2 for k in want)
+
+
+def test_stream_quality_admission_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The ingest-path admission gate must emit EXACTLY the per-doc
+    verdicts the shared batch kernel computes under the same frozen
+    weights — across two incremental drains, so trigger-split
+    independence is part of the assertion (scoring is stateless), and
+    the per-source aggregate of the emissions must equal the
+    registered apply entry's report."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.datapipe import (
+        pct_features,
+        pct_train,
+        pct_verdicts,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import (
+        stream_quality_admission,
+    )
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    feats, report = pct_train(spark, parity_sf_dir)
+    feats.unpersist()
+    w = list(report[-1][1:5])  # frozen serving weights (last epoch)
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(docs.filter(F.col("doc_id") <= mid), "p1")
+    stream_quality_admission(
+        spark, in_dir, out, ckpt, docs.schema, w
+    ).awaitTermination(120)
+    stage(docs.filter(F.col("doc_id") > mid), "p2")
+    stream_quality_admission(
+        spark, in_dir, out, ckpt, docs.schema, w
+    ).awaitTermination(120)
+
+    key = lambda r: (r["doc_id"], r["source"], r["pred_en"], r["true_en"])
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    want = {key(r) for r in pct_verdicts(pct_features(docs), w).collect()}
+    assert got == want and len(want) > 0
+    # non-vacuous: both true labels occur (the gate has something to
+    # separate), and the emitted verdicts match an independent pure-
+    # Python margin recomputation on a sample of raw rows (the model
+    # may legitimately predict one class everywhere at small SF, so
+    # verdict diversity is NOT asserted)
+    assert {k[3] for k in want} == {0, 1}
+    by_id = {k[0]: k for k in want}
+    for r in docs.orderBy("doc_id").limit(20).collect():
+        text = r["text"] or ""
+        x = [
+            1,
+            r["n_chars"] or 0,
+            text.count(" "),
+            text.count("e"),
+        ]
+        margin = sum(wi * xi for wi, xi in zip(w, x))
+        assert by_id[r["doc_id"]][2] == (1 if margin > 0 else 0)
+        assert by_id[r["doc_id"]][3] == (1 if r["lang"] == "en" else 0)
+
+    # the arrival-path emissions aggregate to the registered apply
+    # entry's per-source report (same weights, same kernel)
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    batch = {
+        (r["source"], r["n_docs"], r["n_pred_en"], r["n_true_en"], r["n_correct"])
+        for r in all_queries()["quality_perceptron_apply"]
+        .fn(spark, parity_sf_dir)
+        .collect()
+    }
+    agg = {
+        (r["source"], r["n"], r["p"], r["t"], r["c"])
+        for r in spark.read.parquet(out)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pred_en").cast("long").alias("p"),
+            F.sum("true_en").cast("long").alias("t"),
+            F.sum((F.col("pred_en") == F.col("true_en")).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    assert agg == batch
