@@ -808,6 +808,7 @@ _TWIN_CONTRACTS = {
     "stream_kmv_distinct": "test_stream_kmv_distinct_matches_batch",
     "stream_html_extract": "test_stream_html_extract_matches_batch",
     "stream_warc_ingest": "test_stream_warc_ingest_matches_batch",
+    "stream_quality_admission": "test_stream_quality_admission_matches_batch",
 }
 
 
