@@ -2296,3 +2296,206 @@ def quality_perceptron_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feats stays persisted — the returned plan reads it (the
     # km_train_centroids precedent; Spark evicts LRU under pressure)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance (exact integers — no float logs)
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public)
+# scores documents by how much more likely their hashed-ngram profile
+# is under a TARGET distribution than under the SOURCE distribution.
+# The published formulation sums per-ngram log-ratios; logs are
+# transcendental and the two engines' libm last-ulp differences are a
+# standing cross-engine tie risk (the rfm lesson), so this engine uses
+# the exact-integer surrogate the verification contract allows: each
+# bucket carries the e4-quantized likelihood RATIO as integer
+# division (t_cnt * S * 10000) DIV (s_cnt * T), and a document's
+# importance is the exact int64 SUM of its ngram occurrences' bucket
+# ratios — rank-deterministic, bit-identical under any partitioning,
+# and mirrored verbatim in SQL. (A monotone transform of the DSIR
+# score per bucket, summed instead of multiplied — documented
+# surrogate, not the published log-sum.)
+
+DSIR_BUCKETS = 256
+DSIR_TOPK = 20
+
+# word-bigram -> bucket, the house 60-bit md5-prefix hash reduced mod
+# DSIR_BUCKETS (same derivation both engines, like the MinHash base)
+_DSIR_B_SQL = (
+    "(CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % " f"{DSIR_BUCKETS})"
+)
+
+
+def _dsir_grams_sql() -> str:
+    return f"""
+        grams AS (
+            SELECT doc_id, lang, g,
+                   {_DSIR_B_SQL} AS b
+            FROM (
+                SELECT doc_id, lang,
+                       t[CAST(u.i AS INTEGER)] || ' ' ||
+                           t[CAST(u.i AS INTEGER) + 1] AS g
+                FROM (SELECT doc_id, lang, {_TOKENS.format(x='text')} AS t
+                      FROM documents),
+                     unnest(generate_series(1, len(t) - 1)) AS u(i)
+            )
+        ),
+        buckets AS (
+            SELECT b,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt,
+                   CAST(count(*) AS BIGINT) AS s_cnt
+            FROM grams GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total,
+                   CAST(sum(s_cnt) AS BIGINT) AS s_total
+            FROM buckets
+        ),
+        lr AS (
+            SELECT b, t_cnt, s_cnt,
+                   CASE WHEN tot.t_total = 0 THEN NULL
+                        ELSE CAST(t_cnt * tot.s_total * 10000
+                                  // (s_cnt * tot.t_total) AS BIGINT)
+                   END AS lr_e4
+            FROM buckets, tot
+        )"""
+
+
+def _dsir_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) — one row per word-bigram OCCURRENCE with its
+    hash bucket. Shared by both DSIR entries."""
+    toks = _tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", toks.alias("t")).filter(F.size("t") >= 2)
+    g = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ),
+        )
+    ).alias("g")
+    return d.select("doc_id", "lang", g).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+         % DSIR_BUCKETS).alias("b"),
+    )
+
+
+def _dsir_lr(grams: DataFrame) -> DataFrame:
+    """(b, t_cnt, s_cnt, lr_e4) — the 256-bucket likelihood-ratio
+    table (target = lang='en' ngram occurrences, source = all)."""
+    buckets = grams.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("t_cnt"),
+        F.count("*").cast("long").alias("s_cnt"),
+    )
+    tot = buckets.agg(
+        F.sum("t_cnt").cast("long").alias("t_total"),
+        F.sum("s_cnt").cast("long").alias("s_total"),
+    )
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "t_cnt",
+        "s_cnt",
+        F.when(F.col("t_total") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("CAST(t_cnt * s_total * 10000 DIV (s_cnt * t_total) AS BIGINT)")
+        )
+        .alias("lr_e4"),
+    )
+
+
+@register(
+    "dsir_bucket_likelihood_profile",
+    oracle=f"""
+        WITH {_dsir_grams_sql()}
+        SELECT b AS bucket, t_cnt, s_cnt, lr_e4
+        FROM lr
+        ORDER BY bucket
+    """,
+    doc=(
+        f"DSIR-style hashed-ngram importance, part 1 — the bucket "
+        f"model (Xie et al. 2023, public): every word-bigram "
+        f"occurrence hashes into one of {DSIR_BUCKETS} buckets (60-bit "
+        f"md5-prefix reduced mod {DSIR_BUCKETS}, the MinHash base-hash "
+        f"derivation), and each bucket reports target count (lang="
+        f"'en'), source count (all docs), and the e4-quantized "
+        f"likelihood ratio as EXACT integer division (t_cnt*S*10000) "
+        f"DIV (s_cnt*T) — the engine's integer surrogate for the "
+        f"published per-bucket log-ratio, chosen because libm log "
+        f"last-ulp differences are a standing cross-engine tie risk. "
+        f"Scale: one linear ngram explode + a {DSIR_BUCKETS}-key "
+        f"map-side-combinable agg; the model is {DSIR_BUCKETS} rows of "
+        f"driver-free state that broadcasts anywhere (int64 headroom: "
+        f"t_cnt*S*1e4 needs the DECIMAL(38) form past ~1e14 ngram "
+        f"occurrences — the KMV wide-integer precedent)."
+    ),
+    tags=("datapipe", "sampling", "agg"),
+)
+def dsir_bucket_likelihood_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _dsir_grams(t(spark, sf_dir, "documents"))
+    return _dsir_lr(grams).select(
+        F.col("b").alias("bucket"), "t_cnt", "s_cnt", "lr_e4"
+    ).orderBy("bucket")
+
+
+@register(
+    "dsir_doc_importance_topk",
+    oracle=f"""
+        WITH {_dsir_grams_sql()},
+        scored AS (
+            SELECT g.doc_id, max(g.lang) AS lang,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(lr.lr_e4) AS BIGINT) AS importance_e4
+            FROM grams g JOIN lr ON g.b = lr.b
+            GROUP BY g.doc_id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY importance_e4 DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, lang, n_ngrams, importance_e4
+        FROM scored
+        QUALIFY rank <= {DSIR_TOPK}
+        ORDER BY rank
+    """,
+    doc=(
+        f"DSIR-style hashed-ngram importance, part 2 — document "
+        f"scoring: each document's ngram occurrences join the "
+        f"broadcast {DSIR_BUCKETS}-row bucket table and its importance "
+        f"is the EXACT int64 sum of their e4 likelihood ratios "
+        f"(deterministic under any partitioning — no float "
+        f"accumulation anywhere); top-{DSIR_TOPK} documents by "
+        f"(importance desc, doc_id) via distributed TakeOrdered, the "
+        f"selection step a DSIR resampling run thresholds on. Scale: "
+        f"map-only scoring behind a broadcast join + one "
+        f"map-side-combinable per-doc agg; no shuffle of the corpus "
+        f"beyond the doc_id agg."
+    ),
+    tags=("datapipe", "sampling", "topk"),
+)
+def dsir_doc_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    grams = _dsir_grams(t(spark, sf_dir, "documents"))
+    lr = _dsir_lr(grams).select("b", "lr_e4")
+    scored = (
+        grams.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum("lr_e4").cast("long").alias("importance_e4"),
+        )
+    )
+    top = scored.orderBy(F.col("importance_e4").desc(), "doc_id").limit(DSIR_TOPK)
+    return top.withColumn(
+        # constant-key global window over the <= DSIR_TOPK limit() rows
+        "rank",
+        F.row_number()
+        .over(
+            _W.partitionBy(const_key("doc_id")).orderBy(
+                F.col("importance_e4").desc(), "doc_id"
+            )
+        )
+        .cast("long"),
+    ).select("rank", "doc_id", "lang", "n_ngrams", "importance_e4").orderBy("rank")

@@ -1702,12 +1702,14 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 5  # learned merge rules (rounds of the train loop)
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled-CTE replay of the iterative trainer: per round k, pair
-    counts over the POST-merge-(k-1) symbol sequences, the argmax rule
-    (ties by (a, b)), and the greedy fold producing round k's
-    sequences — the Lloyd/perceptron house pattern of exact-integer
-    loop replay in SQL."""
+def _bpe_train_ctes() -> tuple[list[str], list[str]]:
+    """Shared unrolled-CTE replay of the iterative trainer: per round
+    k, pair counts over the POST-merge-(k-1) symbol sequences, the
+    argmax rule (ties by (a, b)), and the greedy fold producing round
+    k's sequences — the Lloyd/perceptron house pattern of exact-
+    integer loop replay in SQL. Returns (cte_parts, per_round_selects)
+    so both the trainer oracle and the trained-encode oracle replay
+    the IDENTICAL loop."""
     parts = [
         f"""wf AS (
             SELECT word, CAST(count(*) AS BIGINT) AS n_occ
@@ -1741,6 +1743,11 @@ def _bpe_train_oracle() -> str:
             f"(SELECT CAST(sum(n_occ * len(s)) AS BIGINT) FROM s{k}) "
             f"AS tokens_after FROM m{k} m"
         )
+    return parts, selects
+
+
+def _bpe_train_oracle() -> str:
+    parts, selects = _bpe_train_ctes()
     return (
         "WITH "
         + ",\n".join(parts)
@@ -1749,36 +1756,16 @@ def _bpe_train_oracle() -> str:
     )
 
 
-@register(
-    "text_bpe_train",
-    oracle=_bpe_train_oracle(),
-    doc=(
-        f"BPE tokenizer TRAIN (Sennrich et al. 2016, public) — the real "
-        f"iterative loop text_bpe_tokenize_apply's one-pass mining "
-        f"approximates: {BPE_TRAIN_MERGES} rounds of corpus-wide "
-        f"adjacent-pair counting over the CURRENT symbol sequences, "
-        f"argmax rule selection (occurrence-weighted, ties by pair), "
-        f"and a greedy left-to-right merge fold rewriting every word "
-        f"before the next count — so rule k's statistics see the "
-        f"vocabulary AS COMPRESSED BY rules 1..k-1, which one-pass "
-        f"mining cannot. Per round the output reports the learned rule, "
-        f"its pair count, and the post-merge corpus token total (the "
-        f"compression curve a tokenizer training run monitors). Model "
-        f"state on the driver is one (a, b, count) row per round — the "
-        f"Lloyd/perceptron train-loop pattern; each round is one "
-        f"map-side-combinable pair-count shuffle (key space bounded by "
-        f"the merged-symbol vocabulary) plus a JVM-side fold, no UDF "
-        f"anywhere. The oracle replays every round as unrolled CTEs "
-        f"with identical integer arithmetic and tie-breaks. Pairs with "
-        f"IVF (train/apply) and the perceptron (train/apply) as the "
-        f"third learned-model family."
-    ),
-    tags=("text", "iterative", "corpus"),
-)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wf = _bpe_word_freqs(spark, sf_dir)
+def bpe_train_rounds(wf: DataFrame) -> list[tuple[int, str, str, int, Column]]:
+    """The iterative train loop over a (word, n_occ) frame: per round,
+    the argmax adjacent pair over the CURRENT symbol sequences, then
+    the greedy merge fold. Returns one (round, a, b, count,
+    post-merge symbol Column) tuple per learned rule. Shared by the
+    trainer entry (which reports the compression curve) and the
+    trained-encode entry (which applies the learned table) so the two
+    cannot drift."""
     s = _bpe_chars("word")
-    step_dfs: list[DataFrame] = []
+    rounds: list[tuple[int, str, str, int, Column]] = []
     for k in range(1, BPE_TRAIN_MERGES + 1):
         syms = wf.select("n_occ", s.alias("s"))
         pairs = (
@@ -1809,25 +1796,156 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         r = best[0]
         s = _bpe_fold(s, F.lit(r["a"]), F.lit(r["b"]))
-        step_dfs.append(
-            wf.agg(
-                F.sum(F.col("n_occ") * F.size(s)).cast("long").alias("tokens_after")
-            ).select(
-                F.lit(k).cast("long").alias("step"),
-                F.lit(r["a"]).alias("a"),
-                F.lit(r["b"]).alias("b"),
-                F.lit(int(r["cnt"])).cast("long").alias("pair_count"),
-                "tokens_after",
-            )
-        )
-    if not step_dfs:
+        rounds.append((k, r["a"], r["b"], int(r["cnt"]), s))
+    return rounds
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=(
+        f"BPE tokenizer TRAIN (Sennrich et al. 2016, public) — the real "
+        f"iterative loop text_bpe_tokenize_apply's one-pass mining "
+        f"approximates: {BPE_TRAIN_MERGES} rounds of corpus-wide "
+        f"adjacent-pair counting over the CURRENT symbol sequences, "
+        f"argmax rule selection (occurrence-weighted, ties by pair), "
+        f"and a greedy left-to-right merge fold rewriting every word "
+        f"before the next count — so rule k's statistics see the "
+        f"vocabulary AS COMPRESSED BY rules 1..k-1, which one-pass "
+        f"mining cannot. Per round the output reports the learned rule, "
+        f"its pair count, and the post-merge corpus token total (the "
+        f"compression curve a tokenizer training run monitors). Model "
+        f"state on the driver is one (a, b, count) row per round — the "
+        f"Lloyd/perceptron train-loop pattern; each round is one "
+        f"map-side-combinable pair-count shuffle (key space bounded by "
+        f"the merged-symbol vocabulary) plus a JVM-side fold, no UDF "
+        f"anywhere. The oracle replays every round as unrolled CTEs "
+        f"with identical integer arithmetic and tie-breaks. Pairs with "
+        f"IVF (train/apply) and the perceptron (train/apply) as the "
+        f"third learned-model family."
+    ),
+    tags=("text", "iterative", "corpus"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted like the Lloyd/perceptron feature frames: every round's
+    # pair count AND every tokens_after agg re-reads the vocabulary,
+    # so without the persist the trainer re-tokenizes documents ~2x
+    # per round (measured 16s -> ~6s at sf0.1). The returned plan
+    # reads it, so it stays persisted (km_train_centroids precedent;
+    # Spark evicts LRU under pressure).
+    wf = _bpe_word_freqs(spark, sf_dir).persist()
+    rounds = bpe_train_rounds(wf)
+    if not rounds:
         return spark.createDataFrame(
             [], "step long, a string, b string, pair_count long, tokens_after long"
         )
+    step_dfs = [
+        wf.agg(
+            F.sum(F.col("n_occ") * F.size(s)).cast("long").alias("tokens_after")
+        ).select(
+            F.lit(k).cast("long").alias("step"),
+            F.lit(a).alias("a"),
+            F.lit(b).alias("b"),
+            F.lit(cnt).cast("long").alias("pair_count"),
+            "tokens_after",
+        )
+        for (k, a, b, cnt, s) in rounds
+    ]
     out = step_dfs[0]
     for d in step_dfs[1:]:
         out = out.unionByName(d)
     return out.orderBy("step")
+
+
+def _bpe_train_encode_oracle() -> str:
+    parts, _ = _bpe_train_ctes()
+    merge_cols = ", ".join(
+        f"(SELECT a FROM m{k}) AS m{k}a, (SELECT b FROM m{k}) AS m{k}b"
+        for k in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    folds = []
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        folds.append(
+            f"f{k} AS (SELECT rank, word, n_occ, "
+            f"{_bpe_fold_sql('s', f'm.m{k}a', f'm.m{k}b')} AS s "
+            f"FROM f{k - 1}, m)"
+        )
+    parts = parts + [
+        f"m AS (SELECT {merge_cols})",
+        f"""top AS (
+            SELECT word, n_occ,
+                   row_number() OVER (ORDER BY n_occ DESC, word) AS rank
+            FROM wf QUALIFY rank <= {BPE_TOPK}
+        )""",
+        f"f0 AS (SELECT rank, word, n_occ, {_bpe_chars_sql('word')} AS s FROM top)",
+        *folds,
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(rank AS BIGINT) AS rank, word, n_occ,
+               CAST(length(word) AS BIGINT) AS n_chars,
+               CAST(len(s) AS BIGINT) AS n_tokens,
+               array_to_string(s, '|') AS enc
+        FROM f{BPE_TRAIN_MERGES}
+        ORDER BY rank
+    """
+    )
+
+
+@register(
+    "text_bpe_train_encode",
+    oracle=_bpe_train_encode_oracle(),
+    doc=(
+        f"TRAIN -> APPLY composition: encode the top-{BPE_TOPK} words "
+        f"with the merge table the ITERATIVE trainer learned "
+        f"(bpe_train_rounds — the same loop text_bpe_train audits, "
+        f"shared code so the audited model and the serving model "
+        f"cannot drift), in rule-priority order as greedy left-to-"
+        f"right folds. This differs from text_bpe_tokenize_apply, "
+        f"whose table is mined in one pass: here rule k was selected "
+        f"AGAINST the vocabulary as compressed by rules 1..k-1, so "
+        f"composed rules like (a,b)->ab then (ab,c)->abc can appear — "
+        f"the production tokenizer-training story end-to-end. The "
+        f"oracle chains the trainer's unrolled round CTEs straight "
+        f"into the fold chain, so one hash certifies training AND "
+        f"encoding. Scale: training cost is the trainer entry's; "
+        f"encoding folds run on the {BPE_TOPK} reported words (a full-"
+        f"corpus encode is the same broadcast-table column expression, "
+        f"map-only)."
+    ),
+    tags=("text", "iterative", "datapipe"),
+)
+def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    wf = _bpe_word_freqs(spark, sf_dir).persist()
+    rounds = bpe_train_rounds(wf)
+    top = (
+        wf.orderBy(F.col("n_occ").desc(), "word")
+        .limit(BPE_TOPK)
+        .withColumn(
+            # constant-key global window over the <= BPE_TOPK limit() rows
+            "rank",
+            F.row_number().over(
+                W.partitionBy(const_key("word")).orderBy(
+                    F.col("n_occ").desc(), "word"
+                )
+            ),
+        )
+    )
+    s = _bpe_chars("word")
+    for _k, a, b, _cnt, _s in rounds:
+        s = _bpe_fold(s, F.lit(a), F.lit(b))
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "word",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(s).cast("long").alias("n_tokens"),
+        F.concat_ws("|", s).alias("enc"),
+    ).orderBy("rank")
 
 
 # --- HTML main-content extraction -------------------------------------------

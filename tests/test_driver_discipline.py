@@ -41,7 +41,7 @@ ALLOWED = {
         1, "perceptron epoch state: 1 row x (4 weights + count) ints"),
     ("operators/linalg.py", "emb_pca_power_iteration"): (
         1, "one 64-dim direction vector per round"),
-    ("operators/text.py", "text_bpe_train"): (
+    ("operators/text.py", "bpe_train_rounds"): (
         1, "BPE train model state: 1 argmax (a, b, count) row per round"),
     ("pipeline/watermark.py", "compute_watermark"): (
         1, "1-row watermark aggregate"),
