@@ -1,20 +1,28 @@
-"""Propose the next driver-window rotation from the CORRECTNESS history.
+"""Propose the next driver-window rotation from the CORRECTNESS history
+AND the oracle-hash snapshot ledger.
 
-Reads every CORRECTNESS_r*.json in the repo root, diffs the union of
-driver-checked names against the oracle-backed registry, and prints:
+Reads every CORRECTNESS_r*.json in the repo root plus the per-round
+snapshots in tools/window_history/ (entry oracle md5s + the window
+that round installed), and prints:
 
   - coverage accounting (checked / never-checked, per module),
-  - a proposed next `_PRIORITY` fill: the pinned sentinels followed by
-    never-checked entries breadth-first by module (round-robin, so
-    every module gets driver rows as early as possible),
+  - the CHANGED-SINCE-VERIFIED debt: entries whose current oracle text
+    differs from the one in force when they last sat in a driver
+    window (the round-9 lesson — a shared-template oracle edit can
+    rewrite more oracles than one 50-slot window holds, and the
+    leftover rotation debt must be COMPUTED, not remembered),
+  - a proposed next `_PRIORITY` fill: the pinned sentinels, then the
+    changed debt, then never-checked entries breadth-first by module.
 
 ready to paste into `coviddatapipeline_spark/queries/catalog.py`. The
 sentinel list mirrors the one pinned there; edit SENTINELS when the
-canary set changes. Entries whose oracle or implementation changed in
-the current round must be ADDED to the window by hand — this tool only
-plans first-time coverage.
+canary set changes.
 
 Usage: python tools/plan_next_window.py [window_size]
+       python tools/plan_next_window.py --snapshot r09
+           # record the just-installed window + ALL current entry
+           # oracle hashes; run this right after editing _PRIORITY for
+           # a round, then commit tools/window_history/r09.json
 """
 
 from __future__ import annotations
@@ -40,7 +48,59 @@ SENTINELS = (
 )
 
 
+HISTORY_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "window_history")
+
+
+def _oracle_md5s() -> dict[str, str]:
+    import hashlib
+
+    qs = catalog.all_queries()
+    return {
+        n: hashlib.md5(q.oracle.encode()).hexdigest()
+        for n, q in qs.items()
+        if q.oracle is not None
+    }
+
+
+def take_snapshot(tag: str, window: int) -> int:
+    """Record {window: [...], oracles: {entry: md5}} for this round.
+    The planner replays snapshots in tag order to build the
+    last-driver-verified-oracle ledger. Oracle text (not the sweep
+    fingerprint) is the right granularity here: the sweep fingerprint
+    salts SHARED modules, so one helper edit marks all ~280 entries
+    changed — correct for stamp re-gating, useless for window
+    planning. Implementation-only changes (oracle untouched) still get
+    hand-added to the window per the changed-impl policy."""
+    qs = catalog.all_queries()
+    md5s = _oracle_md5s()
+    snap = {"window": [n for n in list(qs)[:window] if n in md5s], "oracles": md5s}
+    os.makedirs(HISTORY_DIR, exist_ok=True)
+    path = os.path.join(HISTORY_DIR, f"{tag}.json")
+    with open(path, "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+    print(f"snapshot {tag}: {len(snap['window'])}-entry window, "
+          f"{len(md5s)} oracle hashes -> {path}")
+    return 0
+
+
+def verified_ledger() -> dict[str, str]:
+    """entry -> the oracle md5 in force the last time the entry sat in
+    an installed driver window (replayed from the snapshots in tag
+    order). Entries never snapshotted-in-window are absent."""
+    ledger: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(HISTORY_DIR, "*.json"))):
+        with open(path) as f:
+            snap = json.load(f)
+        for n in snap["window"]:
+            h = snap["oracles"].get(n)
+            if h:
+                ledger[n] = h
+    return ledger
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--snapshot":
+        return take_snapshot(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 50)
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
@@ -67,32 +127,66 @@ def main() -> int:
         q = qs[n]
         by_mod[(q.src or q.fn).__module__.rsplit(".", 1)[-1]].append(n)
 
+    # CHANGED debt: last-window-verified fingerprint differs from the
+    # current one, and the entry is not already in the current window
+    # (which is about to re-verify it).
+    ledger = verified_ledger()
+    md5s = _oracle_md5s()
+    changed = sorted(
+        n
+        for n in oracle_backed
+        if n in ledger
+        and n not in current_window
+        and md5s.get(n) != ledger[n]
+    )
+    unledgered = [
+        n for n in oracle_backed
+        if n not in ledger and n in checked and n not in current_window
+    ]
+
     print(f"registry: {len(qs)} ({len(oracle_backed)} oracle-backed)")
     print(f"driver-checked (all rounds): {len(checked & set(qs))}")
     print(f"never-checked backlog: {len(never)}")
     for m in sorted(by_mod):
         print(f"  {m} ({len(by_mod[m])}): {', '.join(sorted(by_mod[m]))}")
+    print(f"changed-since-last-verified-window debt: {len(changed)}")
+    for n in changed:
+        print(f"  {n}")
+    if unledgered:
+        print(
+            f"(no oracle-hash ledger for {len(unledgered)} historically-"
+            f"checked entries — predates tools/window_history/; they "
+            f"surface here only once a snapshot records them in-window)"
+        )
 
     slots = window - len(SENTINELS)
-    # round-robin across modules, largest-backlog modules first, so
-    # breadth comes before depth
+    # first-time coverage first (the unfreeze discipline: every entry
+    # earns a driver row ASAP, round-robin across modules so breadth
+    # comes before depth), then the changed-oracle debt (a verified
+    # hash row exists but for OLD oracle text)
+    fill: list[str] = []
     order = sorted(by_mod, key=lambda m: -len(by_mod[m]))
     queues = {m: sorted(by_mod[m]) for m in order}
-    fill: list[str] = []
     while len(fill) < slots and any(queues.values()):
         for m in order:
             if queues[m] and len(fill) < slots:
                 fill.append(queues[m].pop(0))
-    print(f"\nproposed _PRIORITY ({len(SENTINELS)} sentinels + {len(fill)} first-time):")
+    n_first = len(fill)
+    fill.extend(changed[: slots - n_first])
+    print(
+        f"\nproposed _PRIORITY ({len(SENTINELS)} sentinels + "
+        f"{n_first} first-time + {len(fill) - n_first} changed):"
+    )
     print("_PRIORITY: tuple[str, ...] = (")
     for n in SENTINELS:
         print(f'    "{n}",')
-    print("    # --- rotation (breadth-first by module) ---")
+    print("    # --- rotation (first-time breadth-first, then changed debt) ---")
     for n in fill:
         print(f'    "{n}",')
     print(")")
-    remaining = len(never) - len(fill)
-    print(f"\nbacklog after this window: {remaining}")
+    print(f"\nbacklog after this window: never-checked "
+          f"{max(0, len(never) - n_first)}, "
+          f"changed {max(0, len(changed) - (len(fill) - n_first))}")
     return 0
 
 
