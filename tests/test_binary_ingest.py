@@ -13,12 +13,9 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import io
 import os
 import tarfile
-import zlib
 
-import pytest
 
 from coviddatapipeline_spark.operators.multimodal import (
     FIXTURE_SHARDS,
