@@ -115,21 +115,20 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 _PRIORITY: tuple[str, ...] = (
-    # --- Round-9 window (VERDICT r08 #1): (a) all TWELVE round-8
-    # unfreeze entries take their FIRST driver rows — this restores
-    # full driver coverage of the round-8 registry; (b) the two new
-    # round-9 entries (real-file binaryFile ingest, iterative BPE
-    # train); (c) every entry whose PLAN changed this round (the
-    # constant-key window conversions, the orderBy+limit rewrites of
-    # data-proportional rankings, the fused zorder audit, the
-    # perceptron/BPE shared-kernel refactors, the dropped mapInPandas
-    # output sorts); (d) family canaries for the whitespace-contract
-    # oracle change (\s+ -> explicit ASCII class in common.WS_RE,
-    # which rewrites 66 oracle strings through the shared _NORM /
-    # _TOKENS templates — more than one window holds, so the rest are
-    # three-SF sweep-stamped below the window and rotate into r10;
-    # the change is a no-op on clean corpora by construction, and
-    # every affected entry is locally green at all three SFs).
+    # --- Round-10 window (VERDICT r09 #1): installed verbatim from
+    # `tools/plan_next_window.py`, which replays the oracle-hash
+    # snapshots in tools/window_history/ — (a) the 3 entries that have
+    # never taken a driver row (the late round-9 additions: the DSIR
+    # pair and the BPE train->encode composition), then (b) 40 of the
+    # 47 changed-oracle rotation-debt entries from the round-9
+    # whitespace-contract change (\s+ -> common.WS_RE rewrote 66
+    # oracle strings; 11 canaries + 9 conversions were absorbed by the
+    # r09 window). The 7-entry remainder (text_repetition_ratio,
+    # text_unigram_logprob, text_vocab_growth_curve,
+    # text_winnow_fingerprint, text_word_entropy,
+    # text_word_trigrams_top, train_order_global_shuffle) heads the
+    # r11 window, zeroing the ledger. All 50 re-swept green at all
+    # three SFs after the round-10 edits.
     # --- sentinels (green every round they have sat) ---
     "flagship_revenue_by_nation",
     "s1_scan_count_orders",
@@ -138,59 +137,51 @@ _PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_ivf",
     "text_token_stats",
     "events_sessionization",
-    # --- round-8 unfreeze: first driver rows (breadth-first) ---
-    "mm_audio_decode_wav",
-    "text_bpe_tokenize_apply",
-    "quality_perceptron_apply",
-    "dq_referential_integrity_audit",
-    "ann_ivf_rebalance_drift",
-    "graph_copurchase_pagerank",
-    "mm_image_decode_gif",
-    "text_html_extract",
-    "quality_perceptron_train",
-    "storage_orc_roundtrip_parity",
-    "mm_tar_member_extract",
-    "mm_warc_record_parse",
-    # --- round-9 new entries ---
-    "mm_binary_file_ingest",
-    "text_bpe_train",
-    # --- round-9 plan rewrites (results identical, plans changed) ---
-    "topk_global_with_per_group_cap",
-    "text_zipf_rank_frequency",
-    "mm_frame_dup_crossdoc",
-    "graph_copurchase_affinity",
-    "sketch_kmv_set_ops",
-    "zorder_layout_skipping_audit",
-    "mix_budget_waterfill",
-    "window_moving_avg_7day_revenue",
-    "orders_yoy_growth",
-    "events_level_shift_detector",
-    "events_session_path_mining",
-    "timeseries_mad_outliers",
-    "text_zipf_fit",
-    "text_vocab_coverage",
-    "mm_decode_features_pandas",
-    # --- whitespace-contract canaries (one per changed oracle shape:
-    #     fingerprint md5, token split, trigram shingles, k-grams,
-    #     quality ratios, curation composition, packing, retrieval) ---
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_near_dup_components",
-    "dedup_duplicated_passages_topk",
-    "dedup_exact_substring_removal",
-    "text_quality_score",
-    "text_gopher_rules",
-    "text_langid_heuristic",
-    "corpus_curation_pipeline",
-    "pack_sequences_ffd",
-    "tfidf_top_terms",
-    # --- round-9 poison-parity conversions (oracle and/or engine
-    #     changed: total NULL-fingerprint keep-first/anti-join mirrors,
-    #     NaN-stat -> NULL normalization, finite-vector quantization
-    #     gate; dedup_exact_keep_first above is the fourth) ---
-    "dedup_incremental_anti_join",
-    "stats_regression_qty_price",
-    "emb_int8_quant_stats",
+    # --- first driver rows (late round-9 additions) ---
+    "dsir_bucket_likelihood_profile",
+    "text_bpe_train_encode",
+    "dsir_doc_importance_topk",
+    # --- changed-oracle rotation debt (40 of 47; alphabetical) ---
+    "bigram_pmi_top",
+    "bm25_fixed_query",
+    "contamination_ngram_overlap",
+    "dedup_boilerplate_maximal_kgrams",
+    "dedup_candidate_containment",
+    "dedup_canonical_doc_per_component",
+    "dedup_cluster_canonical_select",
+    "dedup_components_labelprop",
+    "dedup_exact_substring_runs",
+    "dedup_incremental_neardup_ingest",
+    "dedup_levenshtein_candidates",
+    "dedup_lsh_banding_curve",
+    "dedup_minhash_estimator_audit",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_passage_occurrences_topk",
+    "dedup_simhash",
+    "dedup_simhash_banded_pairs",
+    "dedup_simhash_banded_pairs_salted",
+    "dedup_simhash_near_pairs",
+    "dedup_source_mirror_detection",
+    "docpipe_clean_corpus_stats",
+    "docpipe_curation_manifest",
+    "docpipe_quality_dup_profile",
+    "hybrid_rrf_fusion",
+    "median_price_per_segment",
+    "mix_epoch_schedule",
+    "mix_source_temperature_weights",
+    "pack_chunks_with_overlap",
+    "pack_sequences_greedy",
+    "pack_span_corruption_plan",
+    "pref_pairs_by_quality",
+    "sample_token_budget_per_lang",
+    "sample_weighted_bernoulli",
+    "split_leakage_audit",
+    "split_unigram_kl_audit",
+    "text_bpe_merge_candidates",
+    "text_bpe_token_estimate",
+    "text_dedup_rate_by_source",
+    "text_fingerprint",
+    "text_longdoc_token_share",
 )
 
 
