@@ -200,7 +200,6 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         )
         .groupBy("purchase_id")
         .agg(F.count("*").alias("n_clicks"), F.round(F.sum("c_value"), 2).alias("click_value"))
-        .orderBy("purchase_id")
     )
 
 

@@ -810,7 +810,6 @@ def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fh").alias("n_distinct_frames"),
             F.min("fh").alias("min_frame_hash"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -126,7 +126,6 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix_key")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
         .filter(F.col("group_size") > 1)
-        .orderBy("keeper")
     )
 
 
@@ -305,7 +304,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(common * 1.0 / union_n, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -395,7 +393,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")) >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
     return out
 
@@ -460,7 +457,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(32):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
-    return bit_sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
 
 
 @register(
@@ -491,7 +488,6 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -576,7 +572,6 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
             shared.cast("int").alias("n_shared_bands"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -711,7 +706,6 @@ def dedup_simhash_banded_pairs_salted(spark: SparkSession, sf_dir: str) -> DataF
             F.col("id_b").alias("doc_b"),
             "hamming",
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -822,7 +816,6 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.groupBy("b1", "b2")
         .applyInPandas(block_gemm, schema="vec_a long, vec_b long, cosine_raw double")
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -884,7 +877,6 @@ def dedup_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         )
         .select(F.col("node").alias("doc_id"), "component")
-        .orderBy("doc_id")
     )
 
 
@@ -935,7 +927,7 @@ def dedup_components_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.orderBy("doc_id")
+    return labels
 
 
 @register(
@@ -1125,7 +1117,6 @@ def dedup_canonical_doc_per_component(spark: SparkSession, sf_dir: str) -> DataF
             "n_docs",
             (F.col("n_docs") - 1).alias("n_dropped"),
         )
-        .orderBy("component")
     )
 
 
@@ -1203,7 +1194,6 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1363,7 +1353,6 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(jac, 4).alias("jaccard_exact"),
             F.round(F.abs(est - jac), 4).alias("abs_err"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1637,7 +1626,6 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("longest_shared_tokens"),
         )
         .filter(F.col("longest_run_kgrams") >= MIN_RUN)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1829,7 +1817,7 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     duph = (
         kg.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("h")
     )
-    return substring_removal_report(docs, duph).orderBy("doc_id")
+    return substring_removal_report(docs, duph)
 
 
 @register(
@@ -2712,7 +2700,7 @@ def dedup_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((shared * 10000) DIV (na + nb - shared) AS BIGINT)").alias(
             "jaccard_e4"
         ),
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2931,7 +2919,6 @@ def dedup_cluster_canonical_select(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_chars").cast("long").alias("canonical_chars"),
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
-        .orderBy("component")
     )
 
 

@@ -104,7 +104,6 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
-        .orderBy("doc_id", "span_start")
     )
 
 
@@ -145,7 +144,6 @@ def remove_duplicate_spans(
                 "clean_text"
             ),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -142,7 +142,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("session_id").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -187,7 +186,7 @@ def events_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> 
         "user_id",
         F.date_format("asof_click_ts", _FMT).alias("asof_click_ts"),
         F.round("asof_value", 2).alias("asof_click_value"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -305,7 +304,6 @@ def events_user_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         ev.groupBy("bk")
         .applyInPandas(median_gap, schema="user_id long, median_gap_s double, n_gaps long")
-        .orderBy("user_id")
     )
 
 

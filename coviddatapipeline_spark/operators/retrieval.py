@@ -103,7 +103,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "rnk", F.round("score", 4).alias("tfidf"))
-        .orderBy("doc_id", "rnk")
     )
 
 

@@ -444,7 +444,6 @@ def knn_graph_within_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
-        .orderBy("vec_id", "rank")
     )
 
 
@@ -941,7 +940,6 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mxf", 4).alias("max_earlier_cos"),
             (F.col("mxf") > SEMDEDUP_TAU).cast("int").alias("pruned"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1417,7 +1415,6 @@ def graph_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.withColumn("n_in_cluster", F.count("*").over(wsz))
         .select("vec_id", "component", "n_in_cluster")
-        .orderBy("vec_id")
     )
 
 

@@ -82,7 +82,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.replace(norm, F.lit(" "), F.lit(""))) * 1.0 / F.size(toks), 4
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -123,7 +123,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(ratio, 4).alias("stopword_ratio"),
         F.round(quality, 4).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -181,7 +181,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.lower(_norm(F.col("text"))))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -345,7 +345,7 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.length(norm) * 1.0, F.size(pieces)), 4).alias(
             "chars_per_piece"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 # Winnowing parameters: k-gram size and window width (Schleimer et al.,
@@ -441,7 +441,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_fingerprints"),
         F.when(short, F.col("min_h")).otherwise(F.col("min_winnow")).alias("min_fp"),
     )
-    return fp.orderBy("doc_id")
+    return fp
 
 
 # PII-ish patterns (digit runs >= 4 as account/phone-like, email-like).
@@ -486,7 +486,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(clean)).alias("chars_removed"),
         F.size(F.regexp_extract_all(clean, F.lit("<NUM>"), 0)).alias("n_num_masked"),
         F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), 0)).alias("n_email_masked"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -766,7 +766,6 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_distinct"),
             F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("word_entropy"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -822,7 +821,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("c") * F.log(F.col("cw") / F.col("n"))) / F.sum("c"), 4
             ).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2044,7 +2042,7 @@ def _html_oracle() -> str:
 )
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return html_extract_report(docs).orderBy("doc_id")
+    return html_extract_report(docs)
 
 
 def html_main_text(page: Column) -> Column:
