@@ -15,6 +15,7 @@ import gzip
 import hashlib
 import os
 import tarfile
+import wave
 
 
 from coviddatapipeline_spark.operators.multimodal import (
@@ -22,6 +23,7 @@ from coviddatapipeline_spark.operators.multimodal import (
     _fixture_dir,
     binary_fixture_files,
     ensure_binary_fixtures,
+    make_png_decoder,
     make_tar_decoder,
     make_warc_decoder,
 )
@@ -43,10 +45,10 @@ def test_committed_fixtures_match_writer_bytes():
 
 def test_fixture_count_and_kinds():
     spec = binary_fixture_files()
-    assert len(spec) == 3 * FIXTURE_SHARDS
+    assert len(spec) == 6 * FIXTURE_SHARDS
     exts = {n.rsplit(".", 1)[-1] if not n.endswith(".warc.gz") else "warc.gz"
             for n, _ in spec}
-    assert exts == {"tar", "warc.gz", "bmp"}
+    assert exts == {"tar", "warc.gz", "bmp", "png", "gif", "wav"}
 
 
 def test_fixtures_are_foreign_readable():
@@ -65,6 +67,11 @@ def test_fixtures_are_foreign_readable():
         both = gzip.decompress(raw)
         assert both.startswith(b"WARC/1.0\r\n")
         assert both.count(b"WARC/1.0\r\n") == 2
+        # stdlib wave — a PCM reader this repo did not write
+        with wave.open(os.path.join(d, f"audio_{s:02d}.wav")) as wf:
+            assert (wf.getnchannels(), wf.getsampwidth()) == (1, 2)
+            assert wf.getframerate() == 8000 << (s % 3)
+            assert wf.getnframes() == 64 + s * 7
 
 
 def test_strict_decoders_reject_corrupted_fixture_bytes():
@@ -80,11 +87,16 @@ def test_strict_decoders_reject_corrupted_fixture_bytes():
     assert warc_d(bytes(wb)) is not None
     wb[-5] ^= 0xFF  # inside the trailing CRC/ISIZE -> member CRC fails
     assert warc_d(bytes(wb)) is None
+    png_d = make_png_decoder()
+    pb = bytearray(open(os.path.join(d, "pic_00.png"), "rb").read())
+    assert png_d(bytes(pb)) is not None
+    pb[30] ^= 0xFF  # inside a chunk body -> CRC32 mismatch
+    assert png_d(bytes(pb)) is None
 
 
 def test_binary_file_ingest_spark(spark, parity_sf_dir):
     rows = all_queries()["mm_binary_file_ingest"].fn(spark, parity_sf_dir).collect()
-    assert len(rows) == 3 * FIXTURE_SHARDS
+    assert len(rows) == 6 * FIXTURE_SHARDS
     by_kind = {}
     for r in rows:
         assert r.decoded, f"{r.file_name} failed to decode"
@@ -93,7 +105,7 @@ def test_binary_file_ingest_spark(spark, parity_sf_dir):
         )
         by_kind.setdefault(r.kind, []).append(r)
     assert {k: len(v) for k, v in by_kind.items()} == {
-        "tar": FIXTURE_SHARDS, "warc": FIXTURE_SHARDS, "bmp": FIXTURE_SHARDS
+        k: FIXTURE_SHARDS for k in ("tar", "warc", "bmp", "png", "gif", "wav")
     }
     # spot-check one parse-derived value against an independent reader
     with tarfile.open(os.path.join(_fixture_dir(), "shard_05.tar")) as tf:
