@@ -2157,15 +2157,32 @@ def _binary_ingest_oracle() -> str:
 )
 def mm_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdir = ensure_binary_fixtures()
+    return binary_ingest_report(binary_blob_scan(spark, fdir))
+
+
+def binary_blob_scan(spark: SparkSession, path_or_paths) -> DataFrame:
+    """binaryFile scan -> (file_name, file_bytes, content). Accepts a
+    directory or an explicit path list (the streaming twin re-reads the
+    arrival listing's paths per micro-batch through this same scan)."""
+    reader = spark.read.format("binaryFile")
     blobs = (
-        spark.read.format("binaryFile")
-        .load(fdir)
-        .select(
-            F.element_at(F.split("path", "/"), -1).alias("file_name"),
-            F.col("length").cast("long").alias("file_bytes"),
-            "content",
-        )
+        reader.load(path_or_paths)
+        if isinstance(path_or_paths, str)
+        else reader.load(list(path_or_paths))
     )
+    return blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("file_bytes"),
+        "content",
+    )
+
+
+def binary_ingest_report(blobs: DataFrame) -> DataFrame:
+    """Extension-routed decode of opaque blobs through the module's
+    format kernels — shared verbatim by the registered batch entry
+    (``mm_binary_file_ingest``) and the ingest-path streaming twin
+    (``pipeline.streaming.stream_binary_ingest``), so the audited
+    batch semantics and the arrival-path behavior cannot drift."""
     tar_d = make_tar_decoder()
     warc_d = make_warc_decoder()
     bmp_d = make_bmp_decoder()

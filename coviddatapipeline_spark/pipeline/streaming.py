@@ -1044,3 +1044,64 @@ def stream_quality_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_binary_ingest(
+    spark: SparkSession,
+    listing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> StreamingQuery:
+    """Real-file binary ingest ON the arrival path (the 22nd twin).
+
+    ``binaryFile`` is not a streaming source in Spark 4, so the twin
+    uses the files-listing pattern the round-9 plan proposed (NEXT.md
+    open item (a); reference analogue: the continuous CSV-tail framing,
+    /root/reference/README.md:81): what STREAMS is the arrival LISTING
+    — one row per landed file path, the manifest shape every crawl
+    pipeline already produces — and each micro-batch re-reads exactly
+    its listed paths through the batch ``binaryFile`` scan, fanned into
+    ``multimodal.binary_ingest_report`` — literally the same
+    extension-routed tar/WARC/BMP/PNG/GIF/WAV decode kernel the
+    registered ``mm_binary_file_ingest`` entry audits — and appends the
+    parse report. Audited batch semantics and ingest-path behavior
+    cannot drift because they are one kernel.
+
+    The per-batch ``collect()`` gathers file PATHS only — listing rows,
+    metadata-sized by construction (it is the same driver-side scale as
+    the file-source's own discovered-files log; the blob BYTES never
+    touch the driver — binaryFile reads them executor-side).
+
+    Exactness contract (tested): parsing is per-file and stateless, so
+    the union of per-batch emissions equals the batch kernel on the
+    union of the listings for ANY trigger split. foreachBatch append is
+    at-least-once on trigger retry (same caveat as the other map-only
+    twins); dedup downstream on file_name if exactly-once
+    materialization matters. Scale: per trigger, a path-pruned
+    binaryFile scan into a map-only Arrow-batched kernel — no shuffle,
+    no engine-carried state, embarrassingly parallel at any arrival
+    rate.
+    """
+    from coviddatapipeline_spark.operators.multimodal import (
+        binary_blob_scan,
+        binary_ingest_report,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(listing_dir)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        # metadata-sized: file paths, not file bytes
+        paths = [r.path for r in batch_df.select("path").distinct().collect()]
+        if not paths:
+            return
+        binary_ingest_report(binary_blob_scan(spark, paths)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

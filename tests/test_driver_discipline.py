@@ -45,6 +45,10 @@ ALLOWED = {
         1, "BPE train model state: 1 argmax (a, b, count) row per round"),
     ("pipeline/watermark.py", "compute_watermark"): (
         1, "1-row watermark aggregate"),
+    ("pipeline/streaming.py", "stream_binary_ingest.ingest"): (
+        1, "arrival-listing file PATHS per micro-batch (names, not "
+           "bytes — the same driver-side scale as the file-source's "
+           "own discovered-files log; blobs are read executor-side)"),
 }
 
 

@@ -809,6 +809,7 @@ _TWIN_CONTRACTS = {
     "stream_html_extract": "test_stream_html_extract_matches_batch",
     "stream_warc_ingest": "test_stream_warc_ingest_matches_batch",
     "stream_quality_admission": "test_stream_quality_admission_matches_batch",
+    "stream_binary_ingest": "test_stream_binary_ingest_matches_batch",
 }
 
 
@@ -1356,3 +1357,59 @@ def test_stream_quality_admission_matches_batch(spark, tmp_path, parity_sf_dir):
         .collect()
     }
     assert agg == batch
+
+
+def test_stream_binary_ingest_matches_batch(spark, tmp_path):
+    """The arrival-path binary ingest (files-listing pattern: the
+    LISTING streams, each micro-batch re-reads exactly its listed paths
+    through the batch binaryFile scan) must emit EXACTLY the per-file
+    report the shared batch kernel computes over the whole fixture dir
+    — across two incremental drains, so trigger-split independence is
+    part of the assertion (parsing is per-file and stateless)."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        binary_blob_scan,
+        binary_ingest_report,
+        ensure_binary_fixtures,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_binary_ingest
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    fdir = ensure_binary_fixtures()
+    names = sorted(os.listdir(fdir))
+    assert len(names) >= 6
+    listing = spark.createDataFrame(
+        [(os.path.join(fdir, n),) for n in names], "path string"
+    )
+    mid = names[len(names) // 2]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    base = os.path.join(fdir, "")
+    stage(listing.filter(F.col("path") <= base + mid), "p1")
+    stream_binary_ingest(spark, in_dir, out, ckpt, listing.schema).awaitTermination(120)
+    stage(listing.filter(F.col("path") > base + mid), "p2")
+    stream_binary_ingest(spark, in_dir, out, ckpt, listing.schema).awaitTermination(120)
+
+    key = lambda r: (
+        r["file_name"], r["kind"], r["file_bytes"], r["n_records"],
+        r["payload_bytes"], r["detail_md5"], r["detail"], r["decoded"],
+    )
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    want = {key(r) for r in binary_ingest_report(binary_blob_scan(spark, fdir)).collect()}
+    assert got == want and len(want) == len(names)
+    # non-vacuous: every file decoded, all six format families present
+    assert all(k[7] for k in want)
+    assert {k[1] for k in want} == {"tar", "warc", "bmp", "png", "gif", "wav"}
