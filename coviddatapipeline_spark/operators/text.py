@@ -2082,3 +2082,468 @@ def html_extract_report(docs: DataFrame) -> DataFrame:
         )
         .alias("content_ratio_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer TRAIN + ENCODE (SentencePiece-style, Kudo 2018)
+# ---------------------------------------------------------------------------
+#
+# The fourth train/apply family (VERDICT r09 #7), sibling of BPE/IVF/
+# perceptron. Published shape: seed a substring inventory, iterate
+# E-step (segment the word-frequency table under current piece scores)
+# / M-step (re-estimate scores from the segmentations) / PRUNE (drop
+# the weakest pieces), then encode with the trained vocabulary. The
+# documented exact-integer surrogate (the DSIR move — libm log last-ulp
+# differences are a standing cross-engine tie risk): hard-EM (Viterbi
+# counts, the standard EM variant) under the objective
+#   minimize n_pieces, tie-break maximize sum of integer piece counts,
+#   tie-break lexicographically smallest encoding
+# instead of the published log-likelihood — every quantity stays int64
+# and the DP is exactly replayable by full segmentation enumeration in
+# SQL (recursive CTE), so one hash certifies seed + all EM rounds +
+# prune + encode. Singles are never pruned (segmentation totality, as
+# in SentencePiece's required-character set).
+
+UNI_ROUNDS = 3        # hard-EM iterations
+UNI_SEED_MULTI = 24   # seeded multi-char pieces (top by weighted count)
+UNI_PRUNE_STEP = 4    # multi-char pieces dropped per round
+UNI_PIECE_MAX = 4     # max piece length (SentencePiece max_piece_length)
+UNI_MAX_WLEN = 16     # training-table word-length cap (standard filter)
+UNI_TOPK = 20         # words reported by the encode entry
+
+
+def _uni_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_occ) training table: the BPE word-frequency contract
+    plus the word-length cap."""
+    return _bpe_word_freqs(spark, sf_dir).filter(
+        F.length("word") <= UNI_MAX_WLEN
+    )
+
+
+_UNI_WF_SQL = f"""(
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+    FROM (SELECT unnest({_TOKENS.format(x="text")}) AS word
+          FROM documents WHERE text IS NOT NULL)
+    WHERE word <> '' AND length(word) <= {UNI_MAX_WLEN}
+    GROUP BY word
+)"""
+
+
+def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
+    """struct(np, negsc, enc) of the best segmentation of ``word_col``
+    into ``vocab`` pieces under (min pieces, max count sum, min enc) —
+    an exact-integer Viterbi DP in pure column algebra: one
+    ``aggregate`` over character positions, each step taking the
+    struct-min over the <= UNI_PIECE_MAX candidate back-extensions
+    (struct field order IS the objective's lexicographic order). The
+    vocabulary rides along as a broadcast map literal — model state,
+    not data — so a full-corpus encode is a map-only column expression:
+    the 100 TB tokenizer-apply shape, no shuffle, no UDF. DP validity:
+    all three objective components are prefix-additive, and equal
+    (position, np) states have equal enc length, so per-position
+    struct-min is exactly the global enumeration optimum (the oracle
+    enumerates and must agree)."""
+    wc = F.col(word_col) if isinstance(word_col, str) else word_col
+    m = F.create_map(
+        *[F.lit(x) for p in sorted(vocab) for x in (p, vocab[p])]
+    )
+
+    def step(acc, i):
+        cands = []
+        for length in range(1, UNI_PIECE_MAX + 1):
+            piece = F.substring(wc, i - F.lit(length) + F.lit(1), F.lit(length))
+            cnt = F.try_element_at(m, piece)
+            # guarded index: the CASE arm only evaluates when i >= length,
+            # greatest() keeps the index ANSI-valid on the dead branch
+            prev = F.element_at(
+                acc, F.greatest(i - F.lit(length) + F.lit(1), F.lit(1))
+            )
+            cands.append(
+                F.when(
+                    (i >= F.lit(length)) & cnt.isNotNull(),
+                    F.struct(
+                        (prev["np"] + F.lit(1)).alias("np"),
+                        (prev["negsc"] - cnt).alias("negsc"),
+                        F.when(prev["np"] == F.lit(0), piece)
+                        .otherwise(F.concat(prev["enc"], F.lit("|"), piece))
+                        .alias("enc"),
+                    ),
+                )
+            )
+        best = F.array_min(F.filter(F.array(*cands), lambda x: x.isNotNull()))
+        return F.concat(acc, F.array(best))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).alias("np"),
+            F.lit(0).cast("long").alias("negsc"),
+            F.lit("").alias("enc"),
+        )
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(wc)),
+        init,
+        step,
+        lambda acc: F.element_at(acc, -1),
+    )
+
+
+def unigram_train_rounds(
+    wf: DataFrame,
+) -> list[
+    tuple[int, dict[str, int], dict[str, int], set[str], int, str | None, int | None]
+]:
+    """The hard-EM train loop over a (word, n_occ) frame. Returns one
+    (round, pre-round vocab, post-prune vocab, post-prune multi set,
+    vocab_size, top_piece, top_count) tuple per round (the pre-round
+    vocab lets the trainer entry recompute the round's E-step stats
+    in-plan instead of collecting them); shared by the trainer entry
+    (which reports the compression curve) and the encode entry (which
+    applies the final vocabulary) so the audited model and the serving
+    model cannot drift. Driver state per round is the piece vocabulary
+    itself — <= |alphabet| + UNI_SEED_MULTI rows of (piece, count),
+    bounded model state like the Lloyd centroids (the two collect()
+    sites below are allowlisted in test_driver_discipline)."""
+    pos = wf.select(
+        "word",
+        "n_occ",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    )
+    singles = (
+        pos.select(F.substring("word", F.col("i"), F.lit(1)).alias("piece"), "n_occ")
+        .groupBy("piece")
+        .agg(F.sum("n_occ").alias("cnt"))
+        .select("piece", "cnt", F.lit(False).alias("multi"))
+    )
+    multi_parts = [
+        pos.filter(F.col("i") + F.lit(ln - 1) <= F.length("word")).select(
+            F.substring("word", F.col("i"), F.lit(ln)).alias("piece"), "n_occ"
+        )
+        for ln in range(2, UNI_PIECE_MAX + 1)
+    ]
+    mall = multi_parts[0]
+    for p in multi_parts[1:]:
+        mall = mall.unionByName(p)
+    multis = (
+        mall.groupBy("piece")
+        .agg(F.sum("n_occ").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(UNI_SEED_MULTI)
+        .select("piece", "cnt", F.lit(True).alias("multi"))
+    )
+    # model state: alphabet + seeded multi-char pieces with counts
+    seed = singles.unionByName(multis).collect()
+    vocab = {r["piece"]: int(r["cnt"]) for r in seed}
+    multi_set = {r["piece"] for r in seed if r["multi"]}
+
+    rounds: list[
+        tuple[int, dict[str, int], dict[str, int], set[str], int, str | None, int | None]
+    ] = []
+    for k in range(1, UNI_ROUNDS + 1):
+        if not vocab:
+            break
+        vocab_before = dict(vocab)
+        seg = wf.withColumn("dp", _uni_best_seg("word", vocab))
+        counts_rows = (
+            seg.select(
+                "n_occ", F.explode(F.split(F.col("dp")["enc"], r"\|")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("n_occ").alias("cnt"))
+            # model state: round-k piece usage, <= |vocab| rows
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in counts_rows}
+        ranked_multis = sorted(
+            multi_set, key=lambda p: (-counts.get(p, 0), p)
+        )
+        top_piece = ranked_multis[0] if ranked_multis else None
+        top_count = counts.get(top_piece, 0) if ranked_multis else None
+        keep = ranked_multis[: max(UNI_SEED_MULTI - UNI_PRUNE_STEP * k, 0)]
+        vocab = {p: counts.get(p, 0) for p in vocab if p not in multi_set}
+        vocab.update({p: counts.get(p, 0) for p in keep})
+        multi_set = set(keep)
+        rounds.append(
+            (k, vocab_before, dict(vocab), set(multi_set), len(vocab), top_piece, top_count)
+        )
+    return rounds
+
+
+def _uni_ctes() -> list[str]:
+    """Unrolled-CTE replay of the hard-EM trainer (the Lloyd /
+    perceptron / BPE house pattern): seed inventory, then per round k a
+    RECURSIVE full segmentation enumeration under vocab k-1 (every
+    composition of the word into vocab pieces — the DP's optimum is the
+    enumeration's (np ASC, sc DESC, enc ASC) head, proven equivalent in
+    _uni_best_seg's docstring), best-per-word, usage re-count, and the
+    prune. Shared by the trainer and encode oracles so both replay the
+    IDENTICAL loop."""
+    parts = [
+        f"wfu AS MATERIALIZED {_UNI_WF_SQL}",
+        """ua0 AS MATERIALIZED (
+            SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+            FROM (SELECT substr(word, CAST(u.i AS INTEGER), 1) AS piece, n_occ
+                  FROM wfu,
+                       unnest(generate_series(1, length(word))) AS u(i))
+            GROUP BY piece
+        )""",
+        f"""umseed AS MATERIALIZED (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, piece) AS r
+                FROM (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+                      FROM (SELECT substr(word, CAST(u.i AS INTEGER),
+                                          CAST(l.l AS INTEGER)) AS piece,
+                                   n_occ
+                            FROM wfu,
+                                 unnest(generate_series(1, length(word))) AS u(i),
+                                 (VALUES {', '.join(f'({ln})' for ln in range(2, UNI_PIECE_MAX + 1))}) AS l(l)
+                            WHERE u.i + l.l - 1 <= length(word))
+                      GROUP BY piece))
+            WHERE r <= {UNI_SEED_MULTI}
+        )""",
+        """uv0 AS MATERIALIZED (
+            SELECT piece, cnt, false AS multi FROM ua0
+            UNION ALL SELECT piece, cnt, true AS multi FROM umseed
+        )""",
+    ]
+    for k in range(1, UNI_ROUNDS + 1):
+        parts.append(
+            f"""useg{k} AS (
+            SELECT word, n_occ, CAST(0 AS BIGINT) AS pos,
+                   0 AS np, CAST(0 AS BIGINT) AS sc, '' AS enc
+            FROM wfu
+            UNION ALL
+            SELECT s.word, s.n_occ, s.pos + length(v.piece), s.np + 1,
+                   s.sc + v.cnt,
+                   CASE WHEN s.np = 0 THEN v.piece
+                        ELSE s.enc || '|' || v.piece END
+            FROM useg{k} s JOIN uv{k - 1} v
+              ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+                        length(v.piece)) = v.piece
+            WHERE s.pos < length(s.word)
+        )"""
+        )
+        parts.append(
+            f"""ubest{k} AS MATERIALIZED (
+            SELECT word, n_occ, np, sc, enc FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY word ORDER BY np, sc DESC, enc) AS r
+                FROM useg{k} WHERE pos = length(word))
+            WHERE r = 1
+        )"""
+        )
+        parts.append(
+            f"""uc{k} AS MATERIALIZED (
+            SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(enc, '|')) AS piece, n_occ
+                  FROM ubest{k})
+            GROUP BY piece
+        )"""
+        )
+        parts.append(
+            f"""um{k} AS MATERIALIZED (
+            SELECT m.piece, COALESCE(c.cnt, 0) AS cnt,
+                   row_number() OVER (
+                       ORDER BY COALESCE(c.cnt, 0) DESC, m.piece) AS r
+            FROM uv{k - 1} m LEFT JOIN uc{k} c USING (piece)
+            WHERE m.multi
+        )"""
+        )
+        parts.append(
+            f"""uv{k} AS MATERIALIZED (
+            SELECT a.piece, COALESCE(c.cnt, 0) AS cnt, false AS multi
+            FROM uv{k - 1} a LEFT JOIN uc{k} c USING (piece)
+            WHERE NOT a.multi
+            UNION ALL
+            SELECT piece, cnt, true AS multi FROM um{k}
+            WHERE r <= {max(UNI_SEED_MULTI - UNI_PRUNE_STEP * k, 0)}
+        )"""
+        )
+    return parts
+
+
+def _uni_train_oracle() -> str:
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS step,
+            (SELECT CAST(count(*) AS BIGINT) FROM uv{k}) AS vocab_size,
+            (SELECT CAST(sum(n_occ * np) AS BIGINT) FROM ubest{k})
+                AS corpus_pieces,
+            (SELECT CAST(sum(n_occ * sc) AS BIGINT) FROM ubest{k})
+                AS corpus_score,
+            (SELECT piece FROM um{k} WHERE r = 1) AS top_piece,
+            (SELECT cnt FROM um{k} WHERE r = 1) AS top_count"""
+        for k in range(1, UNI_ROUNDS + 1)
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_uni_ctes())
+        + "\nSELECT * FROM (" + " UNION ALL ".join(selects) + ") ORDER BY step"
+    )
+
+
+@register(
+    "text_unigram_train",
+    oracle=_uni_train_oracle(),
+    doc=(
+        f"Unigram-LM tokenizer TRAIN (Kudo 2018; the SentencePiece "
+        f"default — the fourth train/apply family after IVF, the "
+        f"perceptron, and BPE): seed the top-{UNI_SEED_MULTI} "
+        f"multi-char substrings (len 2..{UNI_PIECE_MAX}, occurrence-"
+        f"weighted) over the length-capped word-frequency table plus "
+        f"the full single-char alphabet, then {UNI_ROUNDS} hard-EM "
+        f"rounds: E-step = exact-integer Viterbi segmentation of every "
+        f"word under current piece counts (min pieces, tie max count "
+        f"sum, tie lexicographic — the documented integer surrogate "
+        f"for the published log-likelihood, chosen because libm log "
+        f"is a standing cross-engine tie risk), M-step = piece-usage "
+        f"re-count, PRUNE = drop the {UNI_PRUNE_STEP} weakest "
+        f"multi-char pieces (singles never pruned — SentencePiece's "
+        f"required-character totality). Per round the output reports "
+        f"vocab size, the corpus piece total (the compression curve), "
+        f"the corpus score, and the strongest multi-char piece. "
+        f"Scale: the E-step is a map-only column DP under a broadcast "
+        f"vocab literal (model state, <= alphabet+{UNI_SEED_MULTI} "
+        f"rows on the driver per round — the Lloyd pattern); the "
+        f"M-step is one map-side-combinable groupBy per round; no UDF "
+        f"anywhere. The oracle replays seed, every round's "
+        f"segmentation (full recursive enumeration), re-count, and "
+        f"prune as unrolled CTEs with identical integer tie-breaks."
+    ),
+    tags=("text", "iterative", "corpus"),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted for the same reason as the BPE trainer: every round's
+    # E-step and the per-round stats aggs re-read the vocabulary
+    wf = _uni_wf(spark, sf_dir).persist()
+    rounds = unigram_train_rounds(wf)
+    if not rounds:
+        return spark.createDataFrame(
+            [],
+            "step long, vocab_size long, corpus_pieces long, "
+            "corpus_score long, top_piece string, top_count long",
+        )
+    step_dfs = []
+    for (k, vocab_before, _vocab, _multis, vsize, top_piece, top_count) in rounds:
+        dp = _uni_best_seg("word", vocab_before)
+        step_dfs.append(
+            wf.select("n_occ", dp.alias("dp")).agg(
+                F.sum(F.col("n_occ") * F.col("dp")["np"])
+                .cast("long")
+                .alias("corpus_pieces"),
+                F.sum(F.col("n_occ") * -F.col("dp")["negsc"])
+                .cast("long")
+                .alias("corpus_score"),
+            ).select(
+                F.lit(k).cast("long").alias("step"),
+                F.lit(vsize).cast("long").alias("vocab_size"),
+                "corpus_pieces",
+                "corpus_score",
+                F.lit(top_piece).cast("string").alias("top_piece"),
+                F.lit(top_count).cast("long").alias("top_count"),
+            )
+        )
+    out = step_dfs[0]
+    for d in step_dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("step")
+
+
+def _uni_encode_oracle() -> str:
+    r = UNI_ROUNDS
+    parts = _uni_ctes() + [
+        f"""utop AS MATERIALIZED (
+            SELECT word, n_occ,
+                   row_number() OVER (ORDER BY n_occ DESC, word) AS rank
+            FROM wfu QUALIFY rank <= {UNI_TOPK}
+        )""",
+        f"""usege AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS np,
+                   CAST(0 AS BIGINT) AS sc, '' AS enc
+            FROM utop
+            UNION ALL
+            SELECT s.word, s.pos + length(v.piece), s.np + 1, s.sc + v.cnt,
+                   CASE WHEN s.np = 0 THEN v.piece
+                        ELSE s.enc || '|' || v.piece END
+            FROM usege s JOIN uv{r} v
+              ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+                        length(v.piece)) = v.piece
+            WHERE s.pos < length(s.word)
+        )""",
+        """ubeste AS MATERIALIZED (
+            SELECT word, np, sc, enc FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY word ORDER BY np, sc DESC, enc) AS r
+                FROM usege WHERE pos = length(word))
+            WHERE r = 1
+        )""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+        SELECT CAST(t.rank AS BIGINT) AS rank, t.word, t.n_occ,
+               CAST(length(t.word) AS BIGINT) AS n_chars,
+               CAST(b.np AS BIGINT) AS n_pieces,
+               CAST(b.sc AS BIGINT) AS score, b.enc AS enc
+        FROM utop t JOIN ubeste b USING (word)
+        ORDER BY rank
+    """
+    )
+
+
+@register(
+    "text_unigram_encode",
+    oracle=_uni_encode_oracle(),
+    doc=(
+        f"Unigram-LM TRAIN -> ENCODE composition: segment the "
+        f"top-{UNI_TOPK} words with the vocabulary the hard-EM trainer "
+        f"learned (unigram_train_rounds — the same loop "
+        f"text_unigram_train audits, shared code so the audited model "
+        f"and the serving model cannot drift), reporting per word the "
+        f"piece count, the integer score, and the exact segmentation. "
+        f"The oracle chains the trainer's unrolled round CTEs straight "
+        f"into a final recursive segmentation under the post-round-"
+        f"{UNI_ROUNDS} vocabulary, so one hash certifies seeding, all "
+        f"EM rounds, pruning, AND encoding. Scale: encoding is the "
+        f"same broadcast-vocab column DP as the E-step — map-only, "
+        f"shuffle-free, linear; a 100 TB corpus encode is this exact "
+        f"expression over every document."
+    ),
+    tags=("text", "iterative", "datapipe"),
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    wf = _uni_wf(spark, sf_dir).persist()
+    rounds = unigram_train_rounds(wf)
+    if not rounds:
+        return spark.createDataFrame(
+            [],
+            "rank long, word string, n_occ long, n_chars long, "
+            "n_pieces long, score long, enc string",
+        )
+    final_vocab = rounds[-1][2]
+    top = (
+        wf.orderBy(F.col("n_occ").desc(), "word")
+        .limit(UNI_TOPK)
+        .withColumn(
+            # constant-key global window over the <= UNI_TOPK limit() rows
+            "rank",
+            F.row_number().over(
+                W.partitionBy(const_key("word")).orderBy(
+                    F.col("n_occ").desc(), "word"
+                )
+            ),
+        )
+    )
+    dp = _uni_best_seg("word", final_vocab)
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "word",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.length("word").cast("long").alias("n_chars"),
+        dp["np"].cast("long").alias("n_pieces"),
+        (-dp["negsc"]).cast("long").alias("score"),
+        dp["enc"].alias("enc"),
+    ).orderBy("rank")

@@ -43,6 +43,9 @@ ALLOWED = {
         1, "one 64-dim direction vector per round"),
     ("operators/text.py", "bpe_train_rounds"): (
         1, "BPE train model state: 1 argmax (a, b, count) row per round"),
+    ("operators/text.py", "unigram_train_rounds"): (
+        2, "unigram-LM model state: seed vocab + per-round piece-usage "
+           "counts, <= alphabet + UNI_SEED_MULTI rows each"),
     ("pipeline/watermark.py", "compute_watermark"): (
         1, "1-row watermark aggregate"),
     ("pipeline/streaming.py", "stream_binary_ingest.ingest"): (

@@ -1,0 +1,193 @@
+"""Differential test: the distributed hard-EM unigram-LM trainer must
+equal a pure-Python reference implementation of the algorithm
+(SentencePiece-style seed -> Viterbi E-step -> usage-count M-step ->
+prune, Kudo 2018, under the module's documented exact-integer
+objective: min pieces, tie max count sum, tie lexicographic encoding)
+on crafted and seeded-random corpora. The oracle-parity sweep
+certifies Spark == DuckDB; this pins BOTH against the algorithm
+itself — including the hard-EM signature one-shot mining cannot
+produce: a piece pruned in round k changes round k+1's segmentations.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from coviddatapipeline_spark.operators.text import (
+    UNI_MAX_WLEN,
+    UNI_PIECE_MAX,
+    UNI_PRUNE_STEP,
+    UNI_ROUNDS,
+    UNI_SEED_MULTI,
+    UNI_TOPK,
+)
+from coviddatapipeline_spark.queries.catalog import all_queries
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text).strip()
+    return [w for w in norm.split(" ") if w]
+
+
+def _py_wf(texts: list[str | None]) -> dict[str, int]:
+    wf: dict[str, int] = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in _py_tokens(t):
+            if len(w) <= UNI_MAX_WLEN:
+                wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def _py_best(word: str, vocab: dict[str, int]):
+    """(np, negsc, enc) Viterbi under (min np, max sc, min enc)."""
+    dp: list[tuple[int, int, str] | None] = [None] * (len(word) + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, len(word) + 1):
+        cands = []
+        for ln in range(1, UNI_PIECE_MAX + 1):
+            if ln <= i and dp[i - ln] is not None:
+                piece = word[i - ln : i]
+                if piece in vocab:
+                    np_, negsc, enc = dp[i - ln]
+                    cands.append(
+                        (
+                            np_ + 1,
+                            negsc - vocab[piece],
+                            piece if np_ == 0 else enc + "|" + piece,
+                        )
+                    )
+        dp[i] = min(cands) if cands else None
+    return dp[len(word)]
+
+
+def _py_train(texts: list[str | None]):
+    """Reference trainer: returns ([(step, vocab_size, corpus_pieces,
+    corpus_score, top_piece, top_count)], final_vocab)."""
+    wf = _py_wf(texts)
+    singles: dict[str, int] = {}
+    multis: dict[str, int] = {}
+    for w, n in wf.items():
+        for i, ch in enumerate(w):
+            singles[ch] = singles.get(ch, 0) + n
+            for ln in range(2, UNI_PIECE_MAX + 1):
+                if i + ln <= len(w):
+                    p = w[i : i + ln]
+                    multis[p] = multis.get(p, 0) + n
+    top = sorted(multis.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_SEED_MULTI]
+    vocab = dict(singles)
+    vocab.update(dict(top))
+    multi_set = {p for p, _ in top}
+    out = []
+    for k in range(1, UNI_ROUNDS + 1):
+        if not vocab:
+            break
+        counts: dict[str, int] = {}
+        corpus_pieces = 0
+        corpus_score = 0
+        for w, n in wf.items():
+            np_, negsc, enc = _py_best(w, vocab)
+            corpus_pieces += n * np_
+            corpus_score += n * -negsc
+            for p in enc.split("|"):
+                counts[p] = counts.get(p, 0) + n
+        ranked = sorted(multi_set, key=lambda p: (-counts.get(p, 0), p))
+        top_piece = ranked[0] if ranked else None
+        top_count = counts.get(top_piece, 0) if ranked else None
+        keep = ranked[: max(UNI_SEED_MULTI - UNI_PRUNE_STEP * k, 0)]
+        vocab = {p: counts.get(p, 0) for p in vocab if p not in multi_set}
+        vocab.update({p: counts.get(p, 0) for p in keep})
+        multi_set = set(keep)
+        out.append(
+            (k, len(vocab), corpus_pieces, corpus_score, top_piece, top_count)
+        )
+    return out, wf, vocab
+
+
+def _py_encode(wf: dict[str, int], vocab: dict[str, int]):
+    top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPK]
+    out = []
+    for rank, (w, n) in enumerate(top, 1):
+        np_, negsc, enc = _py_best(w, vocab)
+        out.append((rank, w, n, len(w), np_, -negsc, enc))
+    return out
+
+
+def _write_docs(spark, tmp_path, texts: list[str | None]) -> str:
+    d = os.path.join(str(tmp_path), "sf_uni")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _run_train(spark, sf_dir):
+    rows = all_queries()["text_unigram_train"].fn(spark, sf_dir).collect()
+    return [
+        (r["step"], r["vocab_size"], r["corpus_pieces"], r["corpus_score"],
+         r["top_piece"], r["top_count"])
+        for r in rows
+    ]
+
+
+def _run_encode(spark, sf_dir):
+    rows = all_queries()["text_unigram_encode"].fn(spark, sf_dir).collect()
+    return [
+        (r["rank"], r["word"], r["n_occ"], r["n_chars"], r["n_pieces"],
+         r["score"], r["enc"])
+        for r in rows
+    ]
+
+
+CRAFTED = [
+    # min-pieces ties broken by count sum then lexicographic enc:
+    # 'abab' splits as ab|ab vs a|bab etc.
+    "abab abab ab ba bab abab",
+    # long runs: 'aaaaaa' has many compositions; singles guarantee
+    # totality when no multi matches
+    "aaaaaa aaa aa a xyz",
+    # words longer than UNI_MAX_WLEN are excluded from training
+    "w" * (UNI_MAX_WLEN + 1) + " short words here",
+    None,
+    "",
+    "   ",
+    "mixed MIXED MiXeD case kept distinct tokens tokens tokens",
+]
+
+
+def test_unigram_train_matches_reference_on_crafted(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, CRAFTED)
+    want, wf, final_vocab = _py_train(CRAFTED)
+    assert _run_train(spark, d) == want
+    assert _run_encode(spark, d) == _py_encode(wf, final_vocab)
+    # non-vacuity: some word segments with a multi-char piece
+    assert any("|" not in _py_best(w, final_vocab)[2] and len(w) > 1
+               for w in wf) or any(
+        len(p) > 1 for p in final_vocab
+    )
+
+
+def test_unigram_train_matches_reference_on_random(spark, tmp_path):
+    rng = random.Random(20260816)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    texts = [
+        " ".join(rng.choices(words, k=rng.randint(3, 30))) for _ in range(40)
+    ]
+    d = _write_docs(spark, tmp_path, texts)
+    want, wf, final_vocab = _py_train(texts)
+    got = _run_train(spark, d)
+    assert got == want
+    assert _run_encode(spark, d) == _py_encode(wf, final_vocab)
+    # hard-EM non-vacuity on this seed: pruning must actually change
+    # the vocabulary across rounds (vocab sizes strictly decrease)
+    sizes = [r[1] for r in want]
+    assert sizes == sorted(sizes, reverse=True) and len(set(sizes)) > 1
