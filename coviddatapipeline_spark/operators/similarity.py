@@ -922,15 +922,30 @@ NO_EARLIER = -2.0  # sentinel: first vector of its cell (cosine is always >= -1)
 )
 def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("aid"), F.col("label").alias("al"), F.col("v").alias("av"))
-    b = emb.select(F.col("vec_id").alias("vec_id"), F.col("label").alias("cell"), F.col("v").alias("bv"))
+    return semdedup_prune_report(
+        emb.select("vec_id", F.col("label").alias("cell"), "v")
+    )
+
+
+def semdedup_prune_report(cells: DataFrame) -> DataFrame:
+    """The SemDeDup within-cell earlier-neighbor prune over a
+    (vec_id, cell, v) frame — shared verbatim by the static-cell entry
+    (``semdedup_cell_prune``, cells = the label column) and the
+    trained-cell entry (``semdedup_trained_cells``, cells = the audited
+    Lloyd quantizer's assignment), so the audited clustering and the
+    dedup partitioning cannot drift. One equi-join on the cell key;
+    pairwise work Sigma(cell^2), never corpus^2."""
+    a = cells.select(
+        F.col("vec_id").alias("aid"), F.col("cell").alias("al"), F.col("v").alias("av")
+    )
+    b = cells.select("vec_id", "cell", F.col("v").alias("bv"))
     mx = (
         a.join(b, (F.col("al") == F.col("cell")) & (F.col("aid") < F.col("vec_id")))
         .withColumn("cos", _dot("av", "bv"))
         .groupBy("vec_id", "cell")
         .agg(F.max("cos").alias("mx"))
     )
-    base = emb.select("vec_id", F.col("label").alias("cell"))
+    base = cells.select("vec_id", "cell")
     return (
         base.join(mx.select("vec_id", "mx"), "vec_id", "left")
         .withColumn("mxf", F.coalesce(F.col("mx"), F.lit(NO_EARLIER)))
@@ -941,6 +956,73 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mxf") > SEMDEDUP_TAU).cast("int").alias("pruned"),
         )
     )
+
+
+def _semdedup_trained_oracle() -> str:
+    from coviddatapipeline_spark.operators.datapipe import KM_DIM, km_cte_parts
+
+    km_chain, last = km_cte_parts()
+    return f"""
+        WITH {km_chain},
+        ed AS (
+            -- raw doubles for the cosine (the Lloyd chain's e is the
+            -- fixed-point frame); same KM_DIM totality gate
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE len(embedding) = {KM_DIM}
+        ),
+        cells AS (
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell, ed.v
+            FROM {last} a JOIN ed USING (vec_id)
+        ),
+        pairs AS (
+            SELECT b.vec_id, max(list_dot_product(a.v, b.v)) AS mx
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        )
+        SELECT c.vec_id, c.cell,
+               round(coalesce(p.mx, {NO_EARLIER}), 4) AS max_earlier_cos,
+               CAST(CASE WHEN coalesce(p.mx, {NO_EARLIER}) > {SEMDEDUP_TAU}
+                         THEN 1 ELSE 0 END AS INT) AS pruned
+        FROM cells c LEFT JOIN pairs p USING (vec_id)
+    """
+
+
+@register(
+    "semdedup_trained_cells",
+    oracle=_semdedup_trained_oracle(),
+    doc=(
+        "SemDeDup over TRAINED cells (VERDICT r09 #8): the coarse "
+        "cells that bound the pairwise work come from the audited "
+        "fixed-point Lloyd quantizer (datapipe.km_train_centroids — "
+        "the same trained model the IVF index probes and "
+        "stream_ivf_cell_assign serves) instead of the static label "
+        "column, composed with the same within-cell earlier-neighbor "
+        "prune kernel as semdedup_cell_prune "
+        "(semdedup_prune_report, shared code) — the published "
+        "SemDeDup shape end-to-end: k-means the embeddings, dedup "
+        "within clusters (Abbas et al. 2023). The oracle chains the "
+        "trainer's unrolled Lloyd CTEs into the prune SQL, so one "
+        "hash certifies training, assignment, AND dedup. Scale: "
+        "assignment is a broadcast-centroid map-only pass; the prune "
+        "is one equi-join on the trained cell key, Sigma(cell^2) "
+        "pairwise work — at 100 TB raise K to bound cell size, "
+        "exactly like the IVF index this shares its model with."
+    ),
+    tags=("similarity", "dedup", "embeddings", "iterative"),
+)
+def semdedup_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, sf_dir)
+    assigned = km_assign(q, cent).select(
+        "vec_id", F.col("cluster").cast("long").alias("cell")
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    return semdedup_prune_report(emb.join(assigned, "vec_id"))
 
 
 TRUNC_DIM = 16  # Matryoshka audit: rank with the first 16 of 64 dims

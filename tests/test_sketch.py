@@ -63,6 +63,47 @@ def test_semdedup_prune_semantics(spark, parity_sf_dir):
             assert r.max_earlier_cos <= similarity.SEMDEDUP_TAU + 1e-4, r
 
 
+def test_semdedup_trained_cells_uses_audited_quantizer(spark, parity_sf_dir):
+    """Shared-kernel proof: the trained-cell variant's (vec_id, cell)
+    partitioning must be EXACTLY the audited Lloyd quantizer's
+    assignment (km_train_centroids + km_assign — the model the IVF
+    entries probe), and its prune report must equal the shared kernel
+    composed by hand over those cells."""
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_train_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    df = similarity.semdedup_trained_cells(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    got_cells = {(r.vec_id, r.cell) for r in df.select("vec_id", "cell").collect()}
+    q, cent = km_train_centroids(spark, parity_sf_dir)
+    want_cells = {
+        (r.vec_id, r.cluster)
+        for r in km_assign(q, cent).select("vec_id", "cluster").collect()
+    }
+    assert got_cells == want_cells and len(want_cells) > 0
+    # by-hand composition through the shared kernel matches the entry
+    emb = similarity._emb(spark, parity_sf_dir).select("vec_id", "v")
+    assigned = km_assign(q, cent).select(
+        "vec_id", F.col("cluster").cast("long").alias("cell")
+    )
+    want = {
+        (r.vec_id, r.cell, r.max_earlier_cos, r.pruned)
+        for r in similarity.semdedup_prune_report(emb.join(assigned, "vec_id")).collect()
+    }
+    got = {(r.vec_id, r.cell, r.max_earlier_cos, r.pruned) for r in df.collect()}
+    assert got == want
+    # non-vacuity: the trained partitioning differs from the static
+    # label cells somewhere (else the composition proves nothing)
+    labels = {
+        (r.vec_id, r.label)
+        for r in similarity._emb(spark, parity_sf_dir).select("vec_id", "label").collect()
+    }
+    assert {c for _, c in got_cells} != {l for _, l in labels} or got_cells != labels
+
+
 def test_matryoshka_recall_bounds(spark, parity_sf_dir):
     """Recall is a ratio of top-k overlaps: in [0, 1] for every query,
     and the report covers every query vector exactly once."""
