@@ -1105,3 +1105,67 @@ def stream_binary_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_unigram_encode(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    vocab: dict[str, int],
+) -> StreamingQuery:
+    """Unigram-LM tokenization ON the ingest path (the 23rd twin) —
+    where a trained tokenizer actually runs in production: documents
+    stream in, every micro-batch's words are segmented with
+    ``text._uni_best_seg`` — literally the same exact-integer Viterbi
+    column DP the registered ``text_unigram_encode`` entry audits —
+    under a FROZEN ``vocab`` (trained offline by
+    ``text.unigram_train_rounds``; the train/serve split every
+    production tokenizer has), and each doc appends its piece count,
+    integer score, and token total. The audited batch encoder and the
+    arrival-path encoder cannot drift because they are one kernel.
+
+    Exactness contract (tested): segmentation is per-row and stateless
+    — frozen vocabulary, no cross-batch state — so the union of
+    per-batch emissions equals the batch kernel on the union of the
+    input for ANY trigger split. foreachBatch append is at-least-once
+    on trigger retry (same caveat as the other map-only twins); dedup
+    downstream on doc_id if exactly-once materialization matters.
+    Scale: the DP is a pure column expression under a broadcast vocab
+    map literal — whole-stage-codegen'd, map-only, no UDF, no shuffle,
+    embarrassingly parallel at any arrival rate.
+    """
+    from coviddatapipeline_spark.operators.text import (
+        UNI_MAX_WLEN,
+        _tokens,
+        _uni_best_seg,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def encode(batch_df, batch_id: int) -> None:
+        words = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+            .filter((F.col("word") != "") & (F.length("word") <= UNI_MAX_WLEN))
+        )
+        dp = _uni_best_seg("word", vocab)
+        (
+            words.select("doc_id", dp.alias("dp"))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_words"),
+                F.sum(F.col("dp")["np"]).cast("long").alias("n_pieces"),
+                F.sum(-F.col("dp")["negsc"]).cast("long").alias("score"),
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(encode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

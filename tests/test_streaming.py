@@ -810,6 +810,7 @@ _TWIN_CONTRACTS = {
     "stream_warc_ingest": "test_stream_warc_ingest_matches_batch",
     "stream_quality_admission": "test_stream_quality_admission_matches_batch",
     "stream_binary_ingest": "test_stream_binary_ingest_matches_batch",
+    "stream_unigram_encode": "test_stream_unigram_encode_matches_batch",
 }
 
 
@@ -1413,3 +1414,73 @@ def test_stream_binary_ingest_matches_batch(spark, tmp_path):
     # non-vacuous: every file decoded, all six format families present
     assert all(k[7] for k in want)
     assert {k[1] for k in want} == {"tar", "warc", "bmp", "png", "gif", "wav"}
+
+
+def test_stream_unigram_encode_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The ingest-path unigram tokenizer must emit EXACTLY the per-doc
+    piece/score totals the shared Viterbi kernel computes over the same
+    corpus under the same frozen trained vocabulary — across two
+    incremental drains, so trigger-split independence is part of the
+    assertion (segmentation is stateless under frozen vocab)."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.text import (
+        UNI_MAX_WLEN,
+        _tokens,
+        _uni_best_seg,
+        _uni_wf,
+        unigram_train_rounds,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_unigram_encode
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    # train offline (the audited trainer), freeze the final vocabulary
+    vocab = unigram_train_rounds(_uni_wf(spark, parity_sf_dir))[-1][2]
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    stage(docs.filter(F.col("doc_id") <= mid), "p1")
+    stream_unigram_encode(spark, in_dir, out, ckpt, docs.schema, vocab).awaitTermination(120)
+    stage(docs.filter(F.col("doc_id") > mid), "p2")
+    stream_unigram_encode(spark, in_dir, out, ckpt, docs.schema, vocab).awaitTermination(120)
+
+    key = lambda r: (r["doc_id"], r["n_words"], r["n_pieces"], r["score"])
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= UNI_MAX_WLEN))
+    )
+    dp = _uni_best_seg("word", vocab)
+    want = {
+        key(r)
+        for r in words.select("doc_id", dp.alias("dp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.col("dp")["np"]).cast("long").alias("n_pieces"),
+            F.sum(-F.col("dp")["negsc"]).cast("long").alias("score"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # non-vacuous: every doc got a positive score, and the trained
+    # multi-char pieces actually compress somewhere (fewer pieces than
+    # words would imply is impossible; fewer pieces than a per-char
+    # segmentation is the compression signal — any multi-char piece in
+    # the frozen vocab that survived training guarantees it)
+    assert any(r[2] > 0 and r[3] > 0 for r in want)
+    assert any(len(p) > 1 for p in vocab)
