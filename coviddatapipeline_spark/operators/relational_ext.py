@@ -519,8 +519,14 @@ def stats_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_mad_per_segment",
     oracle="""
         WITH j AS (
+            -- isfinite gate (both engines): the medians are order
+            -- statistics of the FINITE price distribution — the same
+            -- round-9 convergence median_price_per_segment carries
+            -- (one poisoned NaN shifts the interpolation boundary
+            -- engine-differently without it); no-op on clean data
             SELECT c_mktsegment AS segment, o_totalprice AS price
             FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
         ),
         med AS (
             SELECT segment, quantile_cont(price, 0.5) AS med
@@ -550,8 +556,17 @@ def stats_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_mad_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    price_in = F.col("o_totalprice")
+    j = (
+        orders.filter(
+            price_in.isNull()
+            | (~F.isnan(price_in) & (F.abs(price_in) != F.lit(float("inf"))))
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("price"),
+        )
     )
     med = j.groupBy("segment").agg(F.percentile("price", F.lit(0.5)).alias("med"))
     dev = j.join(F.broadcast(med), "segment").withColumn(

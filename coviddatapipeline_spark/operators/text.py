@@ -2120,13 +2120,37 @@ def _uni_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNI_WF_SQL = f"""(
+def _uni_wf_from(docs: DataFrame) -> DataFrame:
+    """The same (word, n_occ) length-capped training table over an
+    arbitrary documents frame (the coverage audit trains on the 80%
+    split only)."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= UNI_MAX_WLEN))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+
+def _uni_wf_sql(doc_where: str = "") -> str:
+    """DuckDB twin of _uni_wf_from; ``doc_where`` adds a document-level
+    predicate (the coverage audit's train split)."""
+    return f"""(
     SELECT word, CAST(count(*) AS BIGINT) AS n_occ
     FROM (SELECT unnest({_TOKENS.format(x="text")}) AS word
-          FROM documents WHERE text IS NOT NULL)
+          FROM documents WHERE text IS NOT NULL{doc_where})
     WHERE word <> '' AND length(word) <= {UNI_MAX_WLEN}
     GROUP BY word
 )"""
+
+
+_UNI_WF_SQL = _uni_wf_sql()
+
+# 80/20 doc split for the held-out coverage audit; the explicit
+# ((x % 10) + 10) % 10 form mirrors Spark's pmod on negative ids
+_UNI_TRAIN_WHERE = " AND ((doc_id % 10) + 10) % 10 < 8"
+_UNI_EVAL_SQL_PRED = "((doc_id % 10) + 10) % 10 >= 8"
 
 
 def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
@@ -2160,7 +2184,16 @@ def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
             )
             cands.append(
                 F.when(
-                    (i >= F.lit(length)) & cnt.isNotNull(),
+                    # prev["np"].isNotNull(): an unreachable prefix state
+                    # is a NULL struct (array_min of no candidates) —
+                    # without this guard its null FIELDS would build a
+                    # struct(null,..) candidate that array_min sorts
+                    # FIRST, beating real segmentations. Training words
+                    # are always fully reachable (their singles are in
+                    # the vocab by construction); the guard makes the DP
+                    # total on arbitrary words (the coverage audit's
+                    # OOV case returns a clean NULL struct instead).
+                    (i >= F.lit(length)) & cnt.isNotNull() & prev["np"].isNotNull(),
                     F.struct(
                         (prev["np"] + F.lit(1)).alias("np"),
                         (prev["negsc"] - cnt).alias("negsc"),
@@ -2269,7 +2302,7 @@ def unigram_train_rounds(
     return rounds
 
 
-def _uni_ctes() -> list[str]:
+def _uni_ctes(doc_where: str = "") -> list[str]:
     """Unrolled-CTE replay of the hard-EM trainer (the Lloyd /
     perceptron / BPE house pattern): seed inventory, then per round k a
     RECURSIVE full segmentation enumeration under vocab k-1 (every
@@ -2279,7 +2312,7 @@ def _uni_ctes() -> list[str]:
     prune. Shared by the trainer and encode oracles so both replay the
     IDENTICAL loop."""
     parts = [
-        f"wfu AS MATERIALIZED {_UNI_WF_SQL}",
+        f"wfu AS MATERIALIZED {_uni_wf_sql(doc_where)}",
         """ua0 AS MATERIALIZED (
             SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
             FROM (SELECT substr(word, CAST(u.i AS INTEGER), 1) AS piece, n_occ
@@ -2547,3 +2580,152 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-dp["negsc"]).cast("long").alias("score"),
         dp["enc"].alias("enc"),
     ).orderBy("rank")
+
+
+def _uni_coverage_oracle() -> str:
+    r = UNI_ROUNDS
+    parts = _uni_ctes(_UNI_TRAIN_WHERE) + [
+        f"""lw AS MATERIALIZED (
+            SELECT lang, word, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT lang, unnest({_TOKENS.format(x="text")}) AS word
+                  FROM documents
+                  WHERE text IS NOT NULL AND {_UNI_EVAL_SQL_PRED})
+            WHERE word <> ''
+            GROUP BY lang, word
+        )""",
+        f"""dw AS MATERIALIZED (
+            SELECT DISTINCT word FROM lw WHERE length(word) <= {UNI_MAX_WLEN}
+        )""",
+        f"""segc AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS np FROM dw
+            UNION ALL
+            SELECT s.word, s.pos + length(v.piece), s.np + 1
+            FROM segc s JOIN uv{r} v
+              ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+                        length(v.piece)) = v.piece
+            WHERE s.pos < length(s.word)
+        )""",
+        """bw AS MATERIALIZED (
+            SELECT word, min(np) AS np
+            FROM segc WHERE pos = length(word) GROUP BY word
+        )""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+        SELECT l.lang,
+               CAST(sum(l.n_occ) AS BIGINT) AS n_word_occ,
+               CAST(sum(CASE WHEN length(l.word) > {UNI_MAX_WLEN}
+                             THEN l.n_occ ELSE 0 END) AS BIGINT) AS long_occ,
+               CAST(sum(CASE WHEN length(l.word) <= {UNI_MAX_WLEN}
+                                  AND b.np IS NULL
+                             THEN l.n_occ ELSE 0 END) AS BIGINT) AS oov_occ,
+               CAST(sum(CASE WHEN b.np IS NOT NULL
+                             THEN l.n_occ ELSE 0 END) AS BIGINT) AS covered_occ,
+               CAST(sum(CASE WHEN b.np IS NULL THEN l.n_occ ELSE 0 END)
+                    * 1000000 // sum(l.n_occ) AS BIGINT) AS oov_ppm,
+               CASE WHEN sum(CASE WHEN b.np IS NOT NULL
+                                  THEN l.n_occ * length(l.word)
+                                  ELSE 0 END) > 0
+                    THEN CAST(sum(CASE WHEN b.np IS NOT NULL
+                                       THEN l.n_occ * b.np ELSE 0 END) * 10000
+                              // sum(CASE WHEN b.np IS NOT NULL
+                                          THEN l.n_occ * length(l.word)
+                                          ELSE 0 END) AS BIGINT)
+               END AS pieces_per_10k_chars
+        FROM lw l LEFT JOIN bw b USING (word)
+        GROUP BY l.lang
+    """
+    )
+
+
+_UNI_DP_TYPE = "struct<np:int,negsc:bigint,enc:string>"
+
+
+@register(
+    "text_unigram_vocab_coverage",
+    oracle=_uni_coverage_oracle(),
+    doc=(
+        f"Held-out trained-vocabulary coverage audit (the production "
+        f"check every tokenizer-training run ends with): TRAIN on the "
+        f"80%% document split (pmod(doc_id, 10) < 8), then segment the "
+        f"HELD-OUT 20%% split's word table — per language, no "
+        f"training-side length cap — with the vocabulary the "
+        f"unigram-LM hard-EM trainer learned (unigram_train_rounds, "
+        f"shared verbatim with the train/encode entries) and report "
+        f"per lang the occurrence-weighted OOV "
+        f"rate in exact ppm plus the covered-word compression "
+        f"(pieces per 10k chars, exact integer division). A word is "
+        f"OOV when no vocab-piece composition covers it (a character "
+        f"outside the trained alphabet) or when it exceeds the "
+        f"{UNI_MAX_WLEN}-char audit cap (counted separately as "
+        f"long_occ; the cap bounds the oracle's enumeration — the "
+        f"engine DP is linear and needs no cap, the documented "
+        f"asymmetry). Scale: one groupBy to the (lang, word) table, "
+        f"then the broadcast-vocab map-only column DP and one "
+        f"map-side-combinable per-lang agg; the oracle chains the "
+        f"trainer's unrolled EM CTEs into a final recursive "
+        f"segmentation, so one hash certifies training AND the "
+        f"coverage numbers."
+    ),
+    tags=("text", "datapipe", "iterative"),
+)
+def text_unigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wf_train = _uni_wf_from(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    ).persist()
+    rounds = unigram_train_rounds(wf_train)
+    vocab = rounds[-1][2] if rounds else {}
+    held = docs.filter(
+        F.col("text").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    )
+    lw = (
+        held.select("lang", F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    if vocab:
+        dp_raw = _uni_best_seg("word", vocab)
+    else:
+        # empty training vocabulary (every corpus word over-cap or no
+        # corpus): nothing is segmentable
+        dp_raw = F.lit(None).cast(_UNI_DP_TYPE)
+    is_long = F.length("word") > UNI_MAX_WLEN
+    seg = lw.withColumn(
+        "dp", F.when(is_long, F.lit(None).cast(_UNI_DP_TYPE)).otherwise(dp_raw)
+    )
+    covered = F.col("dp").isNotNull()
+    zero = F.lit(0).cast("long")
+    return seg.groupBy("lang").agg(
+        F.sum("n_occ").cast("long").alias("n_word_occ"),
+        F.sum(F.when(F.length("word") > UNI_MAX_WLEN, F.col("n_occ")).otherwise(zero))
+        .cast("long")
+        .alias("long_occ"),
+        F.sum(
+            F.when(
+                (F.length("word") <= UNI_MAX_WLEN) & ~covered, F.col("n_occ")
+            ).otherwise(zero)
+        )
+        .cast("long")
+        .alias("oov_occ"),
+        F.sum(F.when(covered, F.col("n_occ")).otherwise(zero))
+        .cast("long")
+        .alias("covered_occ"),
+        F.expr(
+            "CAST(sum(CASE WHEN dp IS NULL THEN n_occ ELSE 0L END) * 1000000"
+            " DIV sum(n_occ) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN dp IS NOT NULL"
+            "               THEN n_occ * length(word) ELSE 0L END) > 0"
+            " THEN CAST(sum(CASE WHEN dp IS NOT NULL"
+            "               THEN n_occ * CAST(dp.np AS BIGINT) ELSE 0L END)"
+            "           * 10000"
+            "      DIV sum(CASE WHEN dp IS NOT NULL"
+            "               THEN n_occ * length(word) ELSE 0L END) AS BIGINT)"
+            " END"
+        ).alias("pieces_per_10k_chars"),
+    )

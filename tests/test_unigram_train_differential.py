@@ -191,3 +191,77 @@ def test_unigram_train_matches_reference_on_random(spark, tmp_path):
     # the vocabulary across rounds (vocab sizes strictly decrease)
     sizes = [r[1] for r in want]
     assert sizes == sorted(sizes, reverse=True) and len(set(sizes)) > 1
+
+
+def _py_coverage(texts: list[str | None]):
+    """Reference for text_unigram_vocab_coverage: train on the 80%
+    doc_id split, audit the held-out 20% per lang (texts[i] has
+    doc_id=i, lang=f'l{i % 2}')."""
+    train = [t for i, t in enumerate(texts) if i % 10 < 8]
+    _, _, vocab = _py_train(train)
+    out: dict[str, dict[str, int]] = {}
+    for i, t in enumerate(texts):
+        if i % 10 < 8 or t is None:
+            continue
+        lang = f"l{i % 2}"
+        a = out.setdefault(
+            lang, {"n": 0, "long": 0, "oov": 0, "cov": 0, "pieces": 0, "chars": 0}
+        )
+        for w in _py_tokens(t):
+            a["n"] += 1
+            if len(w) > UNI_MAX_WLEN:
+                a["long"] += 1
+            else:
+                best = _py_best(w, vocab) if vocab else None
+                if best is None:
+                    a["oov"] += 1
+                else:
+                    a["cov"] += 1
+                    a["pieces"] += best[0]
+                    a["chars"] += len(w)
+    rows = []
+    for lang, a in sorted(out.items()):
+        rows.append(
+            (
+                lang, a["n"], a["long"], a["oov"], a["cov"],
+                (a["long"] + a["oov"]) * 1000000 // a["n"],
+                a["pieces"] * 10000 // a["chars"] if a["chars"] else None,
+            )
+        )
+    return rows
+
+
+def test_unigram_coverage_held_out_oov(spark, tmp_path):
+    """The coverage audit must flag genuine held-out OOV: a word whose
+    character never occurs in the train split, and an over-cap word,
+    both land in the right buckets with exact integer rates."""
+    import os as _os
+
+    texts = []
+    for i in range(20):
+        if i % 10 < 8:
+            texts.append("alpha beta gamma delta " + "ab " * (i % 3 + 1))
+        elif i % 10 == 8:
+            # held out: one OOV word (q/z/x absent from train), rest covered
+            texts.append("alpha qzx beta")
+        else:
+            # held out: an over-cap word plus covered words
+            texts.append("w" * (UNI_MAX_WLEN + 5) + " gamma delta")
+    d = _os.path.join(str(tmp_path), "sf_cov")
+    _os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, f"l{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+
+    rows = sorted(
+        (r["lang"], r["n_word_occ"], r["long_occ"], r["oov_occ"],
+         r["covered_occ"], r["oov_ppm"], r["pieces_per_10k_chars"])
+        for r in all_queries()["text_unigram_vocab_coverage"].fn(spark, d).collect()
+    )
+    want = _py_coverage(texts)
+    assert rows == want
+    # non-vacuity: both failure buckets are hit
+    assert sum(r[3] for r in rows) > 0, "no OOV word flagged"
+    assert sum(r[2] for r in rows) > 0, "no over-cap word flagged"
+    assert all(r[5] > 0 for r in rows)
