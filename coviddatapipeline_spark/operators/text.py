@@ -1545,7 +1545,7 @@ def _bpe_oracle() -> str:
         SELECT CAST(rank AS BIGINT) AS rank, word, n_occ,
                CAST(length(word) AS BIGINT) AS n_chars,
                CAST(len(s) AS BIGINT) AS n_tokens,
-               array_to_string(s, '|') AS enc
+               array_to_string(s, ' ') AS enc
         FROM f{BPE_MERGES}
         ORDER BY rank
     """
@@ -1689,7 +1689,7 @@ def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occ").cast("long").alias("n_occ"),
         F.length("word").cast("long").alias("n_chars"),
         F.size("s").cast("long").alias("n_tokens"),
-        F.concat_ws("|", "s").alias("enc"),
+        F.concat_ws(" ", "s").alias("enc"),
     ).orderBy("rank")
 
 
@@ -1885,7 +1885,7 @@ def _bpe_train_encode_oracle() -> str:
         SELECT CAST(rank AS BIGINT) AS rank, word, n_occ,
                CAST(length(word) AS BIGINT) AS n_chars,
                CAST(len(s) AS BIGINT) AS n_tokens,
-               array_to_string(s, '|') AS enc
+               array_to_string(s, ' ') AS enc
         FROM f{BPE_TRAIN_MERGES}
         ORDER BY rank
     """
@@ -1942,7 +1942,7 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occ").cast("long").alias("n_occ"),
         F.length("word").cast("long").alias("n_chars"),
         F.size(s).cast("long").alias("n_tokens"),
-        F.concat_ws("|", s).alias("enc"),
+        F.concat_ws(" ", s).alias("enc"),
     ).orderBy("rank")
 
 
@@ -2197,8 +2197,15 @@ def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
                     F.struct(
                         (prev["np"] + F.lit(1)).alias("np"),
                         (prev["negsc"] - cnt).alias("negsc"),
+                        # separator is a SPACE: words come from
+                        # whitespace-splitting (WS_RE), so no piece can
+                        # contain one — the encoding is unambiguous and
+                        # the M-step's split-and-count is exact. ('|'
+                        # would be ambiguous: a corpus token may itself
+                        # contain '|', so pieces 'a|'+'b' and 'a'+'|b'
+                        # would both encode as 'a||b'.)
                         F.when(prev["np"] == F.lit(0), piece)
-                        .otherwise(F.concat(prev["enc"], F.lit("|"), piece))
+                        .otherwise(F.concat(prev["enc"], F.lit(" "), piece))
                         .alias("enc"),
                     ),
                 )
@@ -2279,7 +2286,7 @@ def unigram_train_rounds(
         seg = wf.withColumn("dp", _uni_best_seg("word", vocab))
         counts_rows = (
             seg.select(
-                "n_occ", F.explode(F.split(F.col("dp")["enc"], r"\|")).alias("piece")
+                "n_occ", F.explode(F.split(F.col("dp")["enc"], " ")).alias("piece")
             )
             .groupBy("piece")
             .agg(F.sum("n_occ").alias("cnt"))
@@ -2350,7 +2357,7 @@ def _uni_ctes(doc_where: str = "") -> list[str]:
             SELECT s.word, s.n_occ, s.pos + length(v.piece), s.np + 1,
                    s.sc + v.cnt,
                    CASE WHEN s.np = 0 THEN v.piece
-                        ELSE s.enc || '|' || v.piece END
+                        ELSE s.enc || ' ' || v.piece END
             FROM useg{k} s JOIN uv{k - 1} v
               ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
                         length(v.piece)) = v.piece
@@ -2369,7 +2376,7 @@ def _uni_ctes(doc_where: str = "") -> list[str]:
         parts.append(
             f"""uc{k} AS MATERIALIZED (
             SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
-            FROM (SELECT unnest(string_split(enc, '|')) AS piece, n_occ
+            FROM (SELECT unnest(string_split(enc, ' ')) AS piece, n_occ
                   FROM ubest{k})
             GROUP BY piece
         )"""
@@ -2451,8 +2458,12 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = _uni_wf(spark, sf_dir).persist()
     rounds = unigram_train_rounds(wf)
     if not rounds:
+        # fully degenerate corpus (no trainable word): the oracle's
+        # per-round scalar subqueries still emit one row per round —
+        # count(*) over the empty vocab is 0, the sums/arg-tops are
+        # NULL — so mirror that shape instead of returning 0 rows
         return spark.createDataFrame(
-            [],
+            [(k, 0, None, None, None, None) for k in range(1, UNI_ROUNDS + 1)],
             "step long, vocab_size long, corpus_pieces long, "
             "corpus_score long, top_piece string, top_count long",
         )
@@ -2497,7 +2508,7 @@ def _uni_encode_oracle() -> str:
             UNION ALL
             SELECT s.word, s.pos + length(v.piece), s.np + 1, s.sc + v.cnt,
                    CASE WHEN s.np = 0 THEN v.piece
-                        ELSE s.enc || '|' || v.piece END
+                        ELSE s.enc || ' ' || v.piece END
             FROM usege s JOIN uv{r} v
               ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
                         length(v.piece)) = v.piece

@@ -1156,6 +1156,15 @@ def stream_unigram_encode(
             .groupBy("doc_id")
             .agg(
                 F.count("*").cast("long").alias("n_words"),
+                # an OOV word (a char outside the frozen vocab's
+                # alphabet) is a NULL dp struct; NULL-skipping sums
+                # would silently drop it from n_pieces/score, so the
+                # serving path surfaces coverage loss explicitly —
+                # the same semantics the text_unigram_vocab_coverage
+                # audit reports as oov_occ
+                F.sum(F.when(F.col("dp").isNull(), F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("n_oov"),
                 F.sum(F.col("dp")["np"]).cast("long").alias("n_pieces"),
                 F.sum(-F.col("dp")["negsc"]).cast("long").alias("score"),
             )

@@ -133,7 +133,7 @@ def test_bpe_train_encode_applies_trained_rules(spark, tmp_path):
         s = list(r["word"])
         for a, b in want_rules:
             s = _py_fold(s, a, b)
-        assert r["enc"] == "|".join(s), (r["word"], r["enc"], s)
+        assert r["enc"] == " ".join(s), (r["word"], r["enc"], s)
         assert r["n_tokens"] == len(s)
 
 

@@ -1452,15 +1452,34 @@ def test_stream_unigram_encode_matches_batch(spark, tmp_path, parity_sf_dir):
         for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
             shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
 
+    # one crafted arrival whose second word uses a char OUTSIDE the
+    # trained alphabet: the serving path must SURFACE the coverage
+    # loss as n_oov instead of silently null-sum-skipping it
+    alphabet = {p for p in vocab if len(p) == 1}
+    oov_ch = next(c for c in "§¶Ө☃" if c not in alphabet)
+    covered_w = max((p for p in vocab if len(p) <= UNI_MAX_WLEN), key=len)
+    oov_doc_id = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    oov_doc = spark.createDataFrame(
+        [(oov_doc_id, f"{covered_w} {oov_ch}{oov_ch}")],
+        docs.select("doc_id", "text").schema,
+    )
+    extra_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    for c in extra_cols:
+        oov_doc = oov_doc.withColumn(c, F.lit(None).cast(docs.schema[c].dataType))
+    oov_doc = oov_doc.select(*docs.columns)
+
     stage(docs.filter(F.col("doc_id") <= mid), "p1")
     stream_unigram_encode(spark, in_dir, out, ckpt, docs.schema, vocab).awaitTermination(120)
-    stage(docs.filter(F.col("doc_id") > mid), "p2")
+    stage(docs.filter(F.col("doc_id") > mid).unionByName(oov_doc), "p2")
     stream_unigram_encode(spark, in_dir, out, ckpt, docs.schema, vocab).awaitTermination(120)
 
-    key = lambda r: (r["doc_id"], r["n_words"], r["n_pieces"], r["score"])
+    key = lambda r: (
+        r["doc_id"], r["n_words"], r["n_oov"], r["n_pieces"], r["score"]
+    )
     got = {key(r) for r in spark.read.parquet(out).collect()}
+    all_docs = docs.unionByName(oov_doc)
     words = (
-        docs.filter(F.col("text").isNotNull())
+        all_docs.filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= UNI_MAX_WLEN))
     )
@@ -1471,12 +1490,24 @@ def test_stream_unigram_encode_matches_batch(spark, tmp_path, parity_sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("dp").isNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
             F.sum(F.col("dp")["np"]).cast("long").alias("n_pieces"),
             F.sum(-F.col("dp")["negsc"]).cast("long").alias("score"),
         )
         .collect()
     }
     assert got == want and len(want) > 0
+    # the crafted doc: 2 words, exactly 1 OOV, and the covered word
+    # still contributes real pieces/score (no silent NULL collapse)
+    oov_rows = [r for r in got if r[0] == oov_doc_id]
+    assert len(oov_rows) == 1
+    assert oov_rows[0][1] == 2 and oov_rows[0][2] == 1
+    assert oov_rows[0][3] is not None and oov_rows[0][3] >= 1
+    assert oov_rows[0][4] is not None and oov_rows[0][4] > 0
+    # clean docs report zero OOV (vocab was trained on this corpus)
+    assert all(r[2] == 0 for r in got if r[0] != oov_doc_id)
     # non-vacuous: every doc got a positive score, and the trained
     # multi-char pieces actually compress somewhere (fewer pieces than
     # words would imply is impossible; fewer pieces than a per-char

@@ -58,7 +58,7 @@ def _py_best(word: str, vocab: dict[str, int]):
                         (
                             np_ + 1,
                             negsc - vocab[piece],
-                            piece if np_ == 0 else enc + "|" + piece,
+                            piece if np_ == 0 else enc + " " + piece,
                         )
                     )
         dp[i] = min(cands) if cands else None
@@ -93,7 +93,7 @@ def _py_train(texts: list[str | None]):
             np_, negsc, enc = _py_best(w, vocab)
             corpus_pieces += n * np_
             corpus_score += n * -negsc
-            for p in enc.split("|"):
+            for p in enc.split(" "):
                 counts[p] = counts.get(p, 0) + n
         ranked = sorted(multi_set, key=lambda p: (-counts.get(p, 0), p))
         top_piece = ranked[0] if ranked else None
@@ -166,7 +166,7 @@ def test_unigram_train_matches_reference_on_crafted(spark, tmp_path):
     assert _run_train(spark, d) == want
     assert _run_encode(spark, d) == _py_encode(wf, final_vocab)
     # non-vacuity: some word segments with a multi-char piece
-    assert any("|" not in _py_best(w, final_vocab)[2] and len(w) > 1
+    assert any(" " not in _py_best(w, final_vocab)[2] and len(w) > 1
                for w in wf) or any(
         len(p) > 1 for p in final_vocab
     )
@@ -265,3 +265,26 @@ def test_unigram_coverage_held_out_oov(spark, tmp_path):
     assert sum(r[3] for r in rows) > 0, "no OOV word flagged"
     assert sum(r[2] for r in rows) > 0, "no over-cap word flagged"
     assert all(r[5] > 0 for r in rows)
+
+def test_unigram_train_degenerate_corpus_matches_oracle_shape(spark, tmp_path):
+    """ADVICE r10 (low): on a fully degenerate corpus (every text NULL
+    or whitespace — no trainable word) the oracle's per-round scalar
+    subqueries still emit UNI_ROUNDS rows of (k, 0, NULL, NULL, NULL,
+    NULL); the engine must mirror that shape, not return 0 rows."""
+    import duckdb
+
+    from coviddatapipeline_spark.queries.catalog import get
+
+    d = _write_docs(spark, tmp_path, [None, "", "   ", "\t\n"])
+    q = get("text_unigram_train")
+    got = [tuple(r) for r in q.fn(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(q.oracle).fetchall()]
+    con.close()
+    assert got == want
+    assert len(got) == UNI_ROUNDS
+    assert all(r[1] == 0 and r[2] is None and r[4] is None for r in got)
