@@ -12,6 +12,7 @@ At 100 TB the only knob is input partition size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2161,8 +2162,16 @@ def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
     struct-min over the <= UNI_PIECE_MAX candidate back-extensions
     (struct field order IS the objective's lexicographic order). The
     vocabulary rides along as a broadcast map literal — model state,
-    not data — so a full-corpus encode is a map-only column expression:
-    the 100 TB tokenizer-apply shape, no shuffle, no UDF. DP validity:
+    not data — so a full-corpus encode is a map-only column expression
+    with no shuffle and no UDF. Scale qualifier: the literal map is an
+    O(|vocab|) expression tree serialized into every task, so this
+    shape is right at AUDIT-scale vocabularies (the ~30–50 pieces
+    these entries train); at a production 64k–256k-piece vocab, plan
+    size/codegen become the bottleneck before data does — the serving
+    path there is :func:`uni_best_seg_arrow` (same objective, vocab as
+    a SparkContext broadcast inside an Arrow kernel, O(1) plan size;
+    certified equal by text_unigram_encode_arrow's shared oracle,
+    probed at 16k pieces in SCALE.md §21). DP validity:
     all three objective components are prefix-additive, and equal
     (position, np) states have equal enc length, so per-position
     struct-min is exactly the global enumeration optimum (the oracle
@@ -2591,6 +2600,136 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-dp["negsc"]).cast("long").alias("score"),
         dp["enc"].alias("enc"),
     ).orderBy("rank")
+
+
+def uni_best_seg_arrow(spark: SparkSession, vocab: dict[str, int]):
+    """PRODUCTION-VOCAB twin of :func:`_uni_best_seg`: the identical
+    exact-integer Viterbi objective (min pieces, tie max count sum,
+    tie lexicographic enc — Python tuple-min on (np, negsc, enc)
+    equals Spark's struct-min because UTF-8 byte order preserves code
+    points), but the vocabulary travels as a **SparkContext broadcast
+    read inside an Arrow-batched pandas UDF** instead of a
+    ``create_map`` plan literal.
+
+    Why two shapes: the column-DP literal is ideal at audit scale
+    (whole-stage-codegen'd, zero Python), but the literal map is an
+    O(|vocab|) expression tree evaluated into every task binary — at a
+    production 64k–256k-piece vocabulary, PLAN size and codegen become
+    the bottleneck before data does. Here the vocab ships once per
+    executor via the broadcast manager (O(1) plan size), and the DP
+    runs per Arrow batch in a dict-lookup loop — still map-only,
+    shuffle-free, linear in corpus chars, embarrassingly parallel.
+    Measured crossover and 16k-vocab probe rows: SCALE.md §21.
+
+    Returns a callable mapping a word Column to the
+    struct<np:int,negsc:bigint,enc:string> result. OOV asymmetry vs
+    the column DP: an uncoverable word yields a struct with NULL
+    FIELDS (Arrow struct columns cannot carry a row-level NULL), so
+    consumers test ``dp.np IS NULL``, not ``dp IS NULL``.
+    """
+    bc = spark.sparkContext.broadcast(vocab)
+    piece_max = UNI_PIECE_MAX
+
+    # nested so the kernel pickles by value (workers need not import
+    # the package from their cwd — see tests/test_driver_discipline)
+    @F.pandas_udf(_UNI_DP_TYPE)
+    def seg(words: pd.Series) -> pd.DataFrame:
+        v = bc.value
+        nps, negs, encs = [], [], []
+        for w in words:
+            if w is None:
+                nps.append(None); negs.append(None); encs.append(None)
+                continue
+            n = len(w)
+            dp: list[tuple[int, int, str] | None] = [None] * (n + 1)
+            dp[0] = (0, 0, "")
+            for i in range(1, n + 1):
+                best = None
+                for ln in range(1, min(piece_max, i) + 1):
+                    prev = dp[i - ln]
+                    if prev is None:
+                        continue
+                    piece = w[i - ln : i]
+                    cnt = v.get(piece)
+                    if cnt is None:
+                        continue
+                    cand = (
+                        prev[0] + 1,
+                        prev[1] - cnt,
+                        piece if prev[0] == 0 else prev[2] + " " + piece,
+                    )
+                    if best is None or cand < best:
+                        best = cand
+                dp[i] = best
+            r = dp[n]
+            if r is None:
+                nps.append(None); negs.append(None); encs.append(None)
+            else:
+                nps.append(r[0]); negs.append(r[1]); encs.append(r[2])
+        return pd.DataFrame({"np": nps, "negsc": negs, "enc": encs})
+
+    return seg
+
+
+@register(
+    "text_unigram_encode_arrow",
+    oracle=_uni_encode_oracle(),
+    doc=(
+        f"Unigram-LM encode on the PRODUCTION-VOCAB physical path: the "
+        f"same trained vocabulary and the same top-{UNI_TOPK} word "
+        f"report as text_unigram_encode, but segmented by "
+        f"uni_best_seg_arrow — an Arrow-batched pandas kernel reading "
+        f"the vocab from a SparkContext broadcast — instead of the "
+        f"create_map column DP. Registered against the IDENTICAL "
+        f"oracle, so one hash certifies that the audit-scale plan "
+        f"(literal map, whole-stage codegen) and the 64k+-vocab "
+        f"serving plan (O(1) plan size, broadcast model state) compute "
+        f"the same exact-integer objective. Scale: map-only and "
+        f"shuffle-free like the column DP; the broadcast ships the "
+        f"vocab once per executor rather than into every task's "
+        f"serialized plan — the shape that survives a 256k-piece "
+        f"production tokenizer (probe at 16k pieces: SCALE.md §21)."
+    ),
+    tags=("text", "iterative", "datapipe", "arrow"),
+)
+def text_unigram_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    wf = _uni_wf(spark, sf_dir).persist()
+    rounds = unigram_train_rounds(wf)
+    if not rounds:
+        return spark.createDataFrame(
+            [],
+            "rank long, word string, n_occ long, n_chars long, "
+            "n_pieces long, score long, enc string",
+        )
+    final_vocab = rounds[-1][2]
+    top = (
+        wf.orderBy(F.col("n_occ").desc(), "word")
+        .limit(UNI_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(const_key("word")).orderBy(
+                    F.col("n_occ").desc(), "word"
+                )
+            ),
+        )
+    )
+    seg = uni_best_seg_arrow(spark, final_vocab)
+    return (
+        top.withColumn("dp", seg(F.col("word")))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "word",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.length("word").cast("long").alias("n_chars"),
+            F.col("dp")["np"].cast("long").alias("n_pieces"),
+            (-F.col("dp")["negsc"]).cast("long").alias("score"),
+            F.col("dp")["enc"].alias("enc"),
+        )
+        .orderBy("rank")
+    )
 
 
 def _uni_coverage_oracle() -> str:

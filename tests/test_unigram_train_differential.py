@@ -288,3 +288,55 @@ def test_unigram_train_degenerate_corpus_matches_oracle_shape(spark, tmp_path):
     assert got == want
     assert len(got) == UNI_ROUNDS
     assert all(r[1] == 0 and r[2] is None and r[4] is None for r in got)
+
+def test_uni_arrow_kernel_equals_column_dp(spark):
+    """The production-vocab Arrow kernel (uni_best_seg_arrow: broadcast
+    vocab + pandas DP) must compute EXACTLY the column DP's objective
+    (_uni_best_seg: create_map literal) on every word — including ties
+    (count-sum then lexicographic enc) and OOV words, where the column
+    DP yields a NULL struct and the Arrow kernel a NULL-FIELD struct
+    (the documented asymmetry: test dp.np IS NULL)."""
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.operators.text import (
+        _uni_best_seg,
+        uni_best_seg_arrow,
+    )
+
+    rng = random.Random(20260817)
+    alpha = "abcdef"
+    vocab: dict[str, int] = {c: rng.randint(1, 50) for c in alpha}
+    for a in alpha:
+        for b in alpha:
+            vocab[a + b] = rng.randint(1, 900)
+    while len(vocab) < 1200:
+        p = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 4)))
+        vocab.setdefault(p, rng.randint(1, 900))
+    # force exact count ties so the lexicographic enc tiebreak is live
+    vocab["ab"] = vocab["ba"] = vocab["aa"] = vocab["bb"] = 777
+
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    words += ["abab", "aabb", "abba", "baba", "aaaa"]  # tie-heavy
+    words += ["axz", "zzz", "aq"]  # chars outside the vocab alphabet -> OOV
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+
+    col_dp = df.withColumn("dp", _uni_best_seg("word", vocab))
+    arr_dp = df.withColumn("dp", uni_best_seg_arrow(spark, vocab)(F.col("word")))
+
+    def rows(d):
+        return sorted(
+            (r["word"],
+             None if r["dp"] is None or r["dp"]["np"] is None
+             else (r["dp"]["np"], r["dp"]["negsc"], r["dp"]["enc"]))
+            for r in d.collect()
+        )
+
+    got_col, got_arr = rows(col_dp), rows(arr_dp)
+    assert got_col == got_arr
+    # non-vacuity: OOV rows are NULL on both paths; covered rows exist
+    oov = [w for w, v in got_col if v is None]
+    assert set(oov) == {"axz", "zzz", "aq"}
+    assert any(v is not None and v[0] > 1 for _, v in got_col)
