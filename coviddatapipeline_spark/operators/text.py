@@ -2879,3 +2879,178 @@ def text_unigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("pieces_per_10k_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-tokenizer admission guardrail: the train/serve COVERAGE twin
+# ---------------------------------------------------------------------------
+
+UNI_ADMIT_OOV_PPM = 50_000    # reject a doc when >5% of its words are OOV
+UNI_ADMIT_COST_P10K = 7_800   # ...or it compresses worse than this under
+                              # the trained model (pieces per 10k chars —
+                              # the integer "perplexity spike" signal)
+
+
+def uni_admission_report(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """Per-document admission verdict under a trained unigram
+    vocabulary — the production guardrail a curation pipeline runs on
+    ARRIVING data: segment every word with the frozen model and admit
+    the doc only if (a) its OOV rate stays under
+    ``UNI_ADMIT_OOV_PPM`` (words the model cannot cover — alphabet
+    drift, wrong language, binary junk) and (b) its covered words
+    compress at most ``UNI_ADMIT_COST_P10K`` pieces per 10k chars
+    (distribution shift away from what the model was trained on — the
+    exact-integer surrogate for a perplexity filter). Words over the
+    ``UNI_MAX_WLEN`` audit cap count as uncoverable, mirroring
+    text_unigram_vocab_coverage's semantics.
+
+    Shared verbatim by the registered batch audit
+    (text_unigram_oov_admission) and the arrival-path twin
+    (pipeline.streaming.stream_unigram_admission), so the audited gate
+    and the serving gate cannot drift. Scale: one explode + the
+    broadcast-vocab column DP + one map-side-combinable per-doc agg —
+    map-only until the single doc_id groupBy, no UDF, no driver state.
+    """
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    if vocab:
+        dp_raw = _uni_best_seg("word", vocab)
+    else:
+        dp_raw = F.lit(None).cast(_UNI_DP_TYPE)
+    is_long = F.length("word") > UNI_MAX_WLEN
+    seg = words.withColumn(
+        "dp", F.when(is_long, F.lit(None).cast(_UNI_DP_TYPE)).otherwise(dp_raw)
+    )
+    zero = F.lit(0).cast("long")
+    per_doc = seg.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_word_occ"),
+        F.sum(F.when(F.col("dp").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bad_occ"),
+        F.sum(
+            F.when(F.col("dp").isNotNull(), F.col("dp")["np"].cast("long")).otherwise(zero)
+        ).alias("_pieces"),
+        F.sum(
+            F.when(F.col("dp").isNotNull(), F.length("word").cast("long")).otherwise(zero)
+        ).alias("_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_word_occ",
+        "bad_occ",
+        F.expr("bad_occ * 1000000 DIV n_word_occ").alias("oov_ppm"),
+        F.expr(
+            "CASE WHEN _chars > 0 THEN _pieces * 10000 DIV _chars END"
+        ).alias("cost_p10k"),
+        F.expr(
+            f"bad_occ * 1000000 DIV n_word_occ <= {UNI_ADMIT_OOV_PPM}"
+            f" AND _chars > 0"
+            f" AND _pieces * 10000 DIV _chars <= {UNI_ADMIT_COST_P10K}"
+        ).alias("admitted"),
+    )
+
+
+def _uni_admission_oracle() -> str:
+    r = UNI_ROUNDS
+    parts = _uni_ctes(_UNI_TRAIN_WHERE) + [
+        f"""dwo AS MATERIALIZED (
+            SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT doc_id, source,
+                         unnest({_TOKENS.format(x="text")}) AS word
+                  FROM documents
+                  WHERE text IS NOT NULL AND {_UNI_EVAL_SQL_PRED})
+            WHERE word <> ''
+            GROUP BY doc_id, source, word
+        )""",
+        f"""adw AS MATERIALIZED (
+            SELECT DISTINCT word FROM dwo WHERE length(word) <= {UNI_MAX_WLEN}
+        )""",
+        f"""asegc AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS np FROM adw
+            UNION ALL
+            SELECT s.word, s.pos + length(v.piece), s.np + 1
+            FROM asegc s JOIN uv{r} v
+              ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+                        length(v.piece)) = v.piece
+            WHERE s.pos < length(s.word)
+        )""",
+        """abw AS MATERIALIZED (
+            SELECT word, min(np) AS np
+            FROM asegc WHERE pos = length(word) GROUP BY word
+        )""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+        SELECT doc_id, source,
+               CAST(sum(n_occ) AS BIGINT) AS n_word_occ,
+               CAST(sum(CASE WHEN b.np IS NULL THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS bad_occ,
+               CAST(sum(CASE WHEN b.np IS NULL THEN n_occ ELSE 0 END)
+                    * 1000000 // sum(n_occ) AS BIGINT) AS oov_ppm,
+               CASE WHEN sum(CASE WHEN b.np IS NOT NULL
+                                  THEN n_occ * length(d.word)
+                                  ELSE 0 END) > 0
+                    THEN CAST(sum(CASE WHEN b.np IS NOT NULL
+                                       THEN n_occ * b.np ELSE 0 END) * 10000
+                              // sum(CASE WHEN b.np IS NOT NULL
+                                          THEN n_occ * length(d.word)
+                                          ELSE 0 END) AS BIGINT)
+               END AS cost_p10k,
+               (sum(CASE WHEN b.np IS NULL THEN n_occ ELSE 0 END)
+                    * 1000000 // sum(n_occ) <= {UNI_ADMIT_OOV_PPM}
+                AND sum(CASE WHEN b.np IS NOT NULL
+                             THEN n_occ * length(d.word) ELSE 0 END) > 0
+                AND sum(CASE WHEN b.np IS NOT NULL
+                             THEN n_occ * b.np ELSE 0 END) * 10000
+                    // NULLIF(sum(CASE WHEN b.np IS NOT NULL
+                                       THEN n_occ * length(d.word)
+                                       ELSE 0 END), 0)
+                    <= {UNI_ADMIT_COST_P10K}) AS admitted
+        FROM dwo d LEFT JOIN abw b USING (word)
+        GROUP BY doc_id, source
+    """
+    )
+
+
+@register(
+    "text_unigram_oov_admission",
+    oracle=_uni_admission_oracle(),
+    doc=(
+        f"Trained-tokenizer ADMISSION GUARDRAIL — the fifth "
+        f"composition-depth entry (train -> serve -> GATE): train the "
+        f"unigram-LM vocabulary on the 80%% doc split "
+        f"(unigram_train_rounds, shared verbatim with the "
+        f"train/encode/coverage entries), then run every HELD-OUT 20%% "
+        f"document through the per-doc admission kernel "
+        f"(uni_admission_report): admit iff OOV rate <= "
+        f"{UNI_ADMIT_OOV_PPM} ppm AND trained-model compression cost "
+        f"<= {UNI_ADMIT_COST_P10K} pieces per 10k chars — the exact-"
+        f"integer surrogate for the perplexity filter every curation "
+        f"pipeline runs on arriving data. The same kernel gates the "
+        f"arrival path (stream_unigram_admission), so the audited "
+        f"decisions and the serving decisions cannot drift. The "
+        f"oracle chains the trainer's unrolled EM CTEs into a capped "
+        f"recursive segmentation of the held-out vocabulary and "
+        f"replays the gate's integer arithmetic, so one hash "
+        f"certifies training, segmentation, AND every admit/reject "
+        f"decision. Scale: explode + broadcast-vocab column DP + one "
+        f"map-side-combinable per-doc agg; threshold constants are "
+        f"plan literals, zero driver state beyond the bounded vocab."
+    ),
+    tags=("text", "datapipe", "iterative", "streaming-twin"),
+)
+def text_unigram_oov_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wf_train = _uni_wf_from(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    ).persist()
+    rounds = unigram_train_rounds(wf_train)
+    vocab = rounds[-1][2] if rounds else {}
+    held = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
+    return uni_admission_report(held, vocab)

@@ -1178,3 +1178,53 @@ def stream_unigram_encode(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_unigram_admission(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    vocab: dict[str, int],
+) -> StreamingQuery:
+    """Trained-tokenizer admission gate ON the ingest path (the 24th
+    twin) — the production guardrail the registered
+    ``text_unigram_oov_admission`` entry audits: documents stream in,
+    every micro-batch runs through ``text.uni_admission_report`` —
+    literally the same per-doc OOV-rate + trained-model-compression
+    gate, under a FROZEN ``vocab`` (trained offline by
+    ``text.unigram_train_rounds``) — and each doc appends its verdict
+    (oov_ppm, cost_p10k, admitted). A curation pipeline admits on
+    ``admitted`` downstream; the audited batch gate and the arrival
+    gate cannot drift because they are one kernel, and a batch whose
+    OOV ppm spikes (alphabet drift, wrong language, binary junk) is
+    rejected doc-by-doc with the loss surfaced, never silently
+    swallowed.
+
+    Exactness contract (tested): the verdict is per-doc and stateless
+    — frozen vocabulary and plan-literal thresholds, no cross-batch
+    state — so the union of per-batch emissions equals the batch
+    kernel on the union of the input for ANY trigger split.
+    foreachBatch append is at-least-once on trigger retry (same caveat
+    as the other map-only twins); dedup downstream on doc_id if
+    exactly-once materialization matters. Scale: explode +
+    broadcast-vocab column DP + one map-side-combinable per-doc agg
+    per trigger, zero engine-carried state.
+    """
+    from coviddatapipeline_spark.operators.text import uni_admission_report
+
+    frozen = dict(vocab)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def gate(batch_df, batch_id: int) -> None:
+        uni_admission_report(batch_df, frozen).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -811,6 +811,7 @@ _TWIN_CONTRACTS = {
     "stream_quality_admission": "test_stream_quality_admission_matches_batch",
     "stream_binary_ingest": "test_stream_binary_ingest_matches_batch",
     "stream_unigram_encode": "test_stream_unigram_encode_matches_batch",
+    "stream_unigram_admission": "test_stream_unigram_admission_matches_batch",
 }
 
 
@@ -1515,3 +1516,87 @@ def test_stream_unigram_encode_matches_batch(spark, tmp_path, parity_sf_dir):
     # the frozen vocab that survived training guarantees it)
     assert any(r[2] > 0 and r[3] > 0 for r in want)
     assert any(len(p) > 1 for p in vocab)
+
+
+def test_stream_unigram_admission_matches_batch(spark, tmp_path, parity_sf_dir):
+    """The arrival-path admission gate must emit EXACTLY the per-doc
+    verdicts the shared kernel (text.uni_admission_report) computes
+    over the same corpus under the same frozen trained vocabulary —
+    across two incremental drains (trigger-split independence: the
+    verdict is per-doc and stateless). A crafted OOV-heavy arrival
+    must be REJECTED through the OOV arm specifically, with its
+    coverage loss surfaced, and both admit outcomes must occur."""
+    import glob
+    import shutil
+
+    from coviddatapipeline_spark.operators.text import (
+        UNI_ADMIT_OOV_PPM,
+        _uni_wf,
+        uni_admission_report,
+        unigram_train_rounds,
+    )
+    from coviddatapipeline_spark.pipeline.streaming import stream_unigram_admission
+
+    root = str(tmp_path)
+    in_dir, out, ckpt = (
+        os.path.join(root, "in"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(os.path.join(parity_sf_dir, "documents.parquet"))
+    vocab = unigram_train_rounds(_uni_wf(spark, parity_sf_dir))[-1][2]
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+
+    def stage(df, name):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            shutil.move(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    # crafted arrival: >5% of its words are OOV (char outside the
+    # trained alphabet) -> the OOV arm must reject it
+    alphabet = {p for p in vocab if len(p) == 1}
+    oov_ch = next(c for c in "§¶Ө☃" if c not in alphabet)
+    covered_w = max((p for p in vocab if len(p) > 1), key=len)
+    bad_id = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    bad_doc = spark.createDataFrame(
+        [(bad_id, f"{covered_w} {oov_ch} {oov_ch} {oov_ch}")],
+        docs.select("doc_id", "text").schema,
+    )
+    for c in [c for c in docs.columns if c not in ("doc_id", "text")]:
+        bad_doc = bad_doc.withColumn(c, F.lit(None).cast(docs.schema[c].dataType))
+    bad_doc = bad_doc.select(*docs.columns)
+
+    stage(docs.filter(F.col("doc_id") <= mid), "p1")
+    stream_unigram_admission(
+        spark, in_dir, out, ckpt, docs.schema, vocab
+    ).awaitTermination(120)
+    stage(docs.filter(F.col("doc_id") > mid).unionByName(bad_doc), "p2")
+    stream_unigram_admission(
+        spark, in_dir, out, ckpt, docs.schema, vocab
+    ).awaitTermination(120)
+
+    cols = ("doc_id", "source", "n_word_occ", "bad_occ", "oov_ppm",
+            "cost_p10k", "admitted")
+    key = lambda r: tuple(r[c] for c in cols)
+    got = {key(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        key(r)
+        for r in uni_admission_report(
+            docs.unionByName(bad_doc), vocab
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # the crafted doc: 4 words, 3 OOV -> 750000 ppm, rejected by the
+    # OOV arm with the loss surfaced
+    bad_rows = [r for r in got if r[0] == bad_id]
+    assert len(bad_rows) == 1
+    assert bad_rows[0][2] == 4 and bad_rows[0][3] == 3
+    assert bad_rows[0][4] == 750_000 > UNI_ADMIT_OOV_PPM
+    assert bad_rows[0][6] is False
+    # clean docs: zero OOV everywhere (vocab trained on this corpus),
+    # yet BOTH outcomes occur -> the compression arm is live too
+    clean = {r for r in got if r[0] != bad_id}
+    assert all(r[3] == 0 for r in clean)
+    assert {r[6] for r in clean} == {True, False}
