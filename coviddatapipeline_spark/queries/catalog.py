@@ -115,21 +115,20 @@ _LOADED = False
 # a slot the driver can't hash-check is a wasted slot (round-2 fix #3).
 # Names not (yet) registered are skipped harmlessly.
 _PRIORITY: tuple[str, ...] = (
-    # --- Round-10 window (VERDICT r09 #1): installed verbatim from
-    # `tools/plan_next_window.py`, which replays the oracle-hash
-    # snapshots in tools/window_history/ — (a) the 3 entries that have
-    # never taken a driver row (the late round-9 additions: the DSIR
-    # pair and the BPE train->encode composition), then (b) 40 of the
-    # 47 changed-oracle rotation-debt entries from the round-9
-    # whitespace-contract change (\s+ -> common.WS_RE rewrote 66
-    # oracle strings; 11 canaries + 9 conversions were absorbed by the
-    # r09 window). The 7-entry remainder (text_repetition_ratio,
-    # text_unigram_logprob, text_vocab_growth_curve,
-    # text_winnow_fingerprint, text_word_entropy,
-    # text_word_trigrams_top, train_order_global_shuffle) heads the
-    # r11 window, zeroing the ledger. All 50 re-swept green at all
-    # three SFs after the round-10 edits.
-    # --- sentinels (green every round they have sat) ---
+    # --- Round-11 window: the LEDGER-ZEROING round (VERDICT r10 #1),
+    # installed verbatim from `tools/plan_next_window.py`, which now
+    # computes ALL debt classes from the tools/window_history/
+    # snapshots: (a) 6 first driver rows (the round-10/11 additions:
+    # unigram train/encode/coverage, semdedup_trained_cells, plus this
+    # round's text_unigram_encode_arrow and
+    # text_unigram_oov_admission), (b) 11 changed-oracle debt entries
+    # (the 7-entry WS_RE remainder + stats_mad_per_segment +
+    # mm_binary_file_ingest + the two BPE encoders whose enc separator
+    # changed this round), (c) the 15 impl-changed sort-sweep entries
+    # — now COMPUTED from per-entry function-source hashes (VERDICT
+    # r10 #2), no longer a prose list — and (d) 11 stale-rotation
+    # fills (oldest last-in-window snapshot first). Backlog after
+    # this window: never-checked 0, changed-oracle 0, impl-changed 0.
     "flagship_revenue_by_nation",
     "s1_scan_count_orders",
     "q4_topk_other_share",
@@ -137,51 +136,50 @@ _PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_ivf",
     "text_token_stats",
     "events_sessionization",
-    # --- first driver rows (late round-9 additions) ---
-    "dsir_bucket_likelihood_profile",
+    # --- rotation (first-time, changed-oracle, impl-changed, stale) ---
+    "text_unigram_encode",
+    "semdedup_trained_cells",
+    "text_unigram_encode_arrow",
+    "text_unigram_oov_admission",
+    "text_unigram_train",
+    "text_unigram_vocab_coverage",
+    "mm_binary_file_ingest",
+    "stats_mad_per_segment",
+    "text_bpe_tokenize_apply",
     "text_bpe_train_encode",
-    "dsir_doc_importance_topk",
-    # --- changed-oracle rotation debt (40 of 47; alphabetical) ---
-    "bigram_pmi_top",
-    "bm25_fixed_query",
-    "contamination_ngram_overlap",
-    "dedup_boilerplate_maximal_kgrams",
-    "dedup_candidate_containment",
-    "dedup_canonical_doc_per_component",
-    "dedup_cluster_canonical_select",
-    "dedup_components_labelprop",
-    "dedup_exact_substring_runs",
-    "dedup_incremental_neardup_ingest",
-    "dedup_levenshtein_candidates",
-    "dedup_lsh_banding_curve",
-    "dedup_minhash_estimator_audit",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_passage_occurrences_topk",
-    "dedup_simhash",
-    "dedup_simhash_banded_pairs",
-    "dedup_simhash_banded_pairs_salted",
-    "dedup_simhash_near_pairs",
-    "dedup_source_mirror_detection",
-    "docpipe_clean_corpus_stats",
-    "docpipe_curation_manifest",
-    "docpipe_quality_dup_profile",
-    "hybrid_rrf_fusion",
-    "median_price_per_segment",
-    "mix_epoch_schedule",
-    "mix_source_temperature_weights",
-    "pack_chunks_with_overlap",
-    "pack_sequences_greedy",
-    "pack_span_corruption_plan",
-    "pref_pairs_by_quality",
-    "sample_token_budget_per_lang",
-    "sample_weighted_bernoulli",
-    "split_leakage_audit",
-    "split_unigram_kl_audit",
-    "text_bpe_merge_candidates",
-    "text_bpe_token_estimate",
-    "text_dedup_rate_by_source",
-    "text_fingerprint",
-    "text_longdoc_token_share",
+    "text_repetition_ratio",
+    "text_unigram_logprob",
+    "text_vocab_growth_curve",
+    "text_winnow_fingerprint",
+    "text_word_entropy",
+    "text_word_trigrams_top",
+    "train_order_global_shuffle",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact_keep_first",
+    "dedup_exact_substring_removal",
+    "dedup_near_dup_components",
+    "events_asof_last_click_before_purchase",
+    "events_user_gap_median_pandas",
+    "graph_semantic_clusters",
+    "knn_graph_within_cell",
+    "mm_frame_hashes",
+    "range_join_clicks_before_purchase",
+    "semdedup_cell_prune",
+    "text_html_extract",
+    "text_pii_scrub",
+    "text_quality_score",
+    "tfidf_top_terms",
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_ivf_trained",
+    "ann_cosine_topk_multiprobe",
+    "ann_hard_negative_mining",
+    "ann_ivf_nprobe_curve",
+    "ann_lsh_hyperplane_topk",
+    "ann_matryoshka_recall",
+    "ann_recall_ivf_vs_exact",
+    "ann_recall_trained_vs_exact",
+    "approx_distinct_users_by_type",
+    "argmax_supplier_per_nation",
 )
 
 
