@@ -1799,3 +1799,176 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.col("role").desc(), "role_rank")
     )
+
+
+def _semdedup_drift_oracle() -> str:
+    from coviddatapipeline_spark.operators.datapipe import (
+        KM_DIM,
+        KM_ITERS,
+        km_cte_parts,
+    )
+
+    ctes, last = km_cte_parts()
+    return f"""
+        WITH {ctes},
+        edbl AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE len(embedding) = {KM_DIM}
+        ),
+        eq AS (
+            -- the drifted corpus: every quantized vector rotated one
+            -- coordinate left (the ann_ivf_rebalance_drift transform:
+            -- deterministic, norm-preserving, a genuine shift for the
+            -- assignment argmax — and rotation PRESERVES every
+            -- pairwise dot product, so the dedup outcome can differ
+            -- only through the partitioning)
+            SELECT vec_id, list_concat(q[2:{KM_DIM}], [q[1]]) AS q FROM e
+        ),
+        ad AS (
+            SELECT d.vec_id,
+                   (SELECT c.cid FROM cent{KM_ITERS} c
+                    ORDER BY list_dot_product(d.q::DOUBLE[], c.c::DOUBLE[]) DESC,
+                             c.cid ASC
+                    LIMIT 1) AS cluster
+            FROM eq d
+        ),
+        bcells AS (
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell, edbl.v
+            FROM {last} a JOIN edbl USING (vec_id)
+        ),
+        dcells AS (
+            SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell, edbl.v
+            FROM ad a JOIN edbl USING (vec_id)
+        ),
+        bmx AS (
+            SELECT b.vec_id, max(list_dot_product(a.v, b.v)) AS mx
+            FROM bcells a JOIN bcells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        ),
+        dmx AS (
+            SELECT b.vec_id, max(list_dot_product(a.v, b.v)) AS mx
+            FROM dcells a JOIN dcells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        ),
+        bagg AS (
+            SELECT c.cell, count(*) AS n,
+                   sum(CASE WHEN coalesce(p.mx, {NO_EARLIER}) > {SEMDEDUP_TAU}
+                            THEN 1 ELSE 0 END) AS pruned
+            FROM bcells c LEFT JOIN bmx p USING (vec_id)
+            GROUP BY c.cell
+        ),
+        dagg AS (
+            SELECT c.cell, count(*) AS n,
+                   sum(CASE WHEN coalesce(p.mx, {NO_EARLIER}) > {SEMDEDUP_TAU}
+                            THEN 1 ELSE 0 END) AS pruned
+            FROM dcells c LEFT JOIN dmx p USING (vec_id)
+            GROUP BY c.cell
+        )
+        SELECT f.cid AS cell,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_drift,
+               CAST(COALESCE(b.n, 0) * (COALESCE(b.n, 0) - 1) // 2
+                    AS BIGINT) AS pairs_base,
+               CAST(COALESCE(d.n, 0) * (COALESCE(d.n, 0) - 1) // 2
+                    AS BIGINT) AS pairs_drift,
+               CAST(COALESCE(b.pruned, 0) AS BIGINT) AS pruned_base,
+               CAST(COALESCE(d.pruned, 0) AS BIGINT) AS pruned_drift
+        FROM (SELECT cid FROM cent{KM_ITERS}) f
+        LEFT JOIN bagg b ON b.cell = f.cid
+        LEFT JOIN dagg d ON d.cell = f.cid
+        ORDER BY cell
+    """
+
+
+@register(
+    "semdedup_drift_work_audit",
+    oracle=_semdedup_drift_oracle(),
+    doc=(
+        "Quantizer-drift x SemDeDup composition audit (NEXT.md r10 "
+        "(c)): does distribution drift degrade the dedup "
+        "PARTITIONING? The frozen trained quantizer "
+        "(datapipe.km_train_centroids — the model the IVF index, the "
+        "ingest twin, and semdedup_trained_cells all share) assigns "
+        "both the training corpus and the drifted corpus (the "
+        "ann_ivf_rebalance_drift transform: every vector rotated one "
+        "coordinate — norm-preserving AND dot-product-preserving, so "
+        "every pairwise cosine is IDENTICAL and any change in dedup "
+        "outcome is attributable purely to the partitioning), then "
+        "the shared within-cell prune runs on both partitionings. "
+        "Per cell: occupancy, the Sigma(cell^2) pairwise-work term "
+        "(n*(n-1)/2 — the semdedup cost driver an index-maintenance "
+        "policy watches for skew blowup), and the prune yield — "
+        "fewer prunes under drift means near-duplicates now straddle "
+        "cell boundaries and survive, the recall cost of a stale "
+        "quantizer. Scale: two broadcast-centroid map-only "
+        "assignments + two cell-key equi-joins (Sigma cell^2, never "
+        "corpus^2) + bounded-K aggregation; the oracle chains the "
+        "unrolled Lloyd CTEs into the drifted assignment and both "
+        "prune computations, so one hash certifies training, both "
+        "partitionings, and both dedup outcomes."
+    ),
+    tags=("similarity", "dedup", "embeddings", "iterative", "audit"),
+)
+def semdedup_drift_work_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.datapipe import (
+        KM_DIM,
+        km_assign,
+        km_train_centroids,
+    )
+
+    q, cent = km_train_centroids(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    # drifted corpus: rotate the QUANTIZED coordinates one left
+    # (rotation commutes with per-coordinate quantization); the raw
+    # doubles stay unrotated because rotation preserves every pairwise
+    # dot product — only the assignment sees the drift
+    qd = q.select(
+        "vec_id",
+        F.concat(F.slice("q", 2, KM_DIM - 1), F.slice("q", 1, 1)).alias("q"),
+    )
+
+    def cell_report(assigned: DataFrame) -> DataFrame:
+        cells = assigned.select(
+            "vec_id", F.col("cluster").cast("long").alias("cell")
+        )
+        return (
+            semdedup_prune_report(emb.join(cells, "vec_id"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("pruned").cast("long").alias("pruned"),
+            )
+        )
+
+    base = cell_report(km_assign(q, cent)).select(
+        F.col("cell"), F.col("n").alias("n_base"), F.col("pruned").alias("pruned_base")
+    )
+    drift = cell_report(km_assign(qd, cent)).select(
+        F.col("cell"), F.col("n").alias("n_drift"), F.col("pruned").alias("pruned_drift")
+    )
+    cent_df = spark.createDataFrame(
+        [(cid,) for cid in sorted(cent)], "cell long"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        cent_df.join(base, "cell", "left")
+        .join(drift, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_base", zero).cast("long").alias("n_base"),
+            F.coalesce("n_drift", zero).cast("long").alias("n_drift"),
+            F.coalesce("pruned_base", zero).cast("long").alias("pruned_base"),
+            F.coalesce("pruned_drift", zero).cast("long").alias("pruned_drift"),
+        )
+        # integer DIV: n*(n-1) is even, and int64 DIV stays exact where
+        # a double /2 would round past 2^53 pairs — the 100 TB habit
+        .selectExpr(
+            "cell", "n_base", "n_drift",
+            "CAST(n_base * (n_base - 1) DIV 2 AS BIGINT) AS pairs_base",
+            "CAST(n_drift * (n_drift - 1) DIV 2 AS BIGINT) AS pairs_drift",
+            "pruned_base", "pruned_drift",
+        )
+        .orderBy("cell")
+    )

@@ -166,3 +166,28 @@ def test_temporal_neighbor_join_is_equi_join(spark, parity_sf_dir):
     from coviddatapipeline_spark.operators.common import events
 
     assert total == events(spark, parity_sf_dir).count()
+
+
+def test_semdedup_drift_audit_invariants(spark, parity_sf_dir):
+    """The drift x semdedup composition audit: rotation is a bijection
+    on the same vector set, so total occupancy is CONSERVED across the
+    two partitionings while per-cell occupancy (and therefore the
+    Sigma(cell^2) pairwise-work split) actually moves — and pairs must
+    equal n*(n-1)/2 exactly on both sides. Non-vacuity: the drift
+    shifts at least one cell's occupancy AND changes the total prune
+    yield or the total pairwise work (else the audit audits nothing)."""
+    df = similarity.semdedup_drift_work_audit(spark, parity_sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert len(rows) > 1
+    assert sum(r.n_base for r in rows) == sum(r.n_drift for r in rows) > 0
+    for r in rows:
+        assert r.pairs_base == r.n_base * (r.n_base - 1) // 2
+        assert r.pairs_drift == r.n_drift * (r.n_drift - 1) // 2
+        assert 0 <= r.pruned_base <= max(r.n_base - 1, 0)
+        assert 0 <= r.pruned_drift <= max(r.n_drift - 1, 0)
+    assert any(r.n_base != r.n_drift for r in rows), "drift moved nothing"
+    assert (
+        sum(r.pairs_base for r in rows) != sum(r.pairs_drift for r in rows)
+        or sum(r.pruned_base for r in rows) != sum(r.pruned_drift for r in rows)
+    ), "drift changed neither work nor prune yield"

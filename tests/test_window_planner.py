@@ -28,19 +28,29 @@ def _load_planner():
 def test_verified_ledger_latest_in_window_sighting_wins(tmp_path, monkeypatch):
     p = _load_planner()
     monkeypatch.setattr(p, "HISTORY_DIR", str(tmp_path))
-    # r01: a and b verified at v1; c exists but sat OUTSIDE the window
+    # r01: a and b verified at v1; c exists but sat OUTSIDE the window.
+    # No impls map (pre-r11 snapshot shape): impl ledger stays empty.
     json.dump(
         {"window": ["a", "b"], "oracles": {"a": "v1", "b": "v1", "c": "v1"}},
         open(tmp_path / "r01.json", "w"),
     )
-    # r02: a re-verified at v2; b not in window (its v1 sighting stands)
+    # r02: a re-verified at v2; b not in window (its v1 sighting
+    # stands); impl hashes recorded (the r11+ snapshot shape)
     json.dump(
-        {"window": ["a"], "oracles": {"a": "v2", "b": "v9", "c": "v1"}},
+        {
+            "window": ["a"],
+            "oracles": {"a": "v2", "b": "v9", "c": "v1"},
+            "impls": {"a": "i2", "b": "i9", "c": "i1"},
+        },
         open(tmp_path / "r02.json", "w"),
     )
-    ledger = p.verified_ledger()
+    ledger, impl_ledger = p.verified_ledger()
     assert ledger == {"a": "v2", "b": "v1"}
     assert "c" not in ledger, "never-in-window entries must stay unledgered"
+    # impl ledger: same latest-in-window-sighting rule; b's only
+    # in-window sighting (r01) predates impl recording -> unledgered
+    assert impl_ledger == {"a": "i2"}
+    assert "c" not in impl_ledger
 
 
 def test_snapshot_roundtrip_matches_live_registry(tmp_path, monkeypatch):
@@ -56,6 +66,13 @@ def test_snapshot_roundtrip_matches_live_registry(tmp_path, monkeypatch):
     for n, h in list(snap["oracles"].items())[:20]:
         assert h == hashlib.md5(qs[n].oracle.encode()).hexdigest()
     assert len(snap["oracles"]) == sum(1 for q in qs.values() if q.oracle)
+    # impl hashes: md5 of the live builder-function source (r11+)
+    import inspect
+
+    for n, h in list(snap["impls"].items())[:20]:
+        src = inspect.getsource(qs[n].src or qs[n].fn)
+        assert h == hashlib.md5(src.encode()).hexdigest()
+    assert len(snap["impls"]) == len(snap["oracles"])
 
 
 def test_committed_r09_snapshot_is_current(tmp_path):
@@ -73,4 +90,13 @@ def test_committed_r09_snapshot_is_current(tmp_path):
     assert not drifted, (
         f"oracles changed after the last snapshot — re-run "
         f"plan_next_window.py --snapshot <round>: {drifted[:10]}"
+    )
+    live_impls = p._impl_md5s()
+    impl_drifted = sorted(
+        n for n, h in live_impls.items()
+        if latest.get("impls", {}).get(n) not in (None, h)
+    )
+    assert not impl_drifted, (
+        f"entry functions changed after the last snapshot — re-run "
+        f"plan_next_window.py --snapshot <round>: {impl_drifted[:10]}"
     )
