@@ -3054,3 +3054,146 @@ def text_unigram_oov_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = rounds[-1][2] if rounds else {}
     held = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8)
     return uni_admission_report(held, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer bakeoff: the two trained families head-to-head
+# ---------------------------------------------------------------------------
+
+
+def _bakeoff_oracle() -> str:
+    r = UNI_ROUNDS
+    bpe_parts, _selects = _bpe_train_ctes()
+    parts = bpe_parts + _uni_ctes() + [
+        f"""blw AS MATERIALIZED (
+            SELECT lang, word, CAST(count(*) AS BIGINT) AS n_occ
+            FROM (SELECT lang, unnest({_TOKENS.format(x="text")}) AS word
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE word <> '' AND length(word) <= {UNI_MAX_WLEN}
+            GROUP BY lang, word
+        )""",
+        "bdw AS MATERIALIZED (SELECT DISTINCT word FROM blw)",
+        f"""bseg AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS np FROM bdw
+            UNION ALL
+            SELECT s.word, s.pos + length(v.piece), s.np + 1
+            FROM bseg s JOIN uv{r} v
+              ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+                        length(v.piece)) = v.piece
+            WHERE s.pos < length(s.word)
+        )""",
+        """bbw AS MATERIALIZED (
+            SELECT word, min(np) AS np
+            FROM bseg WHERE pos = length(word) GROUP BY word
+        )""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+        SELECT l.lang,
+               CAST(sum(l.n_occ) AS BIGINT) AS n_word_occ,
+               CAST(sum(l.n_occ * length(l.word)) AS BIGINT) AS n_chars,
+               CAST(sum(l.n_occ * len(sk.s)) AS BIGINT) AS bpe_tokens,
+               CAST(sum(l.n_occ * b.np) AS BIGINT) AS uni_pieces,
+               CAST(sum(l.n_occ * len(sk.s)) * 10000
+                    // sum(l.n_occ * length(l.word)) AS BIGINT)
+                   AS bpe_per_10k,
+               CAST(sum(l.n_occ * b.np) * 10000
+                    // sum(l.n_occ * length(l.word)) AS BIGINT)
+                   AS uni_per_10k,
+               CASE WHEN sum(l.n_occ * b.np) < sum(l.n_occ * len(sk.s))
+                    THEN 'unigram'
+                    WHEN sum(l.n_occ * b.np) > sum(l.n_occ * len(sk.s))
+                    THEN 'bpe' ELSE 'tie' END AS winner
+        FROM blw l
+        JOIN s{BPE_TRAIN_MERGES} sk USING (word)
+        LEFT JOIN bbw b USING (word)
+        GROUP BY l.lang
+    """
+    )
+
+
+@register(
+    "text_tokenizer_bakeoff",
+    oracle=_bakeoff_oracle(),
+    doc=(
+        f"Tokenizer BAKEOFF — the sixth composition depth: BOTH "
+        f"trained tokenizer families (the iterative BPE trainer, "
+        f"bpe_train_rounds, and the unigram-LM hard-EM trainer, "
+        f"unigram_train_rounds — each the exact shared loop its own "
+        f"audit entries certify) encode the SAME per-language word "
+        f"table, and the report settles which model compresses each "
+        f"language better: occurrence-weighted token/piece totals and "
+        f"exact-integer tokens-per-10k-chars per family, winner by "
+        f"total (ties explicit). This is the model-selection audit a "
+        f"production pipeline runs before freezing a tokenizer. Eval "
+        f"words carry the {UNI_MAX_WLEN}-char audit cap on BOTH sides "
+        f"(fair comparison; bounds the oracle's enumeration — the "
+        f"engine DP is linear and needs no cap). Scale: both encoders "
+        f"are broadcast-model map-only column expressions over one "
+        f"(lang, word) frame + one map-side-combinable per-lang agg; "
+        f"driver state = the two bounded models. The oracle chains "
+        f"the BPE trainer's unrolled fold CTEs AND the unigram "
+        f"trainer's unrolled EM CTEs into one statement — a single "
+        f"hash certifies both trainings and the head-to-head."
+    ),
+    tags=("text", "iterative", "datapipe"),
+)
+def text_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bpe_rounds = bpe_train_rounds(_bpe_word_freqs(spark, sf_dir).persist())
+    uni_rounds = unigram_train_rounds(_uni_wf(spark, sf_dir).persist())
+    uni_vocab = uni_rounds[-1][2] if uni_rounds else {}
+
+    lw = (
+        docs.filter(F.col("text").isNotNull())
+        .select("lang", F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= UNI_MAX_WLEN))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    s = _bpe_chars("word")
+    for _k, a, b, _cnt, _s in bpe_rounds:
+        s = _bpe_fold(s, F.lit(a), F.lit(b))
+    if uni_vocab:
+        dp = _uni_best_seg("word", uni_vocab)
+    else:
+        dp = F.lit(None).cast(_UNI_DP_TYPE)
+    seg = lw.select(
+        "lang",
+        "n_occ",
+        F.length("word").cast("long").alias("nchars"),
+        F.size(s).cast("long").alias("bpe_toks"),
+        dp["np"].cast("long").alias("np"),
+    )
+    zero = F.lit(0).cast("long")
+    return seg.groupBy("lang").agg(
+        F.sum("n_occ").cast("long").alias("n_word_occ"),
+        F.sum(F.col("n_occ") * F.col("nchars")).cast("long").alias("n_chars"),
+        F.sum(F.col("n_occ") * F.col("bpe_toks")).cast("long").alias("bpe_tokens"),
+        # NULL-skipping sum on BOTH engines: an uncoverable word (a
+        # char only ever seen in over-cap words — impossible on clean
+        # data, possible on poison corpora) drops from uni_pieces
+        # identically in Spark and DuckDB
+        F.sum(F.col("n_occ") * F.col("np")).cast("long").alias("uni_pieces"),
+        F.expr(
+            "CAST(sum(n_occ * bpe_toks) * 10000 DIV sum(n_occ * nchars)"
+            " AS BIGINT)"
+        ).alias("bpe_per_10k"),
+        F.expr(
+            "CAST(sum(n_occ * np) * 10000 DIV sum(n_occ * nchars) AS BIGINT)"
+        ).alias("uni_per_10k"),
+        F.when(
+            F.sum(F.col("n_occ") * F.col("np"))
+            < F.sum(F.col("n_occ") * F.col("bpe_toks")),
+            F.lit("unigram"),
+        )
+        .when(
+            F.sum(F.col("n_occ") * F.col("np"))
+            > F.sum(F.col("n_occ") * F.col("bpe_toks")),
+            F.lit("bpe"),
+        )
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )

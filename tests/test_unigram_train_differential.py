@@ -340,3 +340,36 @@ def test_uni_arrow_kernel_equals_column_dp(spark):
     oov = [w for w, v in got_col if v is None]
     assert set(oov) == {"axz", "zzz", "aq"}
     assert any(v is not None and v[0] > 1 for _, v in got_col)
+
+
+def test_tokenizer_bakeoff_invariants(spark):
+    """The bakeoff's totals must be internally consistent: every
+    encoding is at most one symbol per char and at least one per word
+    occurrence, the winner column follows the exact totals, and both
+    models are genuinely trained (multi-symbol compression visible on
+    at least one side — else the bakeoff compares two char-splitters)."""
+    from coviddatapipeline_spark.queries.catalog import all_queries
+    from tests.conftest import PARITY_SF, sf_dir
+
+    rows = (
+        all_queries()["text_tokenizer_bakeoff"]
+        .fn(spark, sf_dir(PARITY_SF))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r["n_word_occ"] <= r["n_chars"]
+        assert r["n_word_occ"] <= r["bpe_tokens"] <= r["n_chars"]
+        assert r["n_word_occ"] <= r["uni_pieces"] <= r["n_chars"]
+        want = (
+            "unigram" if r["uni_pieces"] < r["bpe_tokens"]
+            else "bpe" if r["uni_pieces"] > r["bpe_tokens"] else "tie"
+        )
+        assert r["winner"] == want
+        assert r["bpe_per_10k"] == r["bpe_tokens"] * 10000 // r["n_chars"]
+        assert r["uni_per_10k"] == r["uni_pieces"] * 10000 // r["n_chars"]
+    # non-vacuity: at least one side compresses below 1 symbol/char
+    assert any(
+        r["bpe_tokens"] < r["n_chars"] or r["uni_pieces"] < r["n_chars"]
+        for r in rows
+    )
