@@ -118,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- Round-11 window: the LEDGER-ZEROING round (VERDICT r10 #1),
     # installed verbatim from `tools/plan_next_window.py`, which now
     # computes ALL debt classes from the tools/window_history/
-    # snapshots: (a) 8 first driver rows (the round-10/11 additions:
+    # snapshots: (a) 9 first driver rows (the round-10/11 additions:
     # unigram train/encode/coverage, semdedup_trained_cells, plus this
     # round's text_unigram_encode_arrow and
     # text_unigram_oov_admission), (b) 11 changed-oracle debt entries
@@ -126,7 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     # mm_binary_file_ingest + the two BPE encoders whose enc separator
     # changed this round), (c) the 15 impl-changed sort-sweep entries
     # — now COMPUTED from per-entry function-source hashes (VERDICT
-    # r10 #2), no longer a prose list — and (d) 9 stale-rotation
+    # r10 #2), no longer a prose list — and (d) 8 stale-rotation
     # fills (oldest last-in-window snapshot first). Backlog after
     # this window: never-checked 0, changed-oracle 0, impl-changed 0.
     "flagship_revenue_by_nation",
@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_unigram_oov_admission",
     "semdedup_drift_work_audit",
     "text_tokenizer_bakeoff",
+    "mm_zip_member_extract",
     "text_unigram_train",
     "text_unigram_vocab_coverage",
     "mm_binary_file_ingest",
@@ -179,7 +180,6 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_hyperplane_topk",
     "ann_matryoshka_recall",
     "ann_recall_ivf_vs_exact",
-    "ann_recall_trained_vs_exact",
 )
 
 

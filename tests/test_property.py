@@ -1077,3 +1077,100 @@ def test_tar_roundtrip_property_and_stdlib_cross_validation(doc_id, body):
     assert decode(bytes(corrupt)) is None
     assert decode(blob[:-1024]) is None          # marker removed
     assert decode(blob[:257] + b"XXXXXX" + blob[263:]) is None  # magic
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    doc_id=st.integers(min_value=0, max_value=2**40),
+    body=st.binary(min_size=0, max_size=3000),
+)
+def test_zip_roundtrip_property_and_stdlib_cross_validation(doc_id, body):
+    """ANY (doc_id, payload) must survive the ZIP round trip — EOCD
+    location, central-directory walk, local/central agreement, raw
+    inflate terminating exactly at the recorded size, CRC-32 — AND the
+    hand-rolled writer must be spec-valid per an INDEPENDENT reader
+    (stdlib zipfile sees identical members and bytes) AND the decoder
+    must read stdlib-WRITTEN archives, including one with an EOCD
+    comment (the locate-from-the-end rule) — cross-implementation
+    validation in BOTH directions, stronger than self-consistency.
+    Stale prepended bytes (the classic forward-scan pitfall) and
+    payload corruption reject with None."""
+    import hashlib
+    import io
+    import zipfile
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        make_zip_decoder,
+        make_zip_encoder,
+    )
+
+    encode = make_zip_encoder()
+    decode = make_zip_decoder()
+    meta = f'{{"doc_id":{doc_id}}}'.encode()
+    blob = encode([("meta.json", meta, False), ("page.html", body, True)])
+
+    expect = (
+        2, len(meta) + len(body),
+        hashlib.md5(body).hexdigest(), "meta.json,page.html",
+    )
+    assert decode(blob) == expect
+
+    # ours -> stdlib
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    assert [(i.filename, i.file_size) for i in zf.infolist()] == [
+        ("meta.json", len(meta)), ("page.html", len(body)),
+    ]
+    assert zf.read("page.html") == body and zf.read("meta.json") == meta
+
+    # stdlib -> ours (both methods + an EOCD comment)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("meta.json", meta, compress_type=zipfile.ZIP_STORED)
+        z.writestr("page.html", body, compress_type=zipfile.ZIP_DEFLATED)
+        z.comment = b"trailing archive comment"
+    assert decode(buf.getvalue()) == expect
+
+    # rejections: truncated EOCD, stale prefix (offsets off), payload flip
+    assert decode(blob[:-1]) is None
+    assert decode(b"JUNK" + blob) is None
+    mi = blob.index(meta) if meta in blob else None
+    if mi is not None:
+        corrupt = bytearray(blob)
+        corrupt[mi] ^= 1
+        assert decode(bytes(corrupt)) is None  # crc catches it
+
+
+def test_zip_single_byte_flips_never_misparse():
+    """Exhaustive single-byte corruption over a representative archive:
+    every flip either rejects (None) or leaves the report IDENTICAL
+    (flips in non-load-bearing metadata: DOS timestamps, version/attr
+    fields) — a corrupted archive can never misparse into a DIFFERENT
+    successful report."""
+    import hashlib
+
+    from coviddatapipeline_spark.operators.multimodal import (
+        make_zip_decoder,
+        make_zip_encoder,
+    )
+
+    encode = make_zip_encoder()
+    decode = make_zip_decoder()
+    meta = b'{"doc_id":42}'
+    page = b"<html>" + b"hello world " * 50 + b"</html>"
+    blob = encode([("meta.json", meta, False), ("page.html", page, True)])
+    want = (
+        2, len(meta) + len(page),
+        hashlib.md5(page).hexdigest(), "meta.json,page.html",
+    )
+    assert decode(blob) == want
+    rejected = 0
+    for i in range(len(blob)):
+        b2 = bytearray(blob)
+        b2[i] ^= 1
+        got = decode(bytes(b2))
+        assert got is None or got == want, (i, got)
+        rejected += got is None
+    # the vast majority of bytes ARE load-bearing
+    assert rejected > len(blob) // 2
