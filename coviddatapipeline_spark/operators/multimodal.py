@@ -1873,8 +1873,8 @@ def tar_extract_report(payloads: DataFrame) -> DataFrame:
 # Every container/decode entry above synthesizes its payload in-kernel
 # and round-trips encode -> decode; this entry closes that loop
 # (VERDICT r08 #2): the engine reads bytes it did NOT write in the same
-# job — a committed directory of fixture .tar / .warc.gz / .bmp / .png /
-# .gif / .wav files — through Spark's ``binaryFile`` source, and routes
+# job — a committed directory of fixture .tar / .zip / .warc.gz / .bmp /
+# .png / .gif / .wav files — through Spark's ``binaryFile`` source, and routes
 # each blob into the EXISTING decoders (the tar block walker, the WARC
 # gzip-member splitter, and the BMP/PNG/GIF/WAV parsers — every decode
 # kernel in this module has a real-file path, VERDICT r09 #5). This is the reference's own ingest shape
@@ -1911,8 +1911,9 @@ def binary_fixture_files() -> list[tuple[str, bytes]]:
     dir: per shard s, a two-member ustar archive (the shared page
     template + a text member), a two-record WARC (request + response
     gzip members, mtime=0), a 24bpp BMP, an RGB8 PNG (DEFLATE +
-    filter-cycle scanlines), a GIF87a (LZW, non-identity palette), and
-    a PCM16 WAV (odd-LIST pad chunk) — every decode kernel in this
+    filter-cycle scanlines), a GIF87a (LZW, non-identity palette),
+    a PCM16 WAV (odd-LIST pad chunk), and a two-member ZIP (deflated
+    + stored members, central directory + CRCs) — every decode kernel in this
     module gets a real-file path (VERDICT r09 #5), all with closed-form
     content so the oracle recomputes every parse-derived column."""
     from coviddatapipeline_spark.operators.common import HTML_POST, HTML_PRE
@@ -1922,6 +1923,7 @@ def binary_fixture_files() -> list[tuple[str, bytes]]:
     png_enc = make_png_encoder()
     gif_enc = make_gif_encoder()
     wav_enc = make_wav_encoder()
+    zip_enc = make_zip_encoder()
     out: list[tuple[str, bytes]] = []
     for s in range(FIXTURE_SHARDS):
         fx = f"binary fixture shard {s} " + "ab" * (s % 5 + 1)
@@ -1946,6 +1948,14 @@ def binary_fixture_files() -> list[tuple[str, bytes]]:
         wn, wsr, wa = 64 + s * 7, 8000 << (s % 3), (s * 53) % 401
         samples = [((wa + i * 37) % 401) - 200 for i in range(wn)]
         out.append((f"audio_{s:02d}.wav", wav_enc(wsr, samples)))
+        # the SEVENTH family: a two-member ZIP (deflated page + stored
+        # text — both compression methods on the real-file path)
+        out.append(
+            (
+                f"pack_{s:02d}.zip",
+                zip_enc([("page.html", page, True), (f"data_{s}.txt", txt, False)]),
+            )
+        )
     return out
 
 
@@ -2109,8 +2119,20 @@ def _binary_ingest_oracle() -> str:
                        ' zc=' || w.zc AS detail
             FROM wstat w
         ),
+        zipc AS (
+            -- uncompressed payload totals + page md5: the deflate/crc
+            -- round trip must be byte-perfect for the hash to land
+            SELECT printf('pack_%02d.zip', s) AS file_name, 'zip' AS kind,
+                   2 AS n_records,
+                   CAST(octet_length(encode(page)) + octet_length(encode(txt))
+                        AS BIGINT) AS payload_bytes,
+                   md5(page) AS detail_md5,
+                   'page.html,data_' || s || '.txt' AS detail
+            FROM base
+        ),
         spec AS (
             SELECT * FROM tar
+            UNION ALL SELECT * FROM zipc
             UNION ALL SELECT * FROM warc
             UNION ALL SELECT * FROM bmp
             UNION ALL SELECT * FROM png
@@ -2137,10 +2159,10 @@ def _binary_ingest_oracle() -> str:
     oracle=_binary_ingest_oracle(),
     doc=(
         "Real-file binary ingest: spark.read.format('binaryFile') over "
-        "a committed directory of .tar / .warc.gz / .bmp / .png / .gif "
-        "/ .wav fixtures, each blob routed by extension into the "
-        "existing decode kernels (ustar block walker, WARC gzip-member "
-        "splitter, 24bpp BMP parser, RGB8 PNG inflate+unfilter, GIF87a "
+        "a committed directory of .tar / .zip / .warc.gz / .bmp / .png / "
+        ".gif / .wav fixtures, each blob routed by extension into the "
+        "existing decode kernels (ustar block walker, ZIP central-"
+        "directory reader, WARC gzip-member splitter, 24bpp BMP parser, RGB8 PNG inflate+unfilter, GIF87a "
         "LZW, RIFF/PCM16 chunk walk) — the first entry whose bytes the job did NOT "
         "synthesize in-kernel (reference analogue: the ingest job "
         "reading an external CSV, ingest_csv_to_elastic.py:78-81). The "
@@ -2189,6 +2211,7 @@ def binary_ingest_report(blobs: DataFrame) -> DataFrame:
     png_d = make_png_decoder()
     gif_d = make_gif_decoder()
     wav_d = make_wav_decoder()
+    zip_d = make_zip_decoder()
 
     def ingest_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2239,6 +2262,11 @@ def binary_ingest_report(blobs: DataFrame) -> DataFrame:
                             "",
                             f"{d[0]}x{d[1]} first={d[4]} mean_e4={d[5]}",
                         )
+                elif n.endswith(".zip"):
+                    kind = "zip"
+                    d = zip_d(b)
+                    if d is not None:
+                        parsed = (d[0], d[1], d[2], d[3])
                 elif n.endswith(".wav"):
                     kind = "wav"
                     d = wav_d(b)

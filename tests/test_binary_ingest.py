@@ -45,10 +45,10 @@ def test_committed_fixtures_match_writer_bytes():
 
 def test_fixture_count_and_kinds():
     spec = binary_fixture_files()
-    assert len(spec) == 6 * FIXTURE_SHARDS
+    assert len(spec) == 7 * FIXTURE_SHARDS
     exts = {n.rsplit(".", 1)[-1] if not n.endswith(".warc.gz") else "warc.gz"
             for n, _ in spec}
-    assert exts == {"tar", "warc.gz", "bmp", "png", "gif", "wav"}
+    assert exts == {"tar", "warc.gz", "bmp", "png", "gif", "wav", "zip"}
 
 
 def test_fixtures_are_foreign_readable():
@@ -72,6 +72,14 @@ def test_fixtures_are_foreign_readable():
             assert (wf.getnchannels(), wf.getsampwidth()) == (1, 2)
             assert wf.getframerate() == 8000 << (s % 3)
             assert wf.getnframes() == 64 + s * 7
+        # stdlib zipfile — central directory, CRCs, and deflate all
+        # validated by a reader this repo did not write
+        import zipfile
+
+        with zipfile.ZipFile(os.path.join(d, f"pack_{s:02d}.zip")) as zf:
+            assert zf.testzip() is None
+            assert zf.namelist() == ["page.html", f"data_{s}.txt"]
+            assert zf.read("page.html").startswith(b"<html>")
 
 
 def test_strict_decoders_reject_corrupted_fixture_bytes():
@@ -92,11 +100,18 @@ def test_strict_decoders_reject_corrupted_fixture_bytes():
     assert png_d(bytes(pb)) is not None
     pb[30] ^= 0xFF  # inside a chunk body -> CRC32 mismatch
     assert png_d(bytes(pb)) is None
+    from coviddatapipeline_spark.operators.multimodal import make_zip_decoder
+
+    zip_d = make_zip_decoder()
+    zb = bytearray(open(os.path.join(d, "pack_00.zip"), "rb").read())
+    assert zip_d(bytes(zb)) is not None
+    zb[35] ^= 0xFF  # inside the member name/data run -> reject
+    assert zip_d(bytes(zb)) is None
 
 
 def test_binary_file_ingest_spark(spark, parity_sf_dir):
     rows = all_queries()["mm_binary_file_ingest"].fn(spark, parity_sf_dir).collect()
-    assert len(rows) == 6 * FIXTURE_SHARDS
+    assert len(rows) == 7 * FIXTURE_SHARDS
     by_kind = {}
     for r in rows:
         assert r.decoded, f"{r.file_name} failed to decode"
@@ -105,7 +120,8 @@ def test_binary_file_ingest_spark(spark, parity_sf_dir):
         )
         by_kind.setdefault(r.kind, []).append(r)
     assert {k: len(v) for k, v in by_kind.items()} == {
-        k: FIXTURE_SHARDS for k in ("tar", "warc", "bmp", "png", "gif", "wav")
+        k: FIXTURE_SHARDS
+        for k in ("tar", "zip", "warc", "bmp", "png", "gif", "wav")
     }
     # spot-check one parse-derived value against an independent reader
     with tarfile.open(os.path.join(_fixture_dir(), "shard_05.tar")) as tf:

@@ -1412,9 +1412,11 @@ def test_stream_binary_ingest_matches_batch(spark, tmp_path):
     got = {key(r) for r in spark.read.parquet(out).collect()}
     want = {key(r) for r in binary_ingest_report(binary_blob_scan(spark, fdir)).collect()}
     assert got == want and len(want) == len(names)
-    # non-vacuous: every file decoded, all six format families present
+    # non-vacuous: every file decoded, all seven format families present
     assert all(k[7] for k in want)
-    assert {k[1] for k in want} == {"tar", "warc", "bmp", "png", "gif", "wav"}
+    assert {k[1] for k in want} == {
+        "tar", "zip", "warc", "bmp", "png", "gif", "wav"
+    }
 
 
 def test_stream_unigram_encode_matches_batch(spark, tmp_path, parity_sf_dir):
