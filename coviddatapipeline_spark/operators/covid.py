@@ -274,31 +274,29 @@ def q4_topk_other_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(nation.n_name.alias("nation"))
         .agg(F.sum("o_totalprice").alias("sales"))
     )
-    # grand total via broadcast scalar cross-join, NOT an unpartitioned
-    # window: sum() OVER () funnels every group through one WindowExec
-    # partition, while a 1-row aggregate broadcast keeps the group set
-    # fully parallel however many groups exist at scale. The row_number
-    # window over the reduced set is the top-k semantics itself.
-    total = per_nation.agg(F.sum("sales").alias("grand_total"))
-    ranked = per_nation.crossJoin(F.broadcast(total)).select(
+    # rank + grand total in ONE window pass over the aggregated set.
+    # per_nation is metadata-sized at every scale — one row per distinct
+    # nation, a 25-value enumerated dimension — so a single-partition
+    # window is the const_key contract (bounded input), and computing
+    # row_number AND the frame-spanning sum in the same WindowExec
+    # removes the whole duplicate per_nation subtree the previous
+    # broadcast-total cross join planned (OPTIMIZATION_r12: the initial
+    # plan carried the scan→2×BHJ→2-phase-agg tree TWICE plus a
+    # BroadcastNestedLoopJoin; now the tree is planned once). The key is
+    # an INT expression on purpose: pmod(double, 1) is the fractional
+    # part (forks the partition per row) and casting a possibly-NaN
+    # double crashes under ANSI — length of the group key is total and
+    # integral.
+    wkey = W.partitionBy(
+        F.pmod(F.coalesce(F.length("nation"), F.lit(0)), F.lit(1))
+    ).orderBy(F.col("sales").desc(), F.col("nation"))
+    ranked = per_nation.select(
         "nation",
         "sales",
-        # pmod(coalesce(length(nation),0),1)==0 for every row: one
-        # global partition, same semantics as the unpartitioned window
-        # over the <=25 nation rows, but planned warning-free (see
-        # retrieval.py's canonical note; bare literals get constant-
-        # folded away). The key is an INT expression on purpose:
-        # pmod(double, 1) is the fractional part (forks the partition
-        # per row) and casting a possibly-NaN double crashes under
-        # ANSI — length of the group key is total and integral.
-        F.row_number().over(
-            W.partitionBy(
-                F.pmod(
-                    F.coalesce(F.length("nation"), F.lit(0)), F.lit(1)
-                )
-            ).orderBy(F.col("sales").desc(), F.col("nation"))
-        ).alias("rn"),
-        "grand_total",
+        F.row_number().over(wkey).alias("rn"),
+        F.sum("sales")
+        .over(wkey.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("grand_total"),
     )
     return (
         ranked.groupBy(

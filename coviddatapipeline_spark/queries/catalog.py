@@ -213,13 +213,30 @@ _REQUIRED_CONFS = {
 }
 
 
+# Sessions already checked by _ensure_confs: each conf.get/set is a
+# py4j round-trip paid on EVERY query build otherwise (3 gets x every
+# builder call adds up across a 50-entry driver pass and a min-of-5
+# bench). A session whose confs were ensured once stays ensured — these
+# keys are only ever set, never unset, by this module (a caller who
+# mutates them afterwards is outside the driver contract).
+_CONFS_ENSURED: "WeakSet[SparkSession]" = None  # initialized below
+
+
 def _ensure_confs(spark: SparkSession) -> None:
+    global _CONFS_ENSURED
+    if _CONFS_ENSURED is None:
+        from weakref import WeakSet
+
+        _CONFS_ENSURED = WeakSet()
+    if spark in _CONFS_ENSURED:
+        return
     for k, v in _REQUIRED_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on some future version: query may still work
+    _CONFS_ENSURED.add(spark)
 
 
 def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
