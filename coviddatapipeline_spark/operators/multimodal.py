@@ -2437,7 +2437,12 @@ def make_zip_decoder():
                 if blob[lh_off + 30 : lh_off + 30 + lnlen].decode("ascii") != name:
                     return None  # central/local name disagreement
                 data_start = lh_off + 30 + lnlen + lxlen
-                if data_start + csize > eocd:
+                # bound member data at the START of the central directory
+                # (cd_off), not at the EOCD (ADVICE r11): cd_off + cd_size
+                # == eocd is already enforced above, so data overlapping
+                # the directory region [cd_off, eocd) must be a misparse
+                # even when its CRC happens to match
+                if data_start + csize > cd_off:
                     return None  # data run past the directory
                 cdata = blob[data_start : data_start + csize]
                 if method == 0:

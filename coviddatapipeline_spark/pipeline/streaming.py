@@ -1200,7 +1200,11 @@ def stream_unigram_admission(
     gate cannot drift because they are one kernel, and a batch whose
     OOV ppm spikes (alphabet drift, wrong language, binary junk) is
     rejected doc-by-doc with the loss surfaced, never silently
-    swallowed.
+    swallowed. One scoping caveat (ADVICE r11): a doc whose text is
+    NULL or contains no words emits no verdict row at all — word-free
+    docs are outside the gate's domain (there is nothing to segment)
+    and must be rejected upstream by a min-length filter; the batch
+    kernel, this twin, and the oracle all drop them identically.
 
     Exactness contract (tested): the verdict is per-doc and stateless
     — frozen vocabulary and plan-literal thresholds, no cross-batch
