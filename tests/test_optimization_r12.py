@@ -148,3 +148,179 @@ def test_q4_single_pass_no_duplicate_agg_subtree(spark, parity_sf_dir):
         "orders/customer/nation must each be scanned exactly once; "
         f"got {len(scans)} scans:\n{plan}"
     )
+
+
+# ---------------------------------------------------------------------------
+# §B1/§B2: Arrow kernels for km_assign and the semdedup prune
+# ---------------------------------------------------------------------------
+#
+# Both kernels replaced JVM column-expression formulations whose RESULTS
+# are part of driver-checked oracles; the sweeps prove result equality
+# on the real corpora, and these differential tests pin equality against
+# the OLD formulations (inlined below as the reference) on the clean
+# corpus AND on crafted degenerate rows no corpus exercises.
+
+from pyspark.sql import functions as F
+
+
+def _km_assign_literal_reference(df, cent):
+    """The pre-r12 km_assign: argmax dot over K x DIM literal arrays
+    via struct array_max — kept verbatim as the semantics reference."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+            )
+            for cid, c in sorted(cent.items())
+        ]
+    )
+    return df.withColumn("cluster", (-F.array_max(scored)["neg_cid"]).cast("long"))
+
+
+def test_km_assign_arrow_equals_literal_on_corpus(spark):
+    from coviddatapipeline_spark.operators.datapipe import (
+        km_assign,
+        km_quantize,
+        KMEANS_K,
+    )
+
+    d = sf_dir("0.01")
+    emb = t(spark, d, "embeddings")
+    q = km_quantize(emb)
+    seeds = q.filter(F.col("vec_id") < KMEANS_K).collect()
+    cent = {int(r["vec_id"]): [int(v) for v in r["q"]] for r in seeds}
+    new = {r["vec_id"]: r["cluster"] for r in km_assign(q, cent).collect()}
+    old = {
+        r["vec_id"]: r["cluster"]
+        for r in _km_assign_literal_reference(q, cent).collect()
+    }
+    assert new == old and len(new) > 0
+
+
+def test_km_assign_arrow_degenerate_rows(spark):
+    """NULL vector / NULL element / ragged length all had every dot
+    NULL under the literal expression, which fell through to
+    max(neg_cid) = the LOWEST centroid id; ties break low too."""
+    from coviddatapipeline_spark.operators.datapipe import KM_DIM, km_assign
+
+    cent = {3: [1] * KM_DIM, 5: [2] * KM_DIM, 7: [-1] * KM_DIM}
+    rows = [
+        (1, [1] * KM_DIM),  # clear argmax -> 5
+        (2, None),  # NULL vector -> lowest cid
+        (3, [None] + [1] * (KM_DIM - 1)),  # NULL element -> lowest cid
+        (4, [1] * (KM_DIM - 2)),  # ragged -> lowest cid
+        (5, [0] * KM_DIM),  # all dots 0: tie -> lowest cid
+        (6, [-1] * KM_DIM),  # clear argmax -> 7
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+    got = {r["vec_id"]: r["cluster"] for r in km_assign(df, cent).collect()}
+    exp = {1: 5, 2: 3, 3: 3, 4: 3, 5: 3, 6: 7}
+    assert got == exp
+    old = {
+        r["vec_id"]: r["cluster"]
+        for r in _km_assign_literal_reference(df, cent).collect()
+    }
+    assert got == old
+
+
+def _prune_join_reference(cells):
+    """The pre-r12 semdedup_prune_report: pair-exploding self-join +
+    zip_with/aggregate fold — kept verbatim as the semantics reference."""
+    from coviddatapipeline_spark.operators.similarity import (
+        NO_EARLIER,
+        SEMDEDUP_TAU,
+        _dot,
+    )
+
+    a = cells.select(
+        F.col("vec_id").alias("aid"),
+        F.col("cell").alias("al"),
+        F.col("v").alias("av"),
+    )
+    b = cells.select("vec_id", "cell", F.col("v").alias("bv"))
+    mx = (
+        a.join(b, (F.col("al") == F.col("cell")) & (F.col("aid") < F.col("vec_id")))
+        .withColumn("cos", _dot("av", "bv"))
+        .groupBy("vec_id", "cell")
+        .agg(F.max("cos").alias("mx"))
+    )
+    base = cells.select("vec_id", "cell")
+    return (
+        base.join(mx.select("vec_id", "mx"), "vec_id", "left")
+        .withColumn("mxf", F.coalesce(F.col("mx"), F.lit(NO_EARLIER)))
+        .select(
+            "vec_id",
+            "cell",
+            F.round("mxf", 4).alias("max_earlier_cos"),
+            (F.col("mxf") > SEMDEDUP_TAU).cast("int").alias("pruned"),
+        )
+    )
+
+
+def _rows_key(rows):
+    return sorted(
+        (r["vec_id"], r["cell"], repr(r["max_earlier_cos"]), r["pruned"])
+        for r in rows
+    )
+
+
+def test_prune_kernel_equals_join_on_corpus(spark):
+    from coviddatapipeline_spark.operators.similarity import (
+        _emb,
+        semdedup_prune_report,
+    )
+
+    d = sf_dir("0.01")
+    cells = _emb(spark, d).select("vec_id", F.col("label").alias("cell"), "v")
+    new = _rows_key(semdedup_prune_report(cells).collect())
+    old = _rows_key(_prune_join_reference(cells).collect())
+    assert new == old and len(new) > 0
+
+
+def test_prune_kernel_degenerate_rows(spark):
+    """Crafted rows covering every seam the kernel must reproduce from
+    the join formulation: NULL cell (never equi-joins), NULL vector and
+    NULL element (NULL dot with every partner: excluded as a partner,
+    own mx NULL -> NO_EARLIER), a NaN coordinate (NaN dot wins the max:
+    Spark orders NaN greatest), and a single-vector cell."""
+    from coviddatapipeline_spark.operators.similarity import (
+        semdedup_prune_report,
+    )
+    from coviddatapipeline_spark.operators.common import EMB_DIM
+
+    def vec(x0, fill=0.0):
+        return [float(x0)] + [float(fill)] * (EMB_DIM - 1)
+
+    nanv = [float("nan")] + [0.0] * (EMB_DIM - 1)
+    nullelem = [None] + [1.0] * (EMB_DIM - 1)
+    rows = [
+        (1, "a", vec(1.0)),
+        (2, "a", vec(2.0)),        # dot(1,2)=2.0 > tau -> pruned
+        (3, "a", nullelem),        # NULL elem: own mx NULL, no pairing
+        (4, "a", None),            # NULL vec: own mx NULL, no pairing
+        (5, "a", nanv),            # NaN coord: dot NaN, wins max
+        (6, None, vec(5.0)),       # NULL cell: never joins
+        (7, None, vec(5.0)),
+        (8, "b", vec(3.0)),        # single (valid) vector in its cell
+    ]
+    cells = spark.createDataFrame(
+        rows, f"vec_id long, cell string, v array<double>"
+    )
+    new = _rows_key(semdedup_prune_report(cells).collect())
+    old = _rows_key(_prune_join_reference(cells).collect())
+    assert new == old
+    byid = {r[0]: r for r in new}
+    assert byid[2][3] == 1  # pruned by vec 1
+    assert byid[3][2] == repr(-2.0) and byid[4][2] == repr(-2.0)
+    assert byid[6][2] == repr(-2.0) and byid[7][2] == repr(-2.0)
+    assert byid[8][2] == repr(-2.0)
+    assert "nan" in byid[5][2].lower()  # NaN survives the max
