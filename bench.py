@@ -328,6 +328,14 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             "timeseries_cusum_changepoint",
             # round-4: the Arrow mapInPandas decode path (real BMP parse)
             "mm_image_decode_bmp",
+            # round-12 (VERDICT r11 #2): the round-11 heavy entries, so
+            # the committed BENCH artifact watches the most expensive
+            # registered queries — a regression in any of these was
+            # previously invisible to the bench record.
+            "semdedup_drift_work_audit",
+            "text_tokenizer_bakeoff",
+            "text_unigram_encode_arrow",
+            "mm_zip_member_extract",
         ):
             timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
     except Exception as e:

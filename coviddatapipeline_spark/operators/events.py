@@ -1167,9 +1167,14 @@ def dau_wau_from_daily_users(du: DataFrame) -> DataFrame:
     bounds = du.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
     dau = du.groupBy("day").agg(F.count("*").alias("dau"))
     ks = F.array(*[F.lit(k) for k in range(WAU_DAYS)])
+    # OPTIMIZATION_r12 §B7 (guide §2.4): no .distinct() on the exploded
+    # contributions — the downstream countDistinct("user_id") per tday
+    # already dedups (user, tday) pairs in its own partial aggregation,
+    # so the explicit distinct was a second full Exchange of the same
+    # rows for the same answer (plan: 3 -> 2 data-sized shuffles).
     contrib = du.select(
         "user_id", F.explode(ks).alias("k"), "day"
-    ).select("user_id", F.date_add("day", F.col("k")).alias("tday")).distinct()
+    ).select("user_id", F.date_add("day", F.col("k")).alias("tday"))
     wau = (
         contrib.crossJoin(F.broadcast(bounds))
         .filter((F.col("tday") >= F.col("mind")) & (F.col("tday") <= F.col("maxd")))

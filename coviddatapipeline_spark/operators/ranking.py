@@ -107,21 +107,36 @@ def with_global_row_number(
     keys: list[str],
     out: str = "rn",
     num_buckets: int | None = None,
+    bucket_of: Column | None = None,
 ) -> tuple[DataFrame, int]:
     """Return (df + exact global ``out`` row-number column, total count).
 
     ``keys`` (column names) should form a unique composite (add a key
     tiebreaker) so the ordering — and the row number — is deterministic.
+
+    ``bucket_of`` (OPTIMIZATION_r12 §B4, guide §2.4): a caller-supplied
+    NON-NULL integral bucket expression, monotone non-decreasing in the
+    leading key with NULL leads mapping to the smallest bucket (the
+    placement the cutpoint path gives them). When the caller knows the
+    leading key's value range (a bounded integral sort code, a
+    calendar-day index), this skips the whole ``approx_percentile``
+    cutpoint JOB — one full pass over the input — because bucketing
+    only ever affects balance, never the computed row numbers: offsets
+    come from the exact per-bucket counts either way.
     """
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_cols = [F.col(k) for k in keys]
-    lead = _monotone_numeric(df, keys[0])
 
-    # 1. Range cutpoints on the leading key. Approximation skews balance
-    #    only; dedup handles heavy ties (they share a bucket either way).
-    with_bkt = _range_buckets(df, lead, num_buckets)
+    if bucket_of is not None:
+        with_bkt = df.withColumn(_BKT, bucket_of.cast("int"))
+    else:
+        lead = _monotone_numeric(df, keys[0])
+        # 1. Range cutpoints on the leading key. Approximation skews
+        #    balance only; dedup handles heavy ties (they share a
+        #    bucket either way).
+        with_bkt = _range_buckets(df, lead, num_buckets)
 
     # 2. O(num_buckets) rows — a metadata-sized collect, not data.
     counts = sorted(
@@ -167,6 +182,7 @@ def with_global_running_sum(
     value: str,
     out: str = "run_sum",
     num_buckets: int | None = None,
+    bucket_of: Column | None = None,
 ) -> tuple[DataFrame, Decimal | float]:
     """Exact global cumulative sum of ``value`` in ``keys`` order
     without a single-partition window — the prefix-sum sibling of
@@ -177,7 +193,9 @@ def with_global_running_sum(
     the total is a ``Decimal`` on the exact path (decimal/integral
     value columns; a float here would silently round past 2^53 while
     the oracle stays exact) and a ``float`` for float columns (inexact
-    upstream anyway).
+    upstream anyway). ``bucket_of``: see
+    :func:`with_global_row_number` — same contract, same reason
+    (skips the cutpoint job; bucketing affects balance only).
     """
     from decimal import localcontext
 
@@ -187,8 +205,11 @@ def with_global_running_sum(
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_cols = [F.col(k) for k in keys]
-    lead = _monotone_numeric(df, keys[0])
-    with_bkt = _range_buckets(df, lead, num_buckets)
+    if bucket_of is not None:
+        with_bkt = df.withColumn(_BKT, bucket_of.cast("int"))
+    else:
+        lead = _monotone_numeric(df, keys[0])
+        with_bkt = _range_buckets(df, lead, num_buckets)
 
     sums = sorted(
         (r[0], r[1])

@@ -1471,27 +1471,40 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
         )
 
-    wseed = W.partitionBy("label").orderBy("vec_id")
+    # OPTIMIZATION_r12 §B5 (guide §2.3 "aggregate before you shuffle"):
+    # both argmin selections ran row_number windows (full shuffle+sort
+    # of their input); an aggregate min over a (sortkey, payload)
+    # struct computes the identical deterministic argmin — struct
+    # comparison is lexicographic with the same asc/nulls-first/NaN-
+    # greatest ordering the window's ORDER BY used — and gets
+    # map-side partial aggregation. The per-(vec, subspace) norm
+    # ldp(a,a) and the per-centroid norm ldp(m,m) are loop-invariant
+    # across the codebook join, so they are computed once per row
+    # BEFORE the join instead of once per (row, code) pair — the d2
+    # expression tree (aa - 2*am + mm) is unchanged, so every float
+    # is the same IEEE sequence as before.
     med = (
-        emb.withColumn("rn", F.row_number().over(wseed))
-        .filter(F.col("rn") == 1)
-        .select(F.col("label").alias("code"), F.col("v").alias("mv"))
+        emb.groupBy(F.col("label").alias("code"))
+        .agg(F.min(F.struct("vec_id", "v")).alias("m0"))
+        .select("code", F.col("m0.v").alias("mv"))
         .select("code", F.explode(svals).alias("s"), "mv")
         .select("code", "s", sub("mv").alias("m"))
+        .withColumn("mm", ldp("m", "m"))
     )
-    vs = emb.select("vec_id", F.explode(svals).alias("s"), "v").select(
-        "vec_id", "s", sub("v").alias("a")
+    vs = (
+        emb.select("vec_id", F.explode(svals).alias("s"), "v")
+        .select("vec_id", "s", sub("v").alias("a"))
+        .withColumn("aa", ldp("a", "a"))
     )
     dist = (
         vs.join(F.broadcast(med), "s")
-        .withColumn("d2", ldp("a", "a") - 2 * ldp("a", "m") + ldp("m", "m"))
+        .withColumn("d2", F.col("aa") - 2 * ldp("a", "m") + F.col("mm"))
         .select("vec_id", "s", "code", "d2")
     )
-    wmin = W.partitionBy("vec_id", "s").orderBy(F.col("d2"), F.col("code"))
     codes = (
-        dist.withColumn("r", F.row_number().over(wmin))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "s", "code")
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("mc"))
+        .select("vec_id", "s", F.col("mc.code").alias("code"))
     )
     lut = (
         dist.filter(F.col("vec_id") < N_QUERIES)
@@ -1514,14 +1527,18 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= TOP_K)
         .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qq", ldp("qv", "qv"))
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    ).withColumn("cc", ldp("cv", "cv"))
     truth = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("d2", ldp("qv", "qv") - 2 * ldp("qv", "cv") + ldp("cv", "cv"))
+        .withColumn("d2", F.col("qq") - 2 * ldp("qv", "cv") + F.col("cc"))
     )
     wexact = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
     exact = (

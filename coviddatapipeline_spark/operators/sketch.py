@@ -410,13 +410,22 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # OPTIMIZATION_r12 §B8 (guide §2.3): both exact sides from ONE
+    # distinct-pairs pass instead of two separate countDistinct scans
+    # of orders — per-group exact = count of non-null custkeys among
+    # the distinct (grp, custkey) pairs, corpus exact = countDistinct
+    # over the (already group-deduped) pairs. Identical exact integers,
+    # one fewer full scan + dedup of the fact table.
+    pairs = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("ck")
+    ).distinct()
     exact = (
-        orders.groupBy(F.col("o_orderpriority").alias("grp"))
-        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        pairs.groupBy("grp")
+        .agg(F.count("ck").alias("exact_distinct"))
         .unionByName(
-            orders.agg(
-                F.countDistinct("o_custkey").alias("exact_distinct")
-            ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+            pairs.agg(F.countDistinct("ck").alias("exact_distinct")).select(
+                F.lit("ALL").alias("grp"), "exact_distinct"
+            )
         )
     )
     return (

@@ -779,7 +779,19 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = filled.crossJoin(F.broadcast(tot)).select(
         "day", "idx", "n", (F.col("n") * F.col("x") - F.col("s")).alias("y")
     )
-    run, _ = with_global_running_sum(y, ["idx"], "y", out="cusum_raw")
+    # OPTIMIZATION_r12 §B4: idx is the day offset on the calendar
+    # spine (0..n_days-1, non-null by construction) — idx DIV 128 is a
+    # monotone integral bucket, so the prefix-sum helper skips its
+    # approx_percentile cutpoint job (one of three passes over the
+    # spine subtree); ~30 buckets per decade keeps the per-bucket
+    # windows parallel.
+    run, _ = with_global_running_sum(
+        y,
+        ["idx"],
+        "y",
+        out="cusum_raw",
+        bucket_of=F.expr("coalesce(idx, 0) DIV 128"),
+    )
     run = run.withColumn("cusum", F.col("cusum_raw").cast("long"))
     # constant-key global window over the calendar-bounded spine —
     # warning-free plan, identical semantics (retrieval.py note)

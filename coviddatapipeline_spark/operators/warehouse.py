@@ -812,8 +812,20 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sortnum"
         ),
     )
+    # OPTIMIZATION_r12 §B4: sortnum is a bounded integral sort code
+    # (< 2 * lid_stride = 512 values), so it IS its own range bucket —
+    # value-bucketing skips the ranker's approx_percentile cutpoint
+    # job, one of three full passes over the quant+explode subtree
+    # (bucketing affects balance only; offsets still come from exact
+    # per-bucket counts). NULL sortnum rows (poison NULL orderkeys
+    # quantize to cell 0, but a NULL key can still null the packed
+    # code) map to bucket 0 = the smallest bucket, exactly where the
+    # cutpoint path placed them.
     ranked, total = with_global_row_number(
-        doubled, ["sortnum", "o_orderkey"], out="rn"
+        doubled,
+        ["sortnum", "o_orderkey"],
+        out="rn",
+        bucket_of=F.coalesce(F.col("sortnum"), F.lit(0)),
     )
     n = total // 2
     files = (
