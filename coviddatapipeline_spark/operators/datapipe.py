@@ -737,23 +737,28 @@ def km_train_centroids(
     cent: dict[int, list[int]] = {
         int(r["vec_id"]): [int(v) for v in r["q"]] for r in seeds
     }
+    # One array-of-sums aggregate instead of KM_DIM separate F.sum
+    # columns (OPTIMIZATION_r12 §C2, guide §1.2/§7.3): the per-column
+    # form cost ~0.3 s of py4j Column construction PER ITERATION on the
+    # bench host — pure driver-side plan-build time, paid again every
+    # round. One parsed expression builds the identical 64 SumAggregates
+    # (SQL array indexing is 0-based like Column.__getitem__), so the
+    # collected values — and the trained centroids — are bit-identical.
+    sums_arr = F.expr(
+        "array(" + ", ".join(f"sum(q[{i}])" for i in range(KM_DIM)) + ")"
+    ).alias("s")
     for _ in range(KM_ITERS):
         sums = (
             km_assign(q, cent)
             .groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
-            )
+            .agg(F.count("*").alias("n"), sums_arr)
             .collect()
         )  # k rows x (dim+1) ints — metadata-sized driver state
         for r in sums:
             n = int(r["n"])
             # Python // floors like both engines' floor(sum/n); sums are
             # < 2^53 so the SQL double division is exact-then-floored too
-            cent[int(r["cluster"])] = [
-                int(r[f"s{i}"]) // n for i in range(KM_DIM)
-            ]
+            cent[int(r["cluster"])] = [int(v) // n for v in r["s"]]
     return q, cent
 
 

@@ -200,15 +200,23 @@ def mh_from_docs(docs: DataFrame) -> DataFrame:
     """The 12-column MinHash signature table from the persisted shingle
     frame (array-native min over each affine rehash of the base
     hashes) — extracted so the LSH pipeline and the banding-curve
-    audit derive signatures from ONE definition."""
+    audit derive signatures from ONE definition.
 
-    def _minhash(i: int):
-        a, b = _MH_A[i], _MH_B[i]
-        return F.array_min(
-            F.transform("bases", lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P)
-        ).alias(f"h{i}")
-
-    return docs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+    The 12 columns are built as ONE selectExpr (OPTIMIZATION_r12 §C4,
+    guide §7.3 plan-build time): the per-column Python form — 12
+    ``array_min(transform(...))`` trees, each converting a Python
+    lambda through py4j — cost ~0.19 s of driver time per query build
+    on the bench host; one JVM-side parse builds the identical
+    expressions (integer literals promote against the long ``bases``
+    elements exactly as ``F.lit(int)`` did)."""
+    return docs.selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(bases, x -> "
+            f"({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P})) AS h{i}"
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 def _lsh_docs_bands(spark: SparkSession, sf_dir: str):
@@ -238,21 +246,18 @@ def _lsh_docs_bands(spark: SparkSession, sf_dir: str):
     )
 
     mh = mh_from_docs(docs)
-    # all band keys in one pass (array + explode of N_BANDS structs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(*[F.col(f"h{3*b + r}") for r in range(BAND_ROWS)])
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
+    # all band keys in one pass (array + explode of N_BANDS structs);
+    # built as one parsed expression — same §C4 plan-build-time note as
+    # mh_from_docs, same structs the Python form produced
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"md5(concat({', '.join(f'h{3*b + r}' for r in range(BAND_ROWS))})) "
+        f"AS band_key)"
+        for b in range(N_BANDS)
     )
     bands = (
-        mh.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+        mh.selectExpr("doc_id", f"explode(array({band_structs})) AS bk")
+        .selectExpr("doc_id", "bk.band_id AS band_id", "bk.band_key AS band_key")
         .persist()  # consumed twice by the self-join
     )
     return docs, bands
@@ -284,7 +289,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
+        # count(*) == countDistinct(band_id) here BY CONSTRUCTION:
+        # bands holds exactly one row per (doc_id, band_id), so a
+        # candidate pair can join at most once per band_id — plain
+        # count drops the Expand + second aggregate pass the DISTINCT
+        # planned (OPTIMIZATION_r12 §C4; the oracle's count(DISTINCT)
+        # re-proves the equality every sweep).
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
     # exact verification: candidates are few — broadcast them against the

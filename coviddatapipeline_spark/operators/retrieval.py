@@ -43,6 +43,66 @@ BM25_QUERY = ("table", "hash", "window")
 _Q_SQL = "(" + ", ".join(f"'{w}'" for w in BM25_QUERY) + ")"
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-ranked BM25 scores for the fixed query — shared by
+    bm25_fixed_query (top-20 report) and hybrid_rrf_fusion (lexical
+    leg), so the two entries cannot drift.
+
+    Single-tokenize formulation (OPTIMIZATION_r12 §C1, guide §2.3/§2.4):
+    the previous shape scanned+tokenized ``documents`` THREE times (dl,
+    tf via explode+groupBy, n_docs) and re-attached dl to tf with a
+    join. One narrow map pass now computes, per document, ``dl`` (the
+    identical ``size(_tokens(text))`` expression) and the per-query-term
+    occurrence counts ``size(filter(toks, = term))`` — for non-null
+    token arrays exactly the explode+groupBy count, and for NULL-text /
+    token-free docs a NULL/-1 that the ``tf >= 1`` filter drops exactly
+    as the empty explode did. That removes the corpus-sized
+    (doc, term) groupBy exchange (tf is now derived map-side), the
+    tf-dl join, and two of the three tokenize passes; avgdl and n_docs
+    come from ONE broadcast aggregate over the persisted narrow base
+    (doc_id + a handful of ints — metadata-width, never the text).
+    The float score expression is unchanged term-for-term.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def tf_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(w).alias(f"_tf{i}") for i, w in enumerate(BM25_QUERY)],
+    ).persist()
+    scal = F.broadcast(
+        base.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    )
+    tf_structs = F.array(
+        *[
+            F.struct(F.lit(w).alias("term"), F.col(f"_tf{i}").alias("tf"))
+            for i, w in enumerate(BM25_QUERY)
+        ]
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode(tf_structs).alias("t"))
+        .select(
+            "doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf")
+        )
+        .filter(F.col("tf") >= 1)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(scal)
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle=f"""
@@ -142,40 +202,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BM25 retrieval scoring against a fixed query "
         f"({', '.join(BM25_QUERY)}; k1={BM25_K1}, b={BM25_B}, Lucene "
         "idf = ln(1 + (N-df+0.5)/(df+0.5))): top-20 matching documents. "
-        "The term explode is filtered to the query terms BEFORE any "
-        "shuffle, so the per-(doc, term) aggregation only carries docs "
-        "that matched — corpus scans once, everything downstream is "
-        "match-sized. avgdl and N are broadcast scalars; df has at "
+        "Per-term occurrence counts are computed MAP-SIDE in the same "
+        "single tokenize pass that computes dl (size(filter(toks, = "
+        "term)) per query term — no corpus-sized explode, no (doc, "
+        "term) groupBy exchange, no tf-dl join), so everything past "
+        "the one document scan is match-sized. avgdl and N are one "
+        "broadcast aggregate over the narrow per-doc base; df has at "
         "most |query| rows. This is the 'mine relevant docs out of "
         "100 TB of crawl' primitive."
     ),
     tags=("text", "agg", "join"),
 )
 def bm25_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    tf = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
     return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.round(F.col("score"), 6).desc(), "doc_id")
         .limit(20)
         .select("doc_id", F.round("score", 4).alias("bm25"))
@@ -371,8 +411,9 @@ RRF_OUT = 20
         f"final ranking carry no float anywhere; docs present in only "
         f"one list keep the other rank as 0 and score only from where "
         f"they appeared. Both input rankings are match-sized before any "
-        f"window (BM25 docs that hit the query terms; the single-query "
-        f"cosine scan), and the fusion itself is a {RRF_LIST}-row full "
+        f"window (BM25 docs that hit the query terms — scored off ONE "
+        f"shared single-tokenize pass, see _bm25_scored; the "
+        f"single-query cosine scan), and the fusion itself is a {RRF_LIST}-row full "
         f"outer join — driver-free, broadcastable, and at 100 TB the "
         f"per-query cost is two top-k lists plus an O(k) merge, which "
         f"is why RRF is the production fusion rather than score "
@@ -381,29 +422,7 @@ RRF_OUT = 20
     tags=("text", "similarity", "join"),
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    tf = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    bm25 = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
-    )
+    bm25 = _bm25_scored(spark, sf_dir)
     # Same bounded-window shape as the sem side below: per-bucket
     # top-RRF_LIST prune first (the global top-k is inside every
     # bucket's local top-k), so the unpartitioned ranking window sees

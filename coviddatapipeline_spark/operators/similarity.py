@@ -834,21 +834,25 @@ def ann_ivf_rebalance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig = (
         km_assign(q, cent).groupBy("cluster").agg(F.count("*").alias("n_orig"))
     )
+    # One array-of-sums aggregate + a transform for the means instead of
+    # KM_DIM separate agg/array columns (OPTIMIZATION_r12 §C2): same 64
+    # SumAggregates (SQL array indexing is 0-based), same per-element
+    # floor(sum * 1.0 / n) double math in the same order — only the
+    # driver-side construction cost changes (guide §7.3 plan-build time).
     dsums = (
         km_assign(qd, cent)
         .groupBy("cluster")
         .agg(
             F.count("*").alias("n_drift"),
-            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(KM_DIM)],
+            F.expr(
+                "array(" + ", ".join(f"sum(q[{i}])" for i in range(KM_DIM)) + ")"
+            ).alias("s"),
         )
     )
     # floor(sum/n) in double is exact-then-floored (sums << 2^53), the
     # same mean the trainer and its oracle compute
-    new_c = F.array(
-        *[
-            F.floor(F.col(f"s{i}") * 1.0 / F.col("n_drift")).cast("long")
-            for i in range(KM_DIM)
-        ]
+    new_c = F.transform(
+        F.col("s"), lambda v: F.floor(v * 1.0 / F.col("n_drift")).cast("long")
     )
     drift = dsums.select("cluster", "n_drift", new_c.alias("newc"))
     cent_df = spark.createDataFrame(
@@ -1461,14 +1465,23 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    svals = F.array([F.lit(s) for s in range(PQ_SUBSPACES)])
 
-    def sub(col: str) -> Column:
-        return F.slice(F.col(col), F.col("s") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+    # The slice/zip_with/aggregate trees below are built as SQL text
+    # (OPTIMIZATION_r12 §C5, guide §7.3 plan-build time): the Python
+    # Column form cost ~0.45 s of py4j round-trips per query build on
+    # the bench host. Literal types are matched exactly — 0.0D is the
+    # DOUBLE zero F.lit(0.0) produced (a bare SQL 0.0 would be DECIMAL
+    # and change the accumulation type), integer literals promote as
+    # before — so every float is the same IEEE sequence.
+    sexp = f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s"
 
-    def ldp(x: str, y: str) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    def sub(col: str) -> str:
+        return f"slice({col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+
+    def ldp(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+            f"0.0D, (acc, z) -> acc + z)"
         )
 
     # OPTIMIZATION_r12 §B5 (guide §2.3 "aggregate before you shuffle"):
@@ -1486,20 +1499,21 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         emb.groupBy(F.col("label").alias("code"))
         .agg(F.min(F.struct("vec_id", "v")).alias("m0"))
-        .select("code", F.col("m0.v").alias("mv"))
-        .select("code", F.explode(svals).alias("s"), "mv")
-        .select("code", "s", sub("mv").alias("m"))
-        .withColumn("mm", ldp("m", "m"))
+        .selectExpr("code", "m0.v AS mv")
+        .selectExpr("code", sexp, "mv")
+        .selectExpr("code", "s", f"{sub('mv')} AS m")
+        .selectExpr("code", "s", "m", f"{ldp('m', 'm')} AS mm")
     )
     vs = (
-        emb.select("vec_id", F.explode(svals).alias("s"), "v")
-        .select("vec_id", "s", sub("v").alias("a"))
-        .withColumn("aa", ldp("a", "a"))
+        emb.selectExpr("vec_id", sexp, "v")
+        .selectExpr("vec_id", "s", f"{sub('v')} AS a")
+        .selectExpr("vec_id", "s", "a", f"{ldp('a', 'a')} AS aa")
     )
     dist = (
         vs.join(F.broadcast(med), "s")
-        .withColumn("d2", F.col("aa") - 2 * ldp("a", "m") + F.col("mm"))
-        .select("vec_id", "s", "code", "d2")
+        .selectExpr(
+            "vec_id", "s", "code", f"aa - 2 * {ldp('a', 'm')} + mm AS d2"
+        )
     )
     codes = (
         dist.groupBy("vec_id", "s")
@@ -1508,11 +1522,13 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = (
         dist.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
+        .selectExpr(
+            "vec_id AS query_id",
             "s",
             "code",
-            F.floor(F.col("d2") * 1000000 + 0.5).cast("long").alias("lut_e6"),
+            # same literal types as the Column form: int 1000000
+            # promotes d2 to double, 0.5D is the double half
+            "CAST(floor(d2 * 1000000 + 0.5D) AS BIGINT) AS lut_e6",
         )
     )
     adc = (
@@ -1529,16 +1545,16 @@ def pq_adc_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("qq", ldp("qv", "qv"))
+        .selectExpr("vec_id AS query_id", "v AS qv")
+        .selectExpr("query_id", "qv", f"{ldp('qv', 'qv')} AS qq")
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
-    ).withColumn("cc", ldp("cv", "cv"))
+    c = emb.selectExpr("vec_id AS neighbor_id", "v AS cv").selectExpr(
+        "neighbor_id", "cv", f"{ldp('cv', 'cv')} AS cc"
+    )
     truth = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("d2", F.col("qq") - 2 * ldp("qv", "cv") + F.col("cc"))
+        .withColumn("d2", F.expr(f"qq - 2 * {ldp('qv', 'cv')} + cc"))
     )
     wexact = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
     exact = (

@@ -2176,64 +2176,76 @@ def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
     (position, np) states have equal enc length, so per-position
     struct-min is exactly the global enumeration optimum (the oracle
     enumerates and must agree)."""
-    wc = F.col(word_col) if isinstance(word_col, str) else word_col
-    m = F.create_map(
-        *[F.lit(x) for p in sorted(vocab) for x in (p, vocab[p])]
-    )
+    # OPTIMIZATION_r12 §C3 (guide §7.3 plan-build time): the DP used to
+    # be assembled as a Python Column tree — ~80 py4j round-trips, a
+    # measured ~0.27 s of driver time PER TRAINER ROUND on the bench
+    # host. It is now ONE JVM-side parse of a static SQL template that
+    # spells out the identical expressions (the per-candidate CASE
+    # guards, named_struct fields, array_min/filter fold, element_at
+    # finish — see the semantic comments inline in the template). The
+    # vocabulary still rides along as a broadcast map literal: the
+    # pieces are injected base64-encoded (the base64 alphabet is
+    # SQL-safe for ANY corpus string, no quote/backslash escaping to
+    # get wrong) and Catalyst constant-folds the foldable
+    # map_from_arrays(transform(split(...)), array(...)) chain to the
+    # same map literal create_map produced, so the executed plan — and
+    # every result — is unchanged (differential tests pin this).
+    import base64 as _b64
 
-    def step(acc, i):
-        cands = []
-        for length in range(1, UNI_PIECE_MAX + 1):
-            piece = F.substring(wc, i - F.lit(length) + F.lit(1), F.lit(length))
-            cnt = F.try_element_at(m, piece)
-            # guarded index: the CASE arm only evaluates when i >= length,
-            # greatest() keeps the index ANSI-valid on the dead branch
-            prev = F.element_at(
-                acc, F.greatest(i - F.lit(length) + F.lit(1), F.lit(1))
-            )
-            cands.append(
-                F.when(
-                    # prev["np"].isNotNull(): an unreachable prefix state
-                    # is a NULL struct (array_min of no candidates) —
-                    # without this guard its null FIELDS would build a
-                    # struct(null,..) candidate that array_min sorts
-                    # FIRST, beating real segmentations. Training words
-                    # are always fully reachable (their singles are in
-                    # the vocab by construction); the guard makes the DP
-                    # total on arbitrary words (the coverage audit's
-                    # OOV case returns a clean NULL struct instead).
-                    (i >= F.lit(length)) & cnt.isNotNull() & prev["np"].isNotNull(),
-                    F.struct(
-                        (prev["np"] + F.lit(1)).alias("np"),
-                        (prev["negsc"] - cnt).alias("negsc"),
-                        # separator is a SPACE: words come from
-                        # whitespace-splitting (WS_RE), so no piece can
-                        # contain one — the encoding is unambiguous and
-                        # the M-step's split-and-count is exact. ('|'
-                        # would be ambiguous: a corpus token may itself
-                        # contain '|', so pieces 'a|'+'b' and 'a'+'|b'
-                        # would both encode as 'a||b'.)
-                        F.when(prev["np"] == F.lit(0), piece)
-                        .otherwise(F.concat(prev["enc"], F.lit(" "), piece))
-                        .alias("enc"),
-                    ),
-                )
-            )
-        best = F.array_min(F.filter(F.array(*cands), lambda x: x.isNotNull()))
-        return F.concat(acc, F.array(best))
-
-    init = F.array(
-        F.struct(
-            F.lit(0).alias("np"),
-            F.lit(0).cast("long").alias("negsc"),
-            F.lit("").alias("enc"),
+    assert isinstance(word_col, str), "callers pass the column name"
+    w = f"`{word_col}`"
+    pieces = sorted(vocab)
+    if pieces:
+        keys_b64 = ",".join(
+            _b64.b64encode(p.encode("utf-8")).decode("ascii") for p in pieces
         )
-    )
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(wc)),
-        init,
-        step,
-        lambda acc: F.element_at(acc, -1),
+        vals = ", ".join(f"{int(vocab[p])}L" for p in pieces)
+        m = (
+            f"map_from_arrays(transform(split('{keys_b64}', ','), "
+            f"x -> CAST(unbase64(x) AS STRING)), array({vals}))"
+        )
+    else:
+        m = (
+            "map_from_arrays(CAST(array() AS ARRAY<STRING>), "
+            "CAST(array() AS ARRAY<BIGINT>))"
+        )
+
+    def cand(length: int) -> str:
+        # piece = the <=UNI_PIECE_MAX-char back-extension ending at i;
+        # guarded index: the CASE arm only evaluates when i >= length,
+        # greatest() keeps the index ANSI-valid on the dead branch.
+        piece = f"substring({w}, i - {length} + 1, {length})"
+        prev = f"element_at(acc, greatest(i - {length} + 1, 1))"
+        # prev.np IS NOT NULL: an unreachable prefix state is a NULL
+        # struct (array_min of no candidates) — without this guard its
+        # null FIELDS would build a struct(null,..) candidate that
+        # array_min sorts FIRST, beating real segmentations. Training
+        # words are always fully reachable (their singles are in the
+        # vocab by construction); the guard makes the DP total on
+        # arbitrary words (the coverage audit's OOV case returns a
+        # clean NULL struct instead).
+        #
+        # separator is a SPACE: words come from whitespace-splitting
+        # (WS_RE), so no piece can contain one — the encoding is
+        # unambiguous and the M-step's split-and-count is exact. ('|'
+        # would be ambiguous: a corpus token may itself contain '|'.)
+        return (
+            f"CASE WHEN (i >= {length}) "
+            f"AND (try_element_at({m}, {piece}) IS NOT NULL) "
+            f"AND ({prev}.np IS NOT NULL) THEN named_struct("
+            f"'np', {prev}.np + 1, "
+            f"'negsc', {prev}.negsc - try_element_at({m}, {piece}), "
+            f"'enc', CASE WHEN {prev}.np = 0 THEN {piece} "
+            f"ELSE concat({prev}.enc, ' ', {piece}) END) END"
+        )
+
+    cands = ", ".join(cand(ln) for ln in range(1, UNI_PIECE_MAX + 1))
+    return F.expr(
+        f"aggregate(sequence(1, length({w})), "
+        f"array(named_struct('np', 0, 'negsc', CAST(0 AS BIGINT), 'enc', '')), "
+        f"(acc, i) -> concat(acc, array(array_min(filter(array({cands}), "
+        f"x -> x IS NOT NULL)))), "
+        f"acc -> element_at(acc, -1))"
     )
 
 

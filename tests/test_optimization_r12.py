@@ -324,3 +324,61 @@ def test_prune_kernel_degenerate_rows(spark):
     assert byid[6][2] == repr(-2.0) and byid[7][2] == repr(-2.0)
     assert byid[8][2] == repr(-2.0)
     assert "nan" in byid[5][2].lower()  # NaN survives the max
+
+
+# --- §C1: bm25/rrf single-tokenize base ------------------------------------
+
+
+def test_bm25_mapside_tf_equals_explode_formulation(spark):
+    """OPTIMIZATION_r12 §C1: the map-side per-term counts
+    (size(filter(toks, = term)) with the tf >= 1 gate) must reproduce
+    the old explode + groupBy(doc, term) counts on degenerate rows:
+    NULL text, empty text, whitespace-only text, repeated terms, and
+    terms embedded inside longer words (no substring matches)."""
+    from coviddatapipeline_spark.operators.retrieval import BM25_QUERY
+    from coviddatapipeline_spark.operators.text import _tokens
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   \t\n  "),
+        (3, "table table hash"),
+        (4, "tablecloth hashing windows"),  # no exact-token matches
+        (5, "window"),
+        (6, "a b c"),
+        (7, " table  hash\twindow hash "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = _tokens(F.col("text"))
+
+    # old formulation: explode + filter + groupBy
+    old = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # new formulation: map-side filter counts + tf >= 1 gate
+    def tf_of(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_structs = F.array(
+        *[
+            F.struct(F.lit(w).alias("term"), tf_of(w).alias("tf"))
+            for w in BM25_QUERY
+        ]
+    )
+    new = (
+        docs.select("doc_id", F.explode(tf_structs).alias("t"))
+        .select("doc_id", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+        .filter(F.col("tf") >= 1)
+    )
+    key = lambda r: (r["doc_id"], r["term"])
+    old_rows = sorted((tuple(r) for r in old.collect()), key=lambda x: x[:2])
+    new_rows = sorted((tuple(r) for r in new.collect()), key=lambda x: x[:2])
+    assert old_rows == new_rows
+    # sanity on the crafted data itself: doc 3 counts, docs 0-2/4/6 absent
+    as_map = {(d, t): c for d, t, c in new_rows}
+    assert as_map[(3, "table")] == 2 and as_map[(3, "hash")] == 1
+    assert as_map[(7, "hash")] == 2
+    assert not any(d in (0, 1, 2, 4, 6) for d, _ in as_map)
