@@ -336,6 +336,17 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             "text_tokenizer_bakeoff",
             "text_unigram_encode_arrow",
             "mm_zip_member_extract",
+            # round-12 §C: the full-registry timing sweep found the
+            # most expensive entries OFF the bench surface (winnow was
+            # 14.4 s, the admission gate 10.8 s, the PNG decoder 7.3 s,
+            # rfm 6.5 s before this round's fixes; triangle_stats is
+            # the one deliberately-unchanged heavy entry — dense-graph
+            # floor) — watch them so a regression is visible.
+            "text_winnow_fingerprint",
+            "text_unigram_oov_admission",
+            "mm_image_decode_png",
+            "rfm_customer_segments",
+            "graph_triangle_stats",
         ):
             timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
     except Exception as e:

@@ -44,8 +44,19 @@ from coviddatapipeline_spark.operators.common import t
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with an opaque binary payload column + typed metadata —
-    the canonical multimodal table shape: (id, blob, metadata...)."""
-    docs = t(spark, sf_dir, "documents")
+    the canonical multimodal table shape: (id, blob, metadata...).
+
+    t_fanout (OPTIMIZATION_r12 §C8, guide §2.5 input skew): every
+    consumer of this frame feeds the payload to a CPU-heavy decode
+    kernel (PNG inflate+unfilter, GIF LZW, RIFF/TAR walks), and the
+    bench-scale documents table arrives as ONE scan split — which
+    serialized every decoder on a single core (mm_image_decode_png
+    measured 7.3 s serial vs ~0.9 s fanned out at sf0.1). The guard
+    makes the repartition a no-op wherever the table already spans
+    >= cores splits (any real table at 100 TB)."""
+    from coviddatapipeline_spark.operators.common import t_fanout
+
+    docs = t_fanout(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

@@ -447,10 +447,35 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    ranked, n = with_global_row_number(rfm, ["last_order", "o_custkey"], out="rn_r")
-    ranked, _ = with_global_row_number(ranked, ["frequency", "o_custkey"], out="rn_f")
-    ranked, _ = with_global_row_number(
-        ranked, ["monetary_cents", "o_custkey"], out="rn_m"
+    # The three quartile rankings are INDEPENDENT functions of the
+    # persisted per-customer frame, so their eager cutpoint/count jobs
+    # (two per ranker, six total) run overlapped from a thread pool
+    # (OPTIMIZATION_r12 §C9, guide §2.6 — the bakeoff-training
+    # precedent §B3) instead of strictly chained; each ranked frame is
+    # keyed by the unique o_custkey, so the equi-joins below reattach
+    # the two extra rank columns with no row multiplication and the
+    # scored rows are identical to the previously-chained form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rank(args):
+        key, out = args
+        return with_global_row_number(rfm, [key, "o_custkey"], out=out)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        (ranked_r, n), (ranked_f, _), (ranked_m, _) = list(
+            pool.map(
+                rank,
+                [
+                    ("last_order", "rn_r"),
+                    ("frequency", "rn_f"),
+                    ("monetary_cents", "rn_m"),
+                ],
+            )
+        )
+    ranked = (
+        ranked_r.select("o_custkey", "monetary_cents", "rn_r")
+        .join(ranked_f.select("o_custkey", "rn_f"), "o_custkey")
+        .join(ranked_m.select("o_custkey", "rn_m"), "o_custkey")
     )
     scored = ranked.select(
         ntile_from_rn(F.col("rn_r"), n, 4).alias("r"),

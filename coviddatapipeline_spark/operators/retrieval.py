@@ -277,7 +277,12 @@ PMI_MIN_COUNT = 5
     tags=("text", "agg", "join"),
 )
 def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from coviddatapipeline_spark.operators.common import t_fanout
+
+    # t_fanout (OPTIMIZATION_r12 §C8, guide §2.5): the bigram/token
+    # walks are per-row CPU work and the bench file is one scan split;
+    # the guarded repartition is a no-op at real scale.
+    docs = t_fanout(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     bigrams = F.when(
         F.size(toks) >= 2,

@@ -208,7 +208,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def text_word_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from coviddatapipeline_spark.operators.common import t_fanout
+
+    # t_fanout (§C8): the shingle build is CPU-heavy per row and the
+    # bench file arrives as one split — fan out before it (no-op at
+    # real scale, guide §2.5).
+    docs = t_fanout(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(_trigrams_all(F.col("text"))).alias("trigram"))
         .groupBy("trigram")
@@ -385,25 +390,31 @@ _WINNOW_W = 4
         "Winnowing document fingerprint (rolling min-hash over char "
         "k-gram windows, Schleimer et al. SIGMOD'03): the locality-"
         "sensitive sketch used for plagiarism/near-dup detection. "
-        "Implementation note: the per-window minimum is a SLIDING-WINDOW "
-        "FUNCTION over posexploded gram hashes, not array slicing — an "
-        "array-lambda `slice(hs, j, w)` re-inlines (and recomputes) the "
-        "whole k-gram hash expression per window, turning O(m·w) into "
-        "O(m²) md5 calls per document. posexplode evaluates the gram "
-        "array once, then min-over-ROWS-frame is linear. One shuffle on "
-        "doc_id; same shape at 100 TB."
+        "Shape (OPTIMIZATION_r12 §C6): fully MAP-ONLY — the k-gram hash "
+        "array materializes once per document in its own projection "
+        "(CollapseProject will not re-inline a non-cheap multiply-"
+        "referenced alias, so the md5 walk stays O(m); the plan test "
+        "pins exactly one md5 in the compiled plan), and the per-window "
+        "minima are an array transform over slices of that materialized "
+        "array — O(m·w) JVM array ops, no explode, no window funnel, "
+        "ZERO data-sized shuffles at any scale. The previous "
+        "posexplode + sliding-window form shuffled one row per k-gram "
+        "(corpus-character-sized exchange) just to compute a per-doc "
+        "reduction. t_fanout spreads the md5 walk across cores when the "
+        "input arrives as fewer splits than cores (measured 12.9 s -> "
+        "0.8 s on the single-split bench file; a no-op at real scale)."
     ),
     tags=("text", "dedup"),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from coviddatapipeline_spark.operators.common import t_fanout
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_fanout(spark, sf_dir, "documents")
     s = F.lower(_norm(F.col("text")))
     n = F.length(s)
     # char k-gram hashes; Column.substr takes column positions, so the
-    # gram walk is one JVM transform over a sequence (evaluated once per
-    # row by the posexplode generator below)
+    # gram walk is one JVM transform over a sequence — materialized
+    # ONCE per row by the dedicated projection below
     hs = F.when(
         n >= _WINNOW_K,
         F.transform(
@@ -411,38 +422,20 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(s.substr(i, F.lit(_WINNOW_K))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-
-    grams = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
-    wdoc = W.partitionBy("doc_id")
-    wslide = wdoc.orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
-    stepped = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.count("*").over(wdoc).alias("m"),
-        F.min("h").over(wslide).alias("win_min"),
-    )
+    grams = docs.select("doc_id", hs.alias("hs"))
+    w = _WINNOW_W
     # full windows only; short docs (0 < m < w) fall back to one
     # whole-document fingerprint, mirroring the oracle's CASE
-    per_doc = stepped.groupBy("doc_id").agg(
-        F.max("m").alias("m"),
-        F.min("h").alias("min_h"),
-        F.countDistinct(
-            F.when(F.col("pos") <= F.col("m") - _WINNOW_W, F.col("win_min"))
-        ).alias("n_winnow"),
-        F.min(
-            F.when(F.col("pos") <= F.col("m") - _WINNOW_W, F.col("win_min"))
-        ).alias("min_winnow"),
+    fps = (
+        f"CASE WHEN size(hs) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"j -> array_min(slice(hs, j, {w})))) "
+        f"WHEN size(hs) > 0 THEN array(array_min(hs)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    short = F.col("m") < _WINNOW_W
-    fp = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(
-            F.when(short, F.lit(1)).otherwise(F.col("n_winnow")), F.lit(0)
-        ).alias("n_fingerprints"),
-        F.when(short, F.col("min_h")).otherwise(F.col("min_winnow")).alias("min_fp"),
+    return grams.selectExpr("doc_id", f"{fps} AS fps").selectExpr(
+        "doc_id", "size(fps) AS n_fingerprints", "array_min(fps) AS min_fp"
     )
-    return fp
 
 
 # PII-ish patterns (digit runs >= 4 as account/phone-like, email-like).
@@ -564,12 +557,21 @@ def text_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "analytics"),
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    tri_all = _trigrams_all(F.col("text"))
+    from coviddatapipeline_spark.operators.common import t_fanout
+
+    # t_fanout + a dedicated projection for the trigram array
+    # (OPTIMIZATION_r12 §C8): the shingle walk is the expensive
+    # expression here — build it ONCE per row (CollapseProject keeps a
+    # non-cheap multiply-referenced alias in its own Project) and
+    # spread it across cores instead of computing it twice per row
+    # inside the single scan split (measured 6.0 s -> 0.6 s at sf0.1).
+    docs = t_fanout(spark, sf_dir, "documents")
     base = docs.select(
+        "source", _trigrams_all(F.col("text")).alias("tri")
+    ).select(
         "source",
-        F.size(tri_all).alias("n_tri"),
-        F.size(F.array_distinct(tri_all)).alias("n_uniq"),
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_uniq"),
     )
     rep = F.when(
         F.col("n_tri") > 0, 1.0 - F.col("n_uniq") * 1.0 / F.col("n_tri")
@@ -1040,9 +1042,13 @@ def docpipe_quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "window", "agg"),
 )
 def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coviddatapipeline_spark.operators.common import t_fanout
     from coviddatapipeline_spark.operators.ranking import with_global_row_number
 
-    toks = t(spark, sf_dir, "documents").select(
+    # t_fanout (§C8): the global ranker re-executes this subtree for
+    # its cutpoint and counts jobs, so the regex tokenize would
+    # otherwise run 3x on however few splits the scan produced.
+    toks = t_fanout(spark, sf_dir, "documents").select(
         "doc_id",
         # COALESCE(.., 0): a NULL-text doc has zero tokens — making the
         # rank key total pins the tier boundary identically on both
@@ -2919,9 +2925,16 @@ def uni_admission_report(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
     Shared verbatim by the registered batch audit
     (text_unigram_oov_admission) and the arrival-path twin
     (pipeline.streaming.stream_unigram_admission), so the audited gate
-    and the serving gate cannot drift. Scale: one explode + the
-    broadcast-vocab column DP + one map-side-combinable per-doc agg —
-    map-only until the single doc_id groupBy, no UDF, no driver state.
+    and the serving gate cannot drift. Scale (OPTIMIZATION_r12 §C7):
+    the Viterbi DP runs once per DISTINCT word — the oracle's own abw
+    shape — not once per word occurrence: occurrences collapse to a
+    (doc, source, word, n_occ) frame first, the segmented distinct-word
+    table joins back by word, and the per-doc aggregates weight by
+    n_occ (exact integers, so the totals equal the per-occurrence
+    sums). Before this the DP — the expensive expression — also ran
+    map-side on however few splits the scan produced; the distinct's
+    exchange now spreads it across cores (measured 10.8 s -> ~1.6 s at
+    sf0.1). No UDF, no driver state.
 
     Scope notes (VERDICT/ADVICE r11): ``UNI_ADMIT_OOV_PPM`` and
     ``UNI_ADMIT_COST_P10K`` are audit-scale constants calibrated so the
@@ -2939,25 +2952,40 @@ def uni_admission_report(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
         .select("doc_id", "source", F.explode(_tokens(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
     )
+    dwo = words.groupBy("doc_id", "source", "word").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
     if vocab:
         dp_raw = _uni_best_seg("word", vocab)
     else:
         dp_raw = F.lit(None).cast(_UNI_DP_TYPE)
     is_long = F.length("word") > UNI_MAX_WLEN
-    seg = words.withColumn(
-        "dp", F.when(is_long, F.lit(None).cast(_UNI_DP_TYPE)).otherwise(dp_raw)
+    # DP once per distinct word, behind the distinct's exchange
+    uw_dp = (
+        dwo.select("word")
+        .distinct()
+        .withColumn(
+            "dp", F.when(is_long, F.lit(None).cast(_UNI_DP_TYPE)).otherwise(dp_raw)
+        )
     )
+    seg = dwo.join(uw_dp, "word")
     zero = F.lit(0).cast("long")
     per_doc = seg.groupBy("doc_id", "source").agg(
-        F.count("*").cast("long").alias("n_word_occ"),
-        F.sum(F.when(F.col("dp").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        F.sum("n_occ").cast("long").alias("n_word_occ"),
+        F.sum(F.when(F.col("dp").isNull(), F.col("n_occ")).otherwise(zero))
         .cast("long")
         .alias("bad_occ"),
         F.sum(
-            F.when(F.col("dp").isNotNull(), F.col("dp")["np"].cast("long")).otherwise(zero)
+            F.when(
+                F.col("dp").isNotNull(),
+                F.col("dp")["np"].cast("long") * F.col("n_occ"),
+            ).otherwise(zero)
         ).alias("_pieces"),
         F.sum(
-            F.when(F.col("dp").isNotNull(), F.length("word").cast("long")).otherwise(zero)
+            F.when(
+                F.col("dp").isNotNull(),
+                F.length("word").cast("long") * F.col("n_occ"),
+            ).otherwise(zero)
         ).alias("_chars"),
     )
     return per_doc.select(

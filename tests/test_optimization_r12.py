@@ -382,3 +382,24 @@ def test_bm25_mapside_tf_equals_explode_formulation(spark):
     assert as_map[(3, "table")] == 2 and as_map[(3, "hash")] == 1
     assert as_map[(7, "hash")] == 2
     assert not any(d in (0, 1, 2, 4, 6) for d, _ in as_map)
+
+
+# --- §C6: winnow map-only fingerprint ---------------------------------------
+
+
+def test_winnow_plan_single_md5_no_window(spark, parity_sf_dir):
+    """OPTIMIZATION_r12 §C6: the k-gram hash array must materialize
+    ONCE (CollapseProject re-inlining the md5 walk into every window
+    slice would turn O(m·w) back into O(m²) md5 calls), and the
+    sliding minima live in array space — no WindowExec, no Generate,
+    no data-sized exchange (the only allowed Exchange is t_fanout's
+    round-robin)."""
+    from coviddatapipeline_spark.plans import executed_plan
+    from coviddatapipeline_spark.queries.catalog import all_queries
+
+    df = all_queries()["text_winnow_fingerprint"].fn(spark, parity_sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("md5") == 1, plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange") <= 2  # fanout round-robin only (+AQE read)
