@@ -30,7 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from coviddatapipeline_spark.operators.common import EMB_DIM, t
+import os
+from weakref import WeakKeyDictionary
+
+from coviddatapipeline_spark.operators.common import (
+    EMB_DIM,
+    _path_signature,
+    t,
+)
 from coviddatapipeline_spark.operators.text import _NORM, _TOKENS, _norm, _tokens
 from coviddatapipeline_spark.queries.catalog import register
 
@@ -41,6 +48,20 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QUERY = ("table", "hash", "window")
 _Q_SQL = "(" + ", ".join(f"'{w}'" for w in BM25_QUERY) + ")"
+
+# Persisted-base memo (ADVICE r12 low, OPTIMIZATION_r13 §2): _bm25_scored
+# persists its narrow per-doc base, and is invoked independently by BOTH
+# bm25_fixed_query and hybrid_rrf_fusion on every query build — without a
+# memo each build registered another persist of the same logical plan
+# (Spark's CacheManager dedupes identical plans, but the helper still
+# re-built ~20 py4j expressions per call, and nothing ever unpersisted a
+# superseded base after the underlying file changed). This memo shares
+# ONE persisted base per (session, documents-file content signature) —
+# the t() catalog pattern — and explicitly unpersists a stale base when
+# the file's signature changes, so cache occupancy is bounded at one
+# narrow (doc_id + 4 ints) frame per live session. Entries die with
+# their session (WeakKeyDictionary).
+_BM25_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +84,21 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id + a handful of ints — metadata-width, never the text).
     The float score expression is unchanged term-for-term.
     """
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (os.path.abspath(path), _path_signature(path))
+    except OSError:
+        key = None
+    per = None
+    if key is not None:
+        per = _BM25_CACHE.get(spark)
+        if per is None:
+            per = {}
+            _BM25_CACHE[spark] = per
+        hit = per.get(key)
+        if hit is not None:
+            return hit[0]
+
     docs = t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
 
@@ -73,7 +109,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf_of(w).alias(f"_tf{i}") for i, w in enumerate(BM25_QUERY)],
-    ).persist()
+    )
+    if key is not None:
+        # evict a superseded base (same path, older file signature)
+        # before caching the fresh one — the unpersist ADVICE r12 asked
+        # for, done at the only moment a base is provably stale
+        for old_key in [k for k in per if k[0] == key[0] and k != key]:
+            per.pop(old_key)[1].unpersist()
+        base = base.persist()
     scal = F.broadcast(
         base.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
     )
@@ -95,12 +138,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    return (
+    scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(scal)
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
     )
+    if key is not None:
+        per[key] = (scored, base)
+    return scored
 
 
 @register(

@@ -2192,24 +2192,31 @@ def _uni_best_seg(word_col, vocab: dict[str, int]) -> Column:
     # vocabulary still rides along as a broadcast map literal: the
     # pieces are injected base64-encoded (the base64 alphabet is
     # SQL-safe for ANY corpus string, no quote/backslash escaping to
-    # get wrong) and Catalyst constant-folds the foldable
-    # map_from_arrays(transform(split(...)), array(...)) chain to the
-    # same map literal create_map produced, so the executed plan — and
-    # every result — is unchanged (differential tests pin this).
+    # get wrong), each key as its OWN ``CAST(unbase64('..') AS STRING)``
+    # call. Per-key form matters (ADVICE r12, OPTIMIZATION_r13 §1): a
+    # ``transform(split(...), x -> ...)`` chain is a higher-order
+    # function and HOFs are never foldable in Catalyst, so that form
+    # was re-building the map O(|vocab|) at RUNTIME per candidate per
+    # character per distinct word; with lambda-free children the whole
+    # map_from_arrays(array(..unbase64..), array(..)) chain constant-
+    # folds to the one map literal create_map used to produce, and the
+    # executed plan carries a folded O(1)-lookup literal again —
+    # tests/test_optimization_r13.py::test_uni_vocab_map_is_folded_literal
+    # pins this on the optimized plan.
     import base64 as _b64
 
     assert isinstance(word_col, str), "callers pass the column name"
     w = f"`{word_col}`"
     pieces = sorted(vocab)
     if pieces:
-        keys_b64 = ",".join(
-            _b64.b64encode(p.encode("utf-8")).decode("ascii") for p in pieces
+        keys = ", ".join(
+            "CAST(unbase64('"
+            + _b64.b64encode(p.encode("utf-8")).decode("ascii")
+            + "') AS STRING)"
+            for p in pieces
         )
         vals = ", ".join(f"{int(vocab[p])}L" for p in pieces)
-        m = (
-            f"map_from_arrays(transform(split('{keys_b64}', ','), "
-            f"x -> CAST(unbase64(x) AS STRING)), array({vals}))"
-        )
+        m = f"map_from_arrays(array({keys}), array({vals}))"
     else:
         m = (
             "map_from_arrays(CAST(array() AS ARRAY<STRING>), "

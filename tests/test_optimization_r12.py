@@ -373,7 +373,6 @@ def test_bm25_mapside_tf_equals_explode_formulation(spark):
         .select("doc_id", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
         .filter(F.col("tf") >= 1)
     )
-    key = lambda r: (r["doc_id"], r["term"])
     old_rows = sorted((tuple(r) for r in old.collect()), key=lambda x: x[:2])
     new_rows = sorted((tuple(r) for r in new.collect()), key=lambda x: x[:2])
     assert old_rows == new_rows
