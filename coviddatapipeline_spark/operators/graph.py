@@ -18,6 +18,8 @@ bit-for-bit modulo the round(,6) output contract.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,6 +203,151 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold thins the graph without emptying it at sf0.001.
 TRI_MIN_COOCCUR = 2
 
+# Dense-graph fast-path gate (OPTIMIZATION_r13 §3, guide §1.2/§3.1):
+# when the EXACT node count (a driver-side count over the checkpointed
+# edge frame's degree table — a measured value, never an estimate, so
+# the gate cannot misfire the way size-estimate gates do) is at most
+# this, triangles are counted by bitset-intersection popcounts instead
+# of the wedge-close join: each node's id-ordered out-neighborhood is
+# packed into an n-bit row, the n x n/8 matrix (<= 32 MiB at the cap —
+# broadcast-join-relation scale, and the ONLY driver-side payload; the
+# edge list itself never leaves the executors) ships once per executor
+# as a SparkContext broadcast, and a map-only Arrow kernel popcounts
+# W[u] & W[v] per edge. Work is m*n/64 word-ops instead of
+# sum(out-deg^2) join rows — on the 69%-dense sf0.1 test graph that is
+# 5.5M word-ANDs instead of a 76M-row wedge join (measured 9.5 s for
+# the close alone). Above the cap (any real 100 TB graph: n ~ 10^9)
+# the published degree-ordered wedge-close below runs unchanged —
+# exactly the broadcast-vs-shuffle join-strategy selection Spark itself
+# performs, driven here by an exact count. Both paths produce the same
+# exact integer (every triangle counted once at its minimum vertex /
+# minimum-(degree,id) vertex respectively); pinned equal by
+# tests/test_optimization_r13.py::test_triangle_dense_path_equals_wedge_close.
+TRI_DENSE_MAX_NODES = 16384
+
+
+def _tri_count_wedge_close(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """1-row n_triangles frame via the degree-ordered wedge-close —
+    the published hub-proof O(m^1.5) shape, the path every graph above
+    TRI_DENSE_MAX_NODES takes (see the gate comment)."""
+    # Orient every edge low-(d, id) -> high-(d, id); node count is
+    # dimension-sized, so the degree joins broadcast.
+    ed = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+        "v",
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e_or = ed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        # the head's (degree, id) rank travels with the edge so wedges
+        # can be emitted ONCE, in orientation order, without a re-join
+        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=True)  # reused 3x in the wedge-close
+    e1, e2, e3 = e_or.alias("e1"), e_or.alias("e2"), e_or.alias("e3")
+    # Wedges at the anchor a, each unordered (b, c) pair exactly once
+    # with (b, c) in (degree, id) order — the closing edge, if the
+    # triangle exists, is then oriented b -> c by construction, so one
+    # equi-join closes it and each triangle counts exactly once (at its
+    # unique minimum-(degree, id) vertex). C(out-deg, 2) wedges total.
+    wedge_ordered = (F.col("e1.db") < F.col("e2.db")) | (
+        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.a"))
+        .filter(wedge_ordered)
+        .join(e3, (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def _tri_count_dense(
+    spark: SparkSession, edges: DataFrame, deg: DataFrame, n_nodes: int
+) -> DataFrame:
+    """1-row n_triangles frame via bitset-intersection popcounts — the
+    small-graph fast path behind the exact-count TRI_DENSE_MAX_NODES
+    gate (see the gate comment for the memory math and why this is
+    scale-SAFE only because the wedge-close handles everything above
+    the cap).
+
+    The edge list is already id-oriented (u < v), which is an acyclic
+    orientation, so counting |N+(u) & N+(v)| per edge counts each
+    triangle x < y < z exactly once (at edge (x, y), with z in both
+    out-neighborhoods) — the same exact integer the wedge-close
+    produces at the minimum-(degree, id) vertex. Degree skew is
+    irrelevant here: work per edge is a constant n/64 word-ANDs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    # Dense 0..n-1 ids. The 1-partition window is over the n-row degree
+    # table (gate-bounded, <= 16384 rows) — dimension-sized, like the
+    # Lloyd centroid frames.
+    idx = deg.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("i")
+    )
+    eidx = edges.join(
+        F.broadcast(idx.select(F.col("node").alias("u"), F.col("i").alias("ui"))),
+        "u",
+    ).join(
+        F.broadcast(idx.select(F.col("node").alias("v"), F.col("i").alias("vi"))),
+        "v",
+    ).select("ui", "vi")
+    nw = max((n_nodes + 63) // 64, 1)
+
+    @F.pandas_udf("binary")
+    def _pack(vs: pd.Series) -> pd.Series:
+        # one n-bit out-neighborhood row per anchor, packed executor-
+        # side. A Series-batched UDF over the collect_list aggregate
+        # sees ALL n anchors in ~1 Arrow batch (a per-group
+        # applyInPandas paid ~1 ms of pandas-frame overhead per anchor
+        # — measured 1.10 s vs 0.45 s for this form at sf0.1).
+        out = []
+        for v in vs:
+            vi = np.asarray(v, np.int64)
+            words = np.zeros(nw, np.uint64)
+            np.bitwise_or.at(
+                words, vi >> 6, np.uint64(1) << (vi & 63).astype(np.uint64)
+            )
+            out.append(words.tobytes())
+        return pd.Series(out)
+
+    # Driver-side state is EXACTLY the n x n/64-word bitset matrix
+    # (<= 32 MiB at the gate cap — a broadcast-join build relation's
+    # scale, and the gate makes the bound a hard one); the m-row edge
+    # list itself never leaves the executors.
+    adj_rows = (
+        eidx.groupBy("ui")
+        .agg(F.collect_list("vi").alias("vs"))
+        .select("ui", _pack("vs").alias("w"))
+        .collect()
+    )
+    W = np.zeros((n_nodes, nw), np.uint64)
+    for r in adj_rows:
+        W[r["ui"]] = np.frombuffer(r["w"], np.uint64)
+    bc = spark.sparkContext.broadcast(W.tobytes())
+    pop8 = np.array([bin(x).count("1") for x in range(256)], np.int64)
+
+    def _cnt(batches):
+        Wx = np.frombuffer(bc.value, np.uint64).reshape(n_nodes, nw)
+        for pdf in batches:
+            a = pdf["ui"].to_numpy(np.int64)
+            b = pdf["vi"].to_numpy(np.int64)
+            inter = Wx[a] & Wx[b]
+            yield pd.DataFrame({"c": [int(pop8[inter.view(np.uint8)].sum())]})
+
+    return eidx.mapInPandas(_cnt, "c long").agg(
+        # sum() of zero partial rows is NULL where the wedge-close's
+        # count(*) is 0 — coalesce keeps the empty-graph row identical
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles")
+    )
+
 
 @register(
     "graph_triangle_stats",
@@ -238,37 +385,61 @@ TRI_MIN_COOCCUR = 2
     doc=(
         "Triangle count and global clustering coefficient of the "
         "supplier co-occurrence graph (edge = two suppliers sharing >= "
-        f"{TRI_MIN_COOCCUR} distinct orders). Edge construction is a "
-        "self-equi-join of (order, supplier) pairs on the order key — "
-        "per-order fanout is schema-bounded (TPC-H caps line items per "
-        "order at 7), so the pair explosion is O(rows), not "
-        "quadratic. Triangles are counted by the DEGREE-ORDERED "
-        "wedge-close (the standard hub-proof orientation): every edge "
-        "is directed from its lower-(degree, id) endpoint to the "
-        "higher, which makes the edge list a DAG whose max out-degree "
-        "is O(sqrt(m)); wedges e1(a,b) x e2(a,c) are built only at "
-        "the LOW-degree anchor and closed by the oriented edge "
-        "(b -> c), so the wedge join is bounded by sum(out-deg^2) = "
-        "O(m^1.5) no matter how skewed the co-occurrence hubs are — "
-        "the id-ordered form this replaced anchored wedges at hubs "
-        "and was measured 3x slower at sf0.1 (and unboundedly worse "
-        "at 100 TB). Each triangle is counted exactly once (its "
-        "unique minimum-(degree, id) vertex anchors it), so the "
-        "oracle's plain id-oriented 3-join reaches the identical "
-        "count. Clustering = 3 x triangles / wedges."
+        f"{TRI_MIN_COOCCUR} distinct orders). Edge construction is one "
+        "groupBy(order) + per-order sorted-set pair explode — per-order "
+        "fanout is schema-bounded (TPC-H caps line items per order at "
+        "7), so the pair explosion is O(rows), not quadratic. The "
+        "triangle count picks its strategy from the EXACT node count "
+        "(guide-style deliberate strategy selection): graphs at most "
+        f"TRI_DENSE_MAX_NODES = {TRI_DENSE_MAX_NODES} nodes take the "
+        "bitset fast path (id-ordered out-neighborhoods packed to an "
+        "n x n/8-byte matrix, <= 32 MiB at the cap, broadcast once; a "
+        "map-only Arrow kernel popcounts W[u] & W[v] per edge — "
+        "m*n/64 word-ops, degree-skew-immune); anything larger takes "
+        "the DEGREE-ORDERED wedge-close (the standard hub-proof "
+        "orientation): every edge directed from its lower-(degree, id) "
+        "endpoint to the higher makes the edge list a DAG whose max "
+        "out-degree is O(sqrt(m)); wedges e1(a,b) x e2(a,c) are built "
+        "only at the LOW-degree anchor and closed by the oriented edge "
+        "(b -> c), bounding the join by sum(out-deg^2) = O(m^1.5) no "
+        "matter how skewed the co-occurrence hubs are. Both paths "
+        "count every triangle exactly once (at its minimum-id / "
+        "minimum-(degree, id) vertex), so the oracle's plain "
+        "id-oriented 3-join reaches the identical count. Clustering = "
+        "3 x triangles / wedges."
     ),
     tags=("graph", "join", "agg"),
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pl = (
+    # Edge construction (OPTIMIZATION_r13 §3a, guide §2.4): one
+    # groupBy(order) + per-order pair explode replaces the former
+    # (order, supplier) DISTINCT + self-equi-join + groupBy chain —
+    # collect_set dedups (order, supplier) inside the same exchange the
+    # distinct paid, pairs are generated map-side from the sorted set
+    # (u < v by construction, each unordered pair once per order), and
+    # count(*) per (u, v) is the identical distinct-order co-occurrence
+    # count. Per-order fanout is schema-bounded (TPC-H caps line items
+    # per order at 7, so <= C(7,2) = 21 pairs per order), making the
+    # explode O(rows). 3 exchanges + a 594k-row self-join -> 2
+    # exchanges, measured 1.9 s -> 0.9 s at sf0.1.
+    pairs = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
     )
-    a, b = pl.alias("a"), pl.alias("b")
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        pairs.groupBy("u", "v")
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= TRI_MIN_COOCCUR)
         .select("u", "v")
@@ -280,40 +451,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    # Orient every edge low-(d, id) -> high-(d, id); node count is
-    # dimension-sized, so the degree joins broadcast.
-    ed = edges.join(
-        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
-        "u",
-    ).join(
-        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
-        "v",
-    )
-    low_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    e_or = ed.select(
-        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        # the head's (degree, id) rank travels with the edge so wedges
-        # can be emitted ONCE, in orientation order, without a re-join
-        F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=True)  # reused 3x in the wedge-close
-    e1, e2, e3 = e_or.alias("e1"), e_or.alias("e2"), e_or.alias("e3")
-    # Wedges at the anchor a, each unordered (b, c) pair exactly once
-    # with (b, c) in (degree, id) order — the closing edge, if the
-    # triangle exists, is then oriented b -> c by construction, so one
-    # equi-join closes it and each triangle counts exactly once (at its
-    # unique minimum-(degree, id) vertex). C(out-deg, 2) wedges total.
-    wedge_ordered = (F.col("e1.db") < F.col("e2.db")) | (
-        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
-    )
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.a"))
-        .filter(wedge_ordered)
-        .join(e3, (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    # Exact-count strategy gate — see TRI_DENSE_MAX_NODES above. The
+    # count job runs over the checkpointed edges' small degree
+    # aggregate (n rows), negligible against either counting path.
+    n_nodes_v = deg.count()
+    if n_nodes_v <= TRI_DENSE_MAX_NODES:
+        tri = _tri_count_dense(spark, edges, deg, n_nodes_v)
+    else:
+        tri = _tri_count_wedge_close(edges, deg)
     wedge = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
         F.count("*").alias("n_nodes"),

@@ -46,6 +46,10 @@ ALLOWED = {
     ("operators/text.py", "unigram_train_rounds"): (
         2, "unigram-LM model state: seed vocab + per-round piece-usage "
            "counts, <= alphabet + UNI_SEED_MULTI rows each"),
+    ("operators/graph.py", "_tri_count_dense"): (
+        1, "dense-gate bitset rows: <= TRI_DENSE_MAX_NODES rows x n/8 "
+           "bytes (<= 32 MiB at the cap) — gate-bounded broadcast-"
+           "relation state; the m-row edge list stays on executors"),
     ("pipeline/watermark.py", "compute_watermark"): (
         1, "1-row watermark aggregate"),
     ("pipeline/streaming.py", "stream_binary_ingest.ingest"): (

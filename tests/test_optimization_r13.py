@@ -113,6 +113,79 @@ def test_bm25_scored_memoized_per_signature(spark, tmp_path):
     per.pop([k for k in per if k[0] == key1[0]][0])[1].unpersist()
 
 
+def test_triangle_dense_path_equals_wedge_close(spark, parity_sf_dir, monkeypatch):
+    """OPTIMIZATION_r13 §3: the node-count-gated bitset fast path and
+    the published degree-ordered wedge-close must produce the identical
+    entry rows — same exact n_triangles, same clustering — on the real
+    corpus. The gate is flipped via the module constant, exactly how a
+    >16384-node graph would flip it."""
+    from coviddatapipeline_spark.operators import graph as G
+
+    fast = G.graph_triangle_stats(spark, parity_sf_dir).collect()
+    monkeypatch.setattr(G, "TRI_DENSE_MAX_NODES", -1)
+    slow = G.graph_triangle_stats(spark, parity_sf_dir).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert fast[0]["n_triangles"] > 0  # non-vacuous
+
+
+def test_triangle_dense_kernel_random_graph(spark, monkeypatch):
+    """Both counting paths on a seeded random graph (edges the entry's
+    co-occurrence construction would never produce — odd ids, gaps,
+    isolated-pair components), plus a brute-force reference count."""
+    import itertools
+    import random
+
+    from coviddatapipeline_spark.operators import graph as G
+
+    rnd = random.Random(13)
+    nodes = [3, 7, 11, 20, 21, 22, 40, 41, 55, 56, 57, 58, 90, 91, 500]
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a in nodes
+            for b in nodes
+            if a != b and rnd.random() < 0.4
+        }
+    )
+    ref = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(nodes), 3)
+        if (x, y) in set(edges) and (x, z) in set(edges) and (y, z) in set(edges)
+    )
+    edf = spark.createDataFrame(edges, ["u", "v"]).localCheckpoint(eager=True)
+    from pyspark.sql import functions as F
+
+    deg = (
+        edf.select(F.col("u").alias("node"))
+        .unionByName(edf.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    n = deg.count()
+    fast = G._tri_count_dense(spark, edf, deg, n).collect()[0]["n_triangles"]
+    slow = G._tri_count_wedge_close(edf, deg).collect()[0]["n_triangles"]
+    assert fast == slow == ref
+
+
+def test_triangle_dense_kernel_empty_graph(spark):
+    """Zero edges -> n_triangles must be 0 (not NULL) on both paths."""
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.operators import graph as G
+
+    edf = spark.createDataFrame([], "u long, v long").localCheckpoint(eager=True)
+    deg = (
+        edf.select(F.col("u").alias("node"))
+        .unionByName(edf.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    fast = G._tri_count_dense(spark, edf, deg, 0).collect()
+    slow = G._tri_count_wedge_close(edf, deg).collect()
+    assert fast[0]["n_triangles"] == 0
+    assert slow[0]["n_triangles"] == 0
+
+
 def test_bm25_scored_results_unchanged_by_memo(spark, tmp_path):
     """The memoized frame is a lazy plan — collecting it twice gives the
     same rows, and the scores match an unmemoized re-derivation from a
