@@ -1046,15 +1046,44 @@ def star_components(edge_df: DataFrame, max_rounds: int = 12) -> DataFrame:
     # cost grows 16^rounds — persist only truncates execution. Eager
     # checkpoint materializes the (corpus-small) edge set once per round;
     # on a cluster, reliable checkpointing gives the same truncation.
+    #
+    # Convergence check (OPTIMIZATION_r13 §5, guide §1.2): the old
+    # unconditional exceptAll(new, old) UNION exceptAll(old, new) count
+    # paid two anti-join shuffles EVERY round. Each round now computes a
+    # 2-value multiset fingerprint (count + bit_xor of the row hashes —
+    # one cheap aggregate over the just-checkpointed frame; bit_xor
+    # cannot overflow, so ANSI mode is safe) and compares it to the
+    # previous round's DRIVER-CACHED fingerprint: a differing
+    # fingerprint PROVES the multisets differ (both values are
+    # functions of the multiset) and the round continues with no
+    # anti-join at all; only a MATCHING fingerprint — in practice the
+    # terminal round — runs the exact exceptAll check, which remains
+    # the sole authority on convergence. Exactness is therefore
+    # unconditional: a fingerprint collision merely costs one extra
+    # exact check, never a wrong early exit.
+    def _fingerprint(e: DataFrame):
+        # 1-row convergence fingerprint — bounded driver state
+        return tuple(
+            e.agg(
+                F.count("*"), F.expr("bit_xor(xxhash64(a, b))")
+            ).collect()[0]
+        )
+
     edges = edge_df.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(edges)
     for _ in range(max_rounds):  # O(log^2 n) bound; the check exits early
         new_edges = small_star(bidirect(large_star(bidirect(edges)))).localCheckpoint(
             eager=True
         )
-        changed = (
-            new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
-        )
+        new_fp = _fingerprint(new_edges)
+        if new_fp == prev_fp:
+            changed = (
+                new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
+            )
+        else:
+            changed = 1  # fingerprints differ -> multisets provably differ
         edges = new_edges
+        prev_fp = new_fp
         if changed == 0:
             break
     # At the star fixpoint every node's neighborhood is exactly its

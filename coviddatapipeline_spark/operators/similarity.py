@@ -425,25 +425,169 @@ LSH_PLANES = 6
     tags=("similarity", "graph", "join"),
 )
 def knn_graph_within_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id"), F.col("label"), F.col("v").alias("va")
+    return knn_within_cell_report(_emb(spark, sf_dir))
+
+
+def knn_within_cell_report(cells: DataFrame) -> DataFrame:
+    """The within-cell kNN graph over a (vec_id, label, v) frame —
+    shared by ``knn_graph_within_cell`` and (through it)
+    ``graph_semantic_clusters``.
+
+    OPTIMIZATION_r13 §4 (guide §4.2, the §B2 semdedup precedent): the
+    per-pair cosines are computed per cell inside an Arrow-batched
+    NumPy kernel instead of the pair-exploding self-join whose
+    interpreted zip_with/aggregate fold dominated the entry (measured
+    2.6 s -> sub-second at sf0.1, identical rows). Exactness: the
+    kernel accumulates the Gram block DIMENSION BY DIMENSION
+    (``G += v[:, d] * v[d, :]``), reproducing the fold's left-to-right
+    IEEE addition order for every pair simultaneously (0.0 + x == x
+    exactly; Catalyst does not reassociate double addition), and the
+    raw double is rounded JVM-side by the same F.round the join
+    formulation used. Top-k selection reproduces the window's
+    ``ORDER BY cos DESC, neighbor_id`` total order including Spark's
+    double ordering seams: NaN greatest (sorts FIRST under DESC),
+    NULL cosines LAST, ties by neighbor_id ascending.
+
+    Join-formulation semantics preserved (pinned by
+    tests/test_optimization_r13.py's corpus + degenerate-row
+    differentials against the inlined old formulation):
+
+    - NULL label: the equi-join never matched it — the kernel emits
+      nothing for the whole NULL-cell group;
+    - NULL vec_id: ``a.vec_id != b.vec_id`` is NULL — such a row is
+      neither a source nor a candidate;
+    - a NULL vector / NULL-element vector has NULL dot with every
+      partner: as a CANDIDATE it carries a NULL cosine (ranked last,
+      still emitted when the cell has few real candidates — exactly
+      what the window kept); as a SOURCE all its candidates are NULL;
+    - a NaN coordinate propagates and the NaN cosine ranks FIRST;
+    - duplicate vec_id values: the join paired every ROW of one id
+      with every row of a different id and the window merged them into
+      one partition per id — the kernel builds the same merged
+      candidate list;
+    - NaN travels back as an explicit flag column (the pandas -> Arrow
+      serializer coerces NaN to NULL — the §B2 lesson).
+
+    Memory: the Gram block is computed in <= _PRUNE_CHUNK-row source
+    slabs, so per-task memory is O(cell_rows x chunk), never
+    cell_rows^2; cell size itself is bounded by the quantizer's K
+    exactly as in the IVF index this shares its partitioning with."""
+    import numpy as np
+    import pandas as pd
+
+    lab_t = cells.schema["label"].dataType.simpleString()
+    vec_t = cells.schema["vec_id"].dataType.simpleString()
+    dim = EMB_DIM
+    chunk = _PRUNE_CHUNK
+    k = KNN_K
+
+    def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        o_src: list = []
+        o_nb: list = []
+        o_rank: list = []
+        o_cos: list = []
+        o_nan: list = []
+        # NULL cell: the equi-join never matched it -> no output rows
+        if len(pdf) > 1 and not pdf["label"].isna().all():
+            # NULL vec_id rows are invisible to the != join condition
+            pdf = pdf[~pdf["vec_id"].isna()].reset_index(drop=True)
+            m = len(pdf)
+            if m > 1:
+                vids = pdf["vec_id"].to_numpy()
+                vm = np.zeros((m, dim), dtype=np.float64)
+                valid = np.zeros(m, dtype=bool)
+                for r, (row, has_null) in enumerate(
+                    zip(pdf["v"], pdf["has_null_elem"])
+                ):
+                    if row is None or has_null or has_null is None:
+                        continue
+                    a = np.asarray(row, dtype=np.float64)
+                    if a.shape != (dim,):
+                        continue
+                    vm[r] = a
+                    valid[r] = True
+                # The window partitions by vec_id VALUE, so duplicate-id
+                # source ROWS share one merged candidate list. Per-row
+                # top-k first (sound: anything in the merged top-k beats
+                # fewer than k candidates overall, hence fewer than k in
+                # its own row — so it IS in its row's top-k), then merge
+                # per unique id below. Bounded state: <= m x k entries.
+                per_id: dict = {}
+                for lo in range(0, m, chunk):
+                    hi = min(lo + chunk, m)
+                    # dim-order accumulation == the fold's add order
+                    g = vm[lo:hi, 0:1] * vm[:, 0][None, :]
+                    for d in range(1, dim):
+                        g += vm[lo:hi, d : d + 1] * vm[:, d][None, :]
+                    for i in range(lo, hi):
+                        cand = np.nonzero(vids != vids[i])[0]
+                        if len(cand) == 0:
+                            continue
+                        cos = g[i - lo, cand]
+                        both_valid = valid[i] & valid[cand]
+                        isnan = np.isnan(cos) & both_valid
+                        # sortkey: NaN first (window DESC puts NaN,
+                        # the greatest double, first), then cos desc,
+                        # then NULL cosines last; ties neighbor_id asc
+                        sortkey = np.where(
+                            both_valid, np.where(isnan, -np.inf, -cos), np.inf
+                        )
+                        order = np.lexsort((vids[cand], sortkey))[:k]
+                        bucket = per_id.setdefault(vids[i], [])
+                        for j in order:
+                            cj = cand[j]
+                            bucket.append(
+                                (
+                                    float(sortkey[j]),
+                                    vids[cj],
+                                    None if not both_valid[j] else float(cos[j]),
+                                    bool(isnan[j]),
+                                )
+                            )
+                for uid, bucket in per_id.items():
+                    bucket.sort(key=lambda e: (e[0], e[1]))
+                    for rk, (_, nb, cv, cnan) in enumerate(
+                        bucket[:k], start=1
+                    ):
+                        o_src.append(uid)
+                        o_nb.append(nb)
+                        o_rank.append(rk)
+                        if cnan:
+                            o_cos.append(0.0)  # placeholder -> NaN
+                            o_nan.append(True)
+                        elif cv is None:
+                            o_cos.append(None)
+                            o_nan.append(False)
+                        else:
+                            o_cos.append(cv)
+                            o_nan.append(False)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(o_src),
+                "neighbor_id": pd.Series(o_nb),
+                "rank": pd.Series(o_rank, dtype="int32"),
+                "cos": pd.Series(o_cos, dtype="float64"),
+                "cos_nan": pd.Series(o_nan, dtype="bool"),
+            }
+        )
+
+    raw = (
+        cells.withColumn("has_null_elem", F.exists("v", lambda x: x.isNull()))
+        .groupBy("label")
+        .applyInPandas(
+            _cell_knn,
+            f"vec_id {vec_t}, neighbor_id {vec_t}, rank int, "
+            f"cos double, cos_nan boolean",
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("blabel"),
-        F.col("v").alias("vb"),
-    )
-    joined = a.join(
-        b,
-        (F.col("label") == F.col("blabel")) & (F.col("vec_id") != F.col("neighbor_id")),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        joined.withColumn("cos", _dot("va", "vb"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    return raw.select(
+        "vec_id",
+        "neighbor_id",
+        "rank",
+        F.round(
+            F.when(F.col("cos_nan"), F.lit(float("nan"))).otherwise(F.col("cos")),
+            4,
+        ).alias("cosine"),
     )
 
 

@@ -46,6 +46,10 @@ ALLOWED = {
     ("operators/text.py", "unigram_train_rounds"): (
         2, "unigram-LM model state: seed vocab + per-round piece-usage "
            "counts, <= alphabet + UNI_SEED_MULTI rows each"),
+    ("operators/dedup.py", "star_components._fingerprint"): (
+        1, "2-value convergence fingerprint (count + xor-of-hashes) "
+           "per round — replaces a full anti-join pass; the exact "
+           "exceptAll check still decides convergence"),
     ("operators/graph.py", "_tri_count_dense"): (
         1, "dense-gate bitset rows: <= TRI_DENSE_MAX_NODES rows x n/8 "
            "bytes (<= 32 MiB at the cap) — gate-bounded broadcast-"

@@ -186,6 +186,95 @@ def test_triangle_dense_kernel_empty_graph(spark):
     assert slow[0]["n_triangles"] == 0
 
 
+def _knn_join_reference(cells):
+    """The pre-r13 join+window formulation of the within-cell kNN graph,
+    inlined verbatim as the differential reference."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from coviddatapipeline_spark.operators.similarity import KNN_K, _dot
+
+    a = cells.select(F.col("vec_id"), F.col("label"), F.col("v").alias("va"))
+    b = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("blabel"),
+        F.col("v").alias("vb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("label") == F.col("blabel"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("cos", _dot("va", "vb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _knn_rows_key(rows):
+    return sorted(
+        (r["vec_id"], r["rank"], r["neighbor_id"], repr(r["cosine"])) for r in rows
+    )
+
+
+def test_knn_kernel_equals_join_on_corpus(spark, parity_sf_dir):
+    from coviddatapipeline_spark.operators.similarity import (
+        _emb,
+        knn_within_cell_report,
+    )
+
+    cells = _emb(spark, parity_sf_dir)
+    new = _knn_rows_key(knn_within_cell_report(cells).collect())
+    old = _knn_rows_key(_knn_join_reference(cells).collect())
+    assert new == old and len(new) > 0
+
+
+def test_knn_kernel_degenerate_rows(spark):
+    """Crafted rows covering every seam the kernel must reproduce from
+    the join+window formulation: NULL label (never joins), NULL vec_id
+    (neither source nor candidate), NULL vector / NULL element (NULL
+    cosine: ranked last but still emitted), NaN coordinate (NaN cosine
+    ranks FIRST — Spark orders NaN greatest under DESC), duplicate
+    vec_id values (the window merges both rows' candidates into one
+    partition), and a small cell where NULL-cos candidates make the
+    top-k."""
+    from coviddatapipeline_spark.operators.common import EMB_DIM
+    from coviddatapipeline_spark.operators.similarity import (
+        knn_within_cell_report,
+    )
+
+    def vec(x0, fill=0.0):
+        return [float(x0)] + [float(fill)] * (EMB_DIM - 1)
+
+    nanv = [float("nan")] + [0.0] * (EMB_DIM - 1)
+    nullelem = [None] + [1.0] * (EMB_DIM - 1)
+    rows = [
+        (1, "a", vec(1.0)),
+        (2, "a", vec(2.0)),
+        (3, "a", nullelem),   # NULL cosine with everyone
+        (4, "a", None),       # NULL vector
+        (5, "a", nanv),       # NaN cosine ranks first
+        (2, "a", vec(9.0)),   # duplicate id: merged candidate list
+        (6, None, vec(5.0)),  # NULL label: no rows at all
+        (7, "b", vec(3.0)),   # lone valid vector, only degenerate peers
+        (None, "b", vec(4.0)),  # NULL id: invisible
+        (8, "b", nullelem),
+    ]
+    cells = spark.createDataFrame(rows, "vec_id long, label string, v array<double>")
+    new = _knn_rows_key(knn_within_cell_report(cells).collect())
+    old = _knn_rows_key(_knn_join_reference(cells).collect())
+    assert new == old
+    ids = {r[0] for r in new}
+    assert 6 not in ids  # NULL label emitted nothing
+    assert None not in ids
+    # vec 7 pairs only with the NULL-element vec 8 -> one NULL-cos row
+    v7 = [r for r in new if r[0] == 7]
+    assert len(v7) == 1 and v7[0][3] == repr(None)
+
+
 def test_bm25_scored_results_unchanged_by_memo(spark, tmp_path):
     """The memoized frame is a lazy plan — collecting it twice gives the
     same rows, and the scores match an unmemoized re-derivation from a
