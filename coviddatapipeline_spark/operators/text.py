@@ -1058,6 +1058,11 @@ def text_longdoc_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
+    # OPTIMIZATION_r13 §6: the ranker's eager cutpoint + counts jobs,
+    # its final pass AND the corpus-total aggregate below would run the
+    # regex tokenize four times; the checkpoint materializes the narrow
+    # (doc_id, n_tok) projection — ints only, never the text — once.
+    toks = toks.localCheckpoint(eager=True)
     # rank on NEGATED length (helper ranks ascending on the lead key)
     neg = toks.withColumn("neg_tok", -F.col("n_tok"))
     ranked, n = with_global_row_number(neg, ["neg_tok", "doc_id"], out="rn")

@@ -560,7 +560,15 @@ def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame
     deltas = o.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionByName(
         o.select(F.date_add("last_ship", 1).alias("day"), F.lit(-1).alias("delta"))
     )
-    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    # OPTIMIZATION_r13 §6: the prefix-sum helper's eager cutpoint +
+    # offsets jobs plus the final pass would re-run the order/lineitem
+    # join three times; the checkpoint materializes the CALENDAR-
+    # bounded daily delta table (one row per active day) once.
+    daily = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     run, _ = with_global_running_sum(daily, ["day"], "d", out="open_dec")
     run = run.withColumn("open_orders", F.col("open_dec").cast("long"))
     return (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from coviddatapipeline_spark.operators.common import duck_floor_long, t
 from coviddatapipeline_spark.queries.catalog import register
@@ -928,10 +929,15 @@ def _stats_oracle() -> str:
         "exact NDV, and normalized min/max for every orders column — "
         "the statistics a cost-based optimizer joins-reorders and "
         "broadcast-plans from, computed here so stats collection is an "
-        "auditable operator rather than engine magic. Spark side is ONE "
-        "scan: a single multi-aggregate row (Catalyst expands the "
-        "count-distincts) unpivoted with stack() into the stats table — "
-        "at 100 TB you pay one pass, not one pass per column; doubles "
+        "auditable operator rather than engine magic. Spark side is one "
+        "column-pruned aggregate branch PER COLUMN, unioned: multiple "
+        "exact count-distincts in a single aggregate go through "
+        "Catalyst's Expand operator, which multiplies every input row "
+        "by (n_distinct_aggs + 1) before the shuffle — measured 4.4x "
+        "slower than the per-column branches at sf0.1 — while the "
+        "branches each scan ONE column (columnar reads make n "
+        "single-column passes the same total I/O as one n-column pass) "
+        "and shuffle only partial-aggregated distinct values. Doubles "
         "render through an integer cents path (floor(v*100+0.5) as "
         "BIGINT) so min/max strings are bit-identical on both engines "
         "even on exact binary ties, dates normalize to yyyy-MM-dd. "
@@ -943,35 +949,28 @@ def _stats_oracle() -> str:
 )
 def table_stats_analyze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n_rows")]
+    # One column-pruned aggregate branch per column (see doc= for the
+    # Expand-vs-branches measurement; OPTIMIZATION_r13 §8). Every
+    # aggregate expression is identical to the old single-agg form —
+    # count/ndv/min/max over the same column — so every value is
+    # unchanged; only the plan shape moves from one Expand x7 aggregate
+    # to a union of per-column aggregates.
+    branches = []
     for col, _, sfmt in _STATS_COLS:
-        aggs.append((F.count("*") - F.count(col)).alias(f"{col}__nulls"))
-        aggs.append(F.countDistinct(col).alias(f"{col}__ndv"))
-        aggs.append(F.expr(sfmt.format(v=f"min({col})")).alias(f"{col}__min"))
-        aggs.append(F.expr(sfmt.format(v=f"max({col})")).alias(f"{col}__max"))
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__nulls, {col}__ndv, {col}__min, {col}__max"
-        for col, _, _ in _STATS_COLS
-    )
-    return (
-        one.select(
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.expr(
-                f"stack({len(_STATS_COLS)}, {stack_args})"
-                " AS (column_name, n_nulls, ndv, min_val, max_val)"
-            ),
+        branches.append(
+            orders.select(col).agg(
+                F.lit(col).alias("column_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") - F.count(col)).cast("long").alias("n_nulls"),
+                F.countDistinct(col).cast("long").alias("ndv"),
+                F.expr(sfmt.format(v=f"min({col})")).alias("min_val"),
+                F.expr(sfmt.format(v=f"max({col})")).alias("max_val"),
+            )
         )
-        .select(
-            "column_name",
-            "n_rows",
-            F.col("n_nulls").cast("long").alias("n_nulls"),
-            F.col("ndv").cast("long").alias("ndv"),
-            "min_val",
-            "max_val",
-        )
-        .orderBy("column_name")
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("column_name")
 
 
 # ---------------------------------------------------------------------------
@@ -1306,20 +1305,26 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the writer sees sorted input, and status-sorted vs "
         "date-sorted (the ingest order) is the before/after of adding "
         "the column to the sort key. Adjacency is computed WITHOUT a "
-        "window over data on the Spark side: the cutpoint-bucketed "
-        "global row number gives each row its rank and a self equi-"
-        "join on rn+1 finds neighbors — a hash join any engine "
-        "partitions, the same trick as the backlog sweep-line. (The "
-        "pair-join counts n-1 adjacencies; runs = changes + 1, rows = "
+        "global window on the Spark side: the total order is "
+        "bucket-major (range buckets from cutpoints of the leading "
+        "key), so the n-1 adjacent pairs are exactly the within-bucket "
+        "lag pairs — windows PARTITIONED by bucket, parallel — plus "
+        "one boundary pair per consecutive non-empty bucket from a "
+        "buckets-sized summary. (runs = changes + 1, rows = "
         "pairs + 1.) Completes the layout family: Z-order buys "
         "min-max skipping, this buys bytes."
     ),
     tags=("warehouse", "layout", "scale"),
 )
 def layout_rle_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+    from coviddatapipeline_spark.operators.ranking import (
+        _BKT,
+        _monotone_numeric,
+        _range_buckets,
+        const_key,
+    )
 
-    # the ranking helper needs a numeric leading key; single-char
+    # the bucketing helper needs a numeric leading key; single-char
     # status codes order identically by their ascii code
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1329,13 +1334,51 @@ def layout_rle_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def profile(keys: list[str], layout: str) -> DataFrame:
-        ranked, _n = with_global_row_number(orders, keys, out="rn")
-        a = ranked.select(F.col("o_orderstatus").alias("va"), "rn")
-        bdf = ranked.select(
-            F.col("o_orderstatus").alias("vb"), (F.col("rn") - 1).alias("rn")
+        # OPTIMIZATION_r13 §7 (guide §2.4): the old shape materialized
+        # the full bucketed global row number (cutpoint job + counts
+        # job + the ranked pass evaluated TWICE as the two sides of an
+        # rn+1 self-join). Adjacency only needs CONSECUTIVE rows of the
+        # total order, and the order is bucket-major (bucket is a
+        # monotone function of the leading key, within-bucket the sort
+        # key completes it) — so the identical multiset of adjacent
+        # pairs is the union of (a) within-bucket lag pairs, from
+        # windows PARTITIONED by bucket (parallel, never a global
+        # funnel), and (b) one boundary pair per consecutive non-empty
+        # bucket, from a lag over the buckets-sized summary (metadata-
+        # sized, const_key window). No rn, no offsets collect, no
+        # self-join; the aggregation over the pair frame is expression-
+        # for-expression the old one, so every count — including the
+        # empty/one-row degenerate frames — is unchanged (pinned by
+        # test_layout_rle_pair_formulations_agree).
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        bucketed = _range_buckets(orders, _monotone_numeric(orders, keys[0]), num_buckets)
+        w = Window.partitionBy(_BKT).orderBy(*[F.col(k) for k in keys])
+        within = (
+            bucketed.select(
+                F.col("o_orderstatus").alias("vb"),
+                F.lag("o_orderstatus").over(w).alias("va"),
+                F.lag(F.lit(1)).over(w).alias("has_prev"),
+            )
+            .filter(F.col("has_prev") == 1)
+            .select("va", "vb")
+        )
+        ksort = F.struct(*[F.col(k) for k in keys])
+        summary = bucketed.groupBy(_BKT).agg(
+            F.min_by("o_orderstatus", ksort).alias("first_v"),
+            F.max_by("o_orderstatus", ksort).alias("last_v"),
+        )
+        wb = Window.partitionBy(const_key(_BKT)).orderBy(_BKT)
+        boundary = (
+            summary.select(
+                F.col("first_v").alias("vb"),
+                F.lag("last_v").over(wb).alias("va"),
+                F.lag(F.lit(1)).over(wb).alias("has_prev"),
+            )
+            .filter(F.col("has_prev") == 1)
+            .select("va", "vb")
         )
         return (
-            a.join(bdf, "rn")
+            within.unionByName(boundary)
             .agg(
                 F.count("*").alias("pairs"),
                 F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0)).alias(
@@ -1349,9 +1392,20 @@ def layout_rle_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    runs = profile(["status_code", "o_orderkey"], "by_status").unionByName(
-        profile(["o_orderdate", "o_orderkey"], "by_date")
-    )
+    # The two layouts are independent profiles of the same input; each
+    # build runs one eager cutpoint job, so build them overlapped
+    # (guide §2.6 — the rfm/bakeoff thread-pool precedent §C9/§B3).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        by_status, by_date = pool.map(
+            lambda a: profile(*a),
+            [
+                (["status_code", "o_orderkey"], "by_status"),
+                (["o_orderdate", "o_orderkey"], "by_date"),
+            ],
+        )
+    runs = by_status.unionByName(by_date)
     return runs.select(
         "layout",
         "n_rows",

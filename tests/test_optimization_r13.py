@@ -275,6 +275,128 @@ def test_knn_kernel_degenerate_rows(spark):
     assert len(v7) == 1 and v7[0][3] == repr(None)
 
 
+def test_layout_rle_pair_formulations_agree(spark, parity_sf_dir):
+    """OPTIMIZATION_r13 §7: the bucket-lag + boundary-pair formulation
+    must equal the old rn+1 self-join over the cutpoint-bucketed global
+    row number — on the real corpus and on a crafted frame with NULL
+    status / NULL key rows (which land in the smallest bucket and pair
+    like any other row; NULL <> NULL is never a change, matching the
+    old when(va != vb) gate)."""
+
+    from pyspark.sql import functions as F
+
+    from coviddatapipeline_spark.operators import warehouse as WH
+    from coviddatapipeline_spark.operators.common import t
+    from coviddatapipeline_spark.operators.ranking import with_global_row_number
+
+    def old_profile(orders, keys, layout):
+        ranked, _n = with_global_row_number(orders, keys, out="rn")
+        a = ranked.select(F.col("o_orderstatus").alias("va"), "rn")
+        bdf = ranked.select(
+            F.col("o_orderstatus").alias("vb"), (F.col("rn") - 1).alias("rn")
+        )
+        return (
+            a.join(bdf, "rn")
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0)).alias(
+                    "changes"
+                ),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                (F.col("pairs") + 1).cast("long").alias("n_rows"),
+                (F.col("changes") + 1).cast("long").alias("n_runs"),
+            )
+        )
+
+    # real corpus: full entry rows vs the old formulation rebuilt
+    orders = t(spark, parity_sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate",
+        F.ascii("o_orderstatus").alias("status_code"),
+    )
+    old = sorted(
+        tuple(r)
+        for r in old_profile(orders, ["status_code", "o_orderkey"], "by_status")
+        .unionByName(old_profile(orders, ["o_orderdate", "o_orderkey"], "by_date"))
+        .collect()
+    )
+    new_rows = WH.layout_rle_run_profile(spark, parity_sf_dir).collect()
+    new = sorted((r["layout"], r["n_rows"], r["n_runs"]) for r in new_rows)
+    assert new == old
+
+    # crafted degenerate frame (NULL status, NULL key, one-row bucket)
+    rows = [
+        (1, "O", "1998-01-01"),
+        (2, "O", "1998-01-02"),
+        (3, None, "1998-01-03"),
+        (None, "F", None),
+        (5, "F", "1998-01-05"),
+    ]
+    crafted = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_orderdate string"
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.ascii("o_orderstatus").alias("status_code"),
+    )
+    for keys in (["status_code", "o_orderkey"], ["o_orderdate", "o_orderkey"]):
+        got_old = old_profile(crafted, keys, "x").collect()[0]
+        # rebuild the new formulation inline over the crafted frame
+        from coviddatapipeline_spark.operators.ranking import (
+            _BKT,
+            _monotone_numeric,
+            _range_buckets,
+            const_key,
+        )
+        from pyspark.sql.window import Window
+
+        bucketed = _range_buckets(crafted, _monotone_numeric(crafted, keys[0]), 8)
+        w = Window.partitionBy(_BKT).orderBy(*[F.col(k) for k in keys])
+        within = (
+            bucketed.select(
+                F.col("o_orderstatus").alias("vb"),
+                F.lag("o_orderstatus").over(w).alias("va"),
+                F.lag(F.lit(1)).over(w).alias("has_prev"),
+            )
+            .filter(F.col("has_prev") == 1)
+            .select("va", "vb")
+        )
+        ksort = F.struct(*[F.col(k) for k in keys])
+        summary = bucketed.groupBy(_BKT).agg(
+            F.min_by("o_orderstatus", ksort).alias("first_v"),
+            F.max_by("o_orderstatus", ksort).alias("last_v"),
+        )
+        wb = Window.partitionBy(const_key(_BKT)).orderBy(_BKT)
+        boundary = (
+            summary.select(
+                F.col("first_v").alias("vb"),
+                F.lag("last_v").over(wb).alias("va"),
+                F.lag(F.lit(1)).over(wb).alias("has_prev"),
+            )
+            .filter(F.col("has_prev") == 1)
+            .select("va", "vb")
+        )
+        got_new = (
+            within.unionByName(boundary)
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum(F.when(F.col("va") != F.col("vb"), 1).otherwise(0)).alias(
+                    "changes"
+                ),
+            )
+            .select(
+                ((F.col("pairs") + 1).cast("long")).alias("n_rows"),
+                ((F.col("changes") + 1).cast("long")).alias("n_runs"),
+            )
+            .collect()[0]
+        )
+        assert (got_new["n_rows"], got_new["n_runs"]) == (
+            got_old["n_rows"],
+            got_old["n_runs"],
+        )
+
+
 def test_bm25_scored_results_unchanged_by_memo(spark, tmp_path):
     """The memoized frame is a lazy plan — collecting it twice gives the
     same rows, and the scores match an unmemoized re-derivation from a
