@@ -347,6 +347,20 @@ def _strategy_demos(spark, sf_dir: str) -> dict:
             "mm_image_decode_png",
             "rfm_customer_segments",
             "graph_triangle_stats",
+            # round-13: the entries this round's registry sweep found
+            # or made notable — the four restructured ones (knn kernel,
+            # per-bucket RLE adjacency, per-column stats branches,
+            # checkpointed sweep-line) plus the two heaviest
+            # deliberately-unchanged entries (sequential-probe LRS,
+            # basket-join assortativity) so a regression in any of
+            # them is visible to the committed BENCH record.
+            "knn_graph_within_cell",
+            "graph_semantic_clusters",
+            "layout_rle_run_profile",
+            "table_stats_analyze_audit",
+            "events_peak_concurrency",
+            "dedup_longest_repeated_substring",
+            "graph_degree_assortativity",
         ):
             timed(name, lambda n=name: _q[n](spark, sf_dir).collect())
     except Exception as e:
