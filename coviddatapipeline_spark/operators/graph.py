@@ -815,6 +815,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pa"))
     b = cp.select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb"))
+    # (A localCheckpoint of edges was measured and REJECTED here:
+    # Spark's ReuseExchange already dedups the repeated pair-distinct
+    # subtree inside the one final job, so the checkpoint only added a
+    # 200 MB materialization and its variance — 3.58 s algebra-only vs
+    # 3.82 s with the checkpoint, min-of-3 at sf0.1.)
     edges = (
         a.join(b, "ck")
         .filter(F.col("pa") < F.col("pb"))
@@ -838,14 +843,29 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "y")
     )
-    sym = ends.unionByName(
-        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    # OPTIMIZATION_r13 §9 (guide §2.3): symmetrization in exact integer
+    # algebra instead of a UNION that ran the 12.7M-row ends probe (two
+    # broadcast-hash probes per row) twice and pushed 2x the rows
+    # through the final aggregate: over sym = ends ∪ swap(ends) the
+    # four power sums are m = 2·n, Σx = Σx+Σy, Σx² = Σx²+Σy²,
+    # Σxy = 2·Σxy — term-for-term the same BIGINTs (each half-sum is
+    # bounded by the old total, so no new overflow path; the
+    # DECIMAL(38,0) quotient below is unchanged). 4.57 → 3.58 s
+    # min-of-3 at sf0.1; the oracle's literal UNION re-proves the
+    # equality every sweep.
+    half = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx1"),
+        F.sum("y").alias("sy1"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx1"),
+        F.sum(F.col("y") * F.col("y")).alias("syy1"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy1"),
     )
-    sums = sym.agg(
-        F.count("*").alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    sums = half.select(
+        (F.lit(2) * F.col("n")).alias("m"),
+        (F.col("sx1") + F.col("sy1")).alias("sx"),
+        (F.col("sxx1") + F.col("syy1")).alias("sxx"),
+        (F.lit(2) * F.col("sxy1")).alias("sxy"),
     )
     # m * sxy overflows int64 on hub-heavy graphs (caught by ANSI mode
     # at sf0.1); the power-sum products run in DECIMAL(38,0), and the
