@@ -457,18 +457,34 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored rows are identical to the previously-chained form.
     from concurrent.futures import ThreadPoolExecutor
 
+    # OPTIMIZATION_r13 §10 (the §B4 bucket_of contract): two of the
+    # three lead keys are BOUNDED, so their rankers skip the
+    # approx_percentile cutpoint job — bucketing affects balance only,
+    # offsets still come from the exact per-bucket counts. last_order
+    # is calendar-bounded (unix_date DIV 64 ≈ one bucket per ~2 months,
+    # monotone, NULL dates coalesce to bucket 0 = the smallest, where
+    # the cutpoint path puts NULL leads); frequency is its own bucket
+    # (a per-customer order count — ints bounded far below any bucket
+    # explosion, never NULL by construction of count(*), coalesced for
+    # totality anyway). monetary_cents is unbounded: cutpoint path.
     def rank(args):
-        key, out = args
-        return with_global_row_number(rfm, [key, "o_custkey"], out=out)
+        key, out, bucket = args
+        return with_global_row_number(
+            rfm, [key, "o_custkey"], out=out, bucket_of=bucket
+        )
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         (ranked_r, n), (ranked_f, _), (ranked_m, _) = list(
             pool.map(
                 rank,
                 [
-                    ("last_order", "rn_r"),
-                    ("frequency", "rn_f"),
-                    ("monetary_cents", "rn_m"),
+                    (
+                        "last_order",
+                        "rn_r",
+                        F.expr("coalesce(unix_date(last_order) DIV 64, 0)"),
+                    ),
+                    ("frequency", "rn_f", F.expr("coalesce(frequency, 0)")),
+                    ("monetary_cents", "rn_m", None),
                 ],
             )
         )
